@@ -1,0 +1,115 @@
+"""Golden-vector tests: our engines vs the compiled, UNMODIFIED reference.
+
+Builds tiny CLIs around the reference codec sources from the read-only mount
+(/root/reference) at test time — nothing is copied into the repo — and checks
+that our encoders produce byte-identical streams and our decoders accept
+reference streams. Skipped when the mount or a C compiler is unavailable.
+"""
+
+from __future__ import annotations
+
+import shutil
+import subprocess
+from pathlib import Path
+
+import pytest
+
+from sqz_tpu.oracle import (
+    squeeze_compress, squeeze_decompress,
+    sqz4_compress, sqz4_decompress,
+)
+from sqz_tpu.utils import corpus
+
+TOOLS = Path(__file__).parent / "tools"
+REF = Path("/root/reference")
+
+
+@pytest.fixture(scope="session")
+def ref_clis(tmp_path_factory):
+    if not REF.exists() or shutil.which("gcc") is None:
+        pytest.skip("reference mount or gcc unavailable")
+    d = tmp_path_factory.mktemp("refcli")
+    sq = d / "squeeze_ref_cli"
+    s4 = d / "sqz4_ref_cli"
+    subprocess.run(
+        ["gcc", "-std=c11", "-O2", f"-I{TOOLS}/shim",
+         f"-I{REF}/attic/map_experiment",
+         str(TOOLS / "squeeze_ref_cli.c"), "-o", str(sq), "-lm"],
+        check=True, capture_output=True)
+    subprocess.run(
+        ["gcc", "-std=c11", "-O2", "-Dstatic_assert=_Static_assert",
+         f"-I{TOOLS}/shim", f"-I{REF}/inc",
+         str(TOOLS / "sqz4_ref_cli.c"), str(REF / "src/sqz.c"),
+         "-o", str(s4), "-lm"],
+        check=True, capture_output=True)
+    return sq, s4
+
+
+def _ref_squeeze_compress(cli, tmp, data: bytes, win_bits: int) -> bytes:
+    (tmp / "in").write_bytes(data)
+    subprocess.run([str(cli), "c", str(win_bits), str(tmp / "in"),
+                    str(tmp / "out")], check=True, capture_output=True)
+    return (tmp / "out").read_bytes()
+
+
+def _ref_squeeze_decompress(cli, tmp, blob: bytes) -> bytes:
+    (tmp / "cin").write_bytes(blob)
+    subprocess.run([str(cli), "d", str(tmp / "cin"), str(tmp / "cout")],
+                   check=True, capture_output=True)
+    return (tmp / "cout").read_bytes()
+
+
+def _ref_sqz4_compress(cli, tmp, data: bytes) -> bytes:
+    (tmp / "in4").write_bytes(data)
+    subprocess.run([str(cli), "c", str(tmp / "in4"), str(tmp / "out4")],
+                   check=True, capture_output=True)
+    return (tmp / "out4").read_bytes()
+
+
+def _ref_sqz4_decompress(cli, tmp, blob: bytes) -> bytes:
+    (tmp / "cin4").write_bytes(blob)
+    subprocess.run([str(cli), "d", str(tmp / "cin4"), str(tmp / "cout4")],
+                   check=True, capture_output=True)
+    return (tmp / "cout4").read_bytes()
+
+
+def _cases():
+    cases = [
+        ("hello", corpus.hello(), 10),
+        ("zeros", corpus.zeros(4096), 10),
+        ("rle4", corpus.rle4(4096), 10),
+        ("texty", corpus.texty(4096), 10),
+        ("random", corpus.random_bytes(2048, seed=3), 10),
+        ("texty_w15", corpus.texty(4096, seed=7), 15),
+    ]
+    if (REF / "test/laozi.txt").exists():
+        cases.append(("laozi8k", corpus.load("laozi.txt")[:8192], 10))
+        cases.append(("laozi8k_w15", corpus.load("laozi.txt")[:8192], 15))
+    if (REF / "test/confucius.txt").exists():
+        cases.append(("confucius12k", corpus.load("confucius.txt")[:12288], 15))
+    return cases
+
+
+@pytest.mark.parametrize("name,data,win_bits",
+                         _cases(), ids=[c[0] for c in _cases()])
+def test_squeeze_bit_exact_vs_reference(ref_clis, tmp_path, name, data, win_bits):
+    sq, _ = ref_clis
+    ref_blob = _ref_squeeze_compress(sq, tmp_path, data, win_bits)
+    our_blob = squeeze_compress(data, win_bits=win_bits)
+    assert our_blob == ref_blob, (
+        f"{name}: stream mismatch (ref {len(ref_blob)}B, ours {len(our_blob)}B)")
+    # cross-decode both directions
+    assert squeeze_decompress(ref_blob) == data
+    assert _ref_squeeze_decompress(sq, tmp_path, our_blob) == data
+
+
+@pytest.mark.parametrize("name,data,win_bits",
+                         _cases(), ids=[c[0] for c in _cases()])
+def test_sqz4_bit_exact_vs_reference(ref_clis, tmp_path, name, data, win_bits):
+    _, s4 = ref_clis
+    ref_blob = _ref_sqz4_compress(s4, tmp_path, data)
+    our_blob = sqz4_compress(data, lz=False)  # reference HEAD is literal-only
+    assert our_blob == ref_blob, (
+        f"{name}: stream mismatch (ref {len(ref_blob)}B, ours {len(our_blob)}B)")
+    assert sqz4_decompress(ref_blob) == data
+    assert _ref_sqz4_decompress(s4, tmp_path, our_blob) == data
