@@ -1,0 +1,204 @@
+"""ctypes bindings for the native C++ host runtime (sqz_native.cpp).
+
+The shared library is built on first use (``make -C sqz_tpu/native``); all
+entry points return the produced byte count or -errno. Payload functions
+operate on headerless block payloads (sqzt container framing); the
+single-block functions add/parse the reference containers.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from pathlib import Path
+from typing import List, Optional
+
+import numpy as np
+
+from sqz_tpu.formats.constants import SQZ4_MAGIC
+
+_DIR = Path(__file__).parent
+_SO = _DIR / "libsqznative.so"
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_build_error: Optional[str] = None
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _build_error
+    with _lock:
+        if _lib is not None or _build_error is not None:
+            return _lib
+        if not _SO.exists() or _SO.stat().st_mtime < (_DIR / "sqz_native.cpp").stat().st_mtime:
+            try:
+                subprocess.run(["make", "-C", str(_DIR)], check=True,
+                               capture_output=True, text=True)
+            except (subprocess.CalledProcessError, FileNotFoundError) as e:
+                _build_error = getattr(e, "stderr", str(e)) or str(e)
+                return None
+        lib = ctypes.CDLL(str(_SO))
+        i64, u64, i32, u32 = (ctypes.c_int64, ctypes.c_uint64,
+                              ctypes.c_int32, ctypes.c_uint32)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        lib.sqz_squeeze_compress.restype = i64
+        lib.sqz_squeeze_compress.argtypes = [u8p, u64, i32, i32, u8p, u64]
+        lib.sqz_squeeze_decompress.restype = i64
+        lib.sqz_squeeze_decompress.argtypes = [u8p, u64, i32, u64, u8p, u64]
+        lib.sqz_sqz4_compress.restype = i64
+        lib.sqz_sqz4_compress.argtypes = [u8p, u64, u32, i32, u8p, u64]
+        lib.sqz_sqz4_decompress.restype = i64
+        lib.sqz_sqz4_decompress.argtypes = [u8p, u64, u64, u8p, u64]
+        lib.sqz_blocks_compress.restype = i64
+        lib.sqz_blocks_compress.argtypes = [u8p, u64, i32, i32, i32, i32, i32,
+                                            u8p, u64, i64p]
+        lib.sqz_blocks_decompress.restype = i64
+        lib.sqz_blocks_decompress.argtypes = [u8p, i64p, i64p, u64, i32, i32,
+                                              i32, u8p, u64]
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def build_error() -> Optional[str]:
+    _load()
+    return _build_error
+
+
+def _u8(buf) -> ctypes.POINTER(ctypes.c_uint8):
+    return buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+def _check(rc: int) -> int:
+    if rc < 0:
+        raise OSError(-rc, f"native codec error: {os.strerror(-rc)}")
+    return rc
+
+
+def _cap_for(n: int) -> int:
+    return 2 * n + 4096
+
+
+# ------------------------------------------------------------- single block
+
+def squeeze_compress(data: bytes, win_bits: int = 15) -> bytes:
+    lib = _load()
+    src = np.frombuffer(data, dtype=np.uint8) if data else np.zeros(1, np.uint8)
+    out = np.empty(_cap_for(len(data)), dtype=np.uint8)
+    rc = _check(lib.sqz_squeeze_compress(_u8(src), len(data), win_bits, 1,
+                                         _u8(out), out.size))
+    return out[:rc].tobytes()
+
+
+def squeeze_decompress(blob: bytes) -> bytes:
+    lib = _load()
+    src = np.frombuffer(blob, dtype=np.uint8)
+    size = _peek_squeeze_size(blob)
+    out = np.empty(max(size, 1), dtype=np.uint8)
+    rc = _check(lib.sqz_squeeze_decompress(_u8(src), len(blob), 1, 0,
+                                           _u8(out), out.size))
+    return out[:rc].tobytes()
+
+
+def _peek_squeeze_size(blob: bytes) -> int:
+    # header = 64 size bits + 8 win bits through the bitstream; the first
+    # word is flushed big-endian so bit k of the stream is bit 63-k of word 0,
+    # and write_bits emits the LSB of size first.
+    word = int.from_bytes(blob[:8], "big")
+    size = 0
+    for k in range(64):
+        size |= ((word >> (63 - k)) & 1) << k
+    return size
+
+
+def sqz4_compress(data: bytes, window: int = 1 << 15, lz: bool = True) -> bytes:
+    payload = sqz4_compress_payload(data, window, lz=lz)
+    return SQZ4_MAGIC + len(data).to_bytes(8, "little") + payload
+
+
+def sqz4_decompress(blob: bytes) -> bytes:
+    if blob[:8] != SQZ4_MAGIC:
+        raise ValueError("bad squeeze4 magic")
+    size = int.from_bytes(blob[8:16], "little")
+    return sqz4_decompress_payload(blob[16:], size)
+
+
+# --------------------------------------------------------- payload variants
+
+def squeeze_compress_payload(data: bytes, win_bits: int) -> bytes:
+    lib = _load()
+    src = np.frombuffer(data, dtype=np.uint8) if data else np.zeros(1, np.uint8)
+    out = np.empty(_cap_for(len(data)), dtype=np.uint8)
+    rc = _check(lib.sqz_squeeze_compress(_u8(src), len(data), win_bits, 0,
+                                         _u8(out), out.size))
+    return out[:rc].tobytes()
+
+
+def squeeze_decompress_payload(payload: bytes, size: int) -> bytes:
+    lib = _load()
+    src = np.frombuffer(payload, dtype=np.uint8) if payload else np.zeros(1, np.uint8)
+    out = np.empty(max(size, 1), dtype=np.uint8)
+    rc = _check(lib.sqz_squeeze_decompress(_u8(src), len(payload), 0, size,
+                                           _u8(out), out.size))
+    return out[:rc].tobytes()
+
+
+def sqz4_compress_payload(data: bytes, window: int, lz: bool = True) -> bytes:
+    lib = _load()
+    src = np.frombuffer(data, dtype=np.uint8) if data else np.zeros(1, np.uint8)
+    out = np.empty(_cap_for(len(data)), dtype=np.uint8)
+    rc = _check(lib.sqz_sqz4_compress(_u8(src), len(data), window, int(lz),
+                                      _u8(out), out.size))
+    return out[:rc].tobytes()
+
+
+def sqz4_decompress_payload(payload: bytes, size: int) -> bytes:
+    lib = _load()
+    src = np.frombuffer(payload, dtype=np.uint8) if payload else np.zeros(1, np.uint8)
+    out = np.empty(max(size, 1), dtype=np.uint8)
+    rc = _check(lib.sqz_sqz4_decompress(_u8(src), len(payload), size,
+                                        _u8(out), out.size))
+    return out[:rc].tobytes()
+
+
+# ------------------------------------------------------- threaded block API
+
+def blocks_compress(data: bytes, fmt: int, win_bits: int, blk_bits: int,
+                    lz: bool = True, nthreads: int = 0) -> List[bytes]:
+    """Compress independent 2^blk_bits blocks in parallel; returns payloads."""
+    lib = _load()
+    n = len(data)
+    bs = 1 << blk_bits
+    nblocks = max(1, (n + bs - 1) // bs)
+    stride = _cap_for(bs)
+    src = np.frombuffer(data, dtype=np.uint8) if data else np.zeros(1, np.uint8)
+    out = np.empty(nblocks * stride, dtype=np.uint8)
+    sizes = np.zeros(nblocks, dtype=np.int64)
+    rc = _check(lib.sqz_blocks_compress(
+        _u8(src), n, fmt, win_bits, blk_bits, int(lz), nthreads,
+        _u8(out), stride, sizes.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))))
+    assert rc == nblocks
+    return [out[b * stride:b * stride + int(sizes[b])].tobytes()
+            for b in range(nblocks)]
+
+
+def blocks_decompress(payloads: List[bytes], total_size: int, fmt: int,
+                      blk_bits: int, nthreads: int = 0) -> bytes:
+    lib = _load()
+    flat = b"".join(payloads)
+    offsets = np.zeros(len(payloads), dtype=np.int64)
+    sizes = np.array([len(p) for p in payloads], dtype=np.int64)
+    np.cumsum(sizes[:-1], out=offsets[1:]) if len(payloads) > 1 else None
+    src = np.frombuffer(flat, dtype=np.uint8) if flat else np.zeros(1, np.uint8)
+    out = np.empty(max(total_size, 1), dtype=np.uint8)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    rc = _check(lib.sqz_blocks_decompress(
+        _u8(src), offsets.ctypes.data_as(i64p), sizes.ctypes.data_as(i64p),
+        len(payloads), fmt, blk_bits, nthreads, _u8(out), total_size))
+    assert rc == total_size
+    return out[:total_size].tobytes()

@@ -1,0 +1,833 @@
+// tpu-sqz native host runtime: both codecs (FORMAT.md §1-§2), exact
+// hash-chain LZ77 matcher, and a threaded block executor for the sqzt
+// container (FORMAT.md §3). C ABI, bound from Python via ctypes.
+//
+// This is a from-scratch C++ implementation of the wire formats specified in
+// FORMAT.md (behavior pinned to reference attic/map_experiment/*.h and
+// src/sqz.c — see the file:line cites there); it shares no code with the
+// reference. Differential tests in tests/test_native.py enforce byte
+// identity against the Python oracle and the compiled reference.
+
+#include <atomic>
+#include <cerrno>
+#include <cstdint>
+#include <cstring>
+#include <thread>
+#include <vector>
+
+namespace {
+
+constexpr uint64_t kMask64 = ~0ull;
+
+// ------------------------------------------------------------------ errors
+
+struct CodecError {
+    int err;
+};
+
+[[noreturn]] void fail(int err) { throw CodecError{err}; }
+
+// --------------------------------------------------------------- bitstream
+
+// FORMAT.md §1.1: 64-bit shift register, big-endian word flush, multi-bit
+// values LSB-first.
+class BitWriter {
+  public:
+    BitWriter(uint8_t* out, uint64_t cap) : out_(out), cap_(cap) {}
+
+    void write_bit(uint32_t bit) {
+        b64_ = (b64_ << 1) | (bit & 1u);
+        if (++nbits_ == 64) flush_word();
+    }
+
+    void write_bits(uint64_t value, int nbits) {
+        for (int i = 0; i < nbits; i++) {
+            write_bit(static_cast<uint32_t>(value & 1u));
+            value >>= 1;
+        }
+    }
+
+    void flush() {
+        while (nbits_ != 0) write_bit(0);
+    }
+
+    uint64_t bytes() const { return len_; }
+
+  private:
+    void flush_word() {
+        if (len_ + 8 > cap_) fail(ENOBUFS);
+        for (int i = 7; i >= 0; i--) out_[len_++] = static_cast<uint8_t>(b64_ >> (8 * i));
+        b64_ = 0;
+        nbits_ = 0;
+    }
+
+    uint8_t* out_;
+    uint64_t cap_;
+    uint64_t len_ = 0;
+    uint64_t b64_ = 0;
+    int nbits_ = 0;
+};
+
+class BitReader {
+  public:
+    BitReader(const uint8_t* data, uint64_t n) : data_(data), n_(n) {}
+
+    uint32_t read_bit() {
+        if (nbits_ == 0) {
+            if (pos_ + 8 > n_) fail(EILSEQ);
+            b64_ = 0;
+            for (int i = 0; i < 8; i++) b64_ = (b64_ << 8) | data_[pos_++];
+            nbits_ = 64;
+        }
+        uint32_t bit = static_cast<uint32_t>(b64_ >> 63);
+        b64_ <<= 1;
+        nbits_--;
+        return bit;
+    }
+
+    uint64_t read_bits(int nbits) {
+        uint64_t v = 0;
+        for (int i = 0; i < nbits; i++) v |= static_cast<uint64_t>(read_bit()) << i;
+        return v;
+    }
+
+  private:
+    const uint8_t* data_;
+    uint64_t n_;
+    uint64_t pos_ = 0;
+    uint64_t b64_ = 0;
+    int nbits_ = 0;
+};
+
+// --------------------------------------------------- adaptive Huffman tree
+
+// FORMAT.md §1.6. Index-based: terminals 0..n-1, internal nodes carved
+// downward from 2n-3, root 2n-2. Paths stored and recomputed on
+// restructure, exactly mirroring the reference state machine.
+class HuffTree {
+  public:
+    explicit HuffTree(int terminals)
+        : n_(terminals), m_(2 * terminals - 1),
+          freq_(m_, 0), path_(m_, 0), bits_(m_, 0),
+          pix_(m_, -1), lix_(m_, -1), rix_(m_, -1),
+          next_(m_ - 1) {}
+
+    bool seen(int i) const { return pix_[i] != -1; }
+    uint64_t path(int i) const { return path_[i]; }
+    int bits(int i) const { return bits_[i]; }
+    int root() const { return m_ - 1; }
+    int left(int i) const { return lix_[i]; }
+    int right(int i) const { return rix_[i]; }
+    bool is_leaf(int i) const { return lix_[i] < 0 && rix_[i] < 0; }
+
+    bool insert(int i) {
+        int ipx = root();
+        freq_[i] = 1;
+        while (ipx >= n_) {
+            if (rix_[ipx] == -1) { rix_[ipx] = i; pix_[i] = ipx; break; }
+            if (lix_[ipx] == -1) { lix_[ipx] = i; pix_[i] = ipx; break; }
+            ipx = lix_[ipx];
+        }
+        if (ipx >= n_) {
+            freq_[ipx]++;
+            i = swap_siblings(i);
+        } else {
+            if (next_ == n_) { complete_ = true; return false; }
+            int nix = --next_;
+            freq_[nix] = freq_[ipx];
+            lix_[nix] = ipx;
+            rix_[nix] = -1;
+            pix_[nix] = pix_[ipx];
+            bits_[nix] = bits_[ipx];
+            path_[nix] = path_[ipx];
+            int opix = pix_[ipx];
+            if (opix != -1) {
+                (lix_[opix] == ipx ? lix_[opix] : rix_[opix]) = nix;
+            }
+            pix_[ipx] = nix;
+            bits_[ipx]++;
+            path_[ipx] = path_[nix];
+            rix_[nix] = i;
+            pix_[i] = nix;
+            bits_[i] = bits_[nix] + 1;
+            path_[i] = path_[nix] | (1ull << bits_[nix]);
+            update_freq(nix);
+            ipx = nix;
+        }
+        frequency_changed(i);
+        update_paths(ipx);
+        return true;
+    }
+
+    void inc_frequency(int i) {
+        if (pix_[i] == -1) {
+            insert(i);
+        } else if (!complete_ && depth_ < 63 && freq_[i] < kMask64 - 1) {
+            freq_[i]++;
+            frequency_changed(i);
+        } else {
+            complete_ = true;
+        }
+    }
+
+  private:
+    void update_paths(int i) {
+        if (i == m_ - 1) depth_ = 0;
+        const int b = bits_[i];
+        const uint64_t p = path_[i];
+        if (lix_[i] != -1) {
+            bits_[lix_[i]] = b + 1;
+            path_[lix_[i]] = p;
+            update_paths(lix_[i]);
+        }
+        if (rix_[i] != -1) {
+            bits_[rix_[i]] = b + 1;
+            path_[rix_[i]] = p | (1ull << b);
+            update_paths(rix_[i]);
+        }
+        if (b > depth_) depth_ = b;
+    }
+
+    int swap_siblings(int i) {
+        if (i < m_ - 1) {
+            int pix = pix_[i];
+            int l = lix_[pix], r = rix_[pix];
+            if (l >= 0 && r >= 0 && freq_[l] > freq_[r]) {
+                lix_[pix] = r;
+                rix_[pix] = l;
+                update_paths(pix);
+                return i == l ? r : l;
+            }
+        }
+        return i;
+    }
+
+    void update_freq(int i) {
+        freq_[i] = (lix_[i] >= 0 ? freq_[lix_[i]] : 0) +
+                   (rix_[i] >= 0 ? freq_[rix_[i]] : 0);
+    }
+
+    void move_up(int ix) {
+        int pix = pix_[ix];
+        int gix = pix_[pix];
+        bool parent_is_left = pix == lix_[gix];
+        int psx = parent_is_left ? rix_[gix] : lix_[gix];  // uncle
+        if (freq_[ix] > freq_[psx]) {
+            pix_[ix] = gix;
+            (parent_is_left ? rix_[gix] : lix_[gix]) = ix;
+            rix_[pix] = psx;
+            pix_[psx] = pix;
+            update_freq(pix);
+            update_freq(gix);
+            swap_siblings(ix);
+            swap_siblings(psx);
+            swap_siblings(pix);
+            update_paths(gix);
+            frequency_changed(gix);
+        }
+    }
+
+    void frequency_changed(int i) {
+        int pix = pix_[i];
+        if (pix == -1) {
+            update_freq(i);
+            i = swap_siblings(i);
+        } else {
+            update_freq(pix);
+            i = swap_siblings(i);
+            frequency_changed(pix);
+        }
+        if (pix != -1 && pix_[pix] != -1 && i == rix_[pix]) move_up(i);
+    }
+
+    int n_, m_;
+    std::vector<uint64_t> freq_, path_;
+    std::vector<int> bits_, pix_, lix_, rix_;
+    int next_;
+    int depth_ = 0;
+    bool complete_ = false;
+};
+
+// ------------------------------------------------------ DEFLATE-like tables
+
+// FORMAT.md §1.4 (values per reference squeeze.h:29-79).
+constexpr uint16_t kLenBase[29] = {
+    3, 4, 5, 6, 7, 8, 9, 10, 11, 13, 15, 17, 19, 23, 27, 31,
+    35, 43, 51, 59, 67, 83, 99, 115, 131, 163, 195, 227, 258};
+constexpr uint8_t kLenXb[29] = {
+    0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 2, 2, 2, 2,
+    3, 3, 3, 3, 4, 4, 4, 4, 5, 5, 5, 5, 0};
+constexpr uint16_t kPosBase[30] = {
+    1, 2, 3, 4, 5, 7, 9, 13, 17, 25, 33, 49, 65, 97, 129, 193,
+    257, 385, 513, 769, 1025, 1537, 2049, 3073, 4097, 6145,
+    8193, 12289, 16385, 24577};
+constexpr uint8_t kPosXb[30] = {
+    0, 0, 0, 0, 1, 1, 2, 2, 3, 3, 4, 4, 5, 5, 6, 6,
+    7, 7, 8, 8, 9, 9, 10, 10, 11, 11, 12, 12, 13, 13};
+
+constexpr int kLitNyt = 285, kPosNyt = 30, kSymMin = 257;
+constexpr int kSqueezeLenMin = 3, kSqueezeLenMax = 257;
+
+struct DeflateIndex {
+    uint8_t len_index[285];
+    uint8_t pos_index[1u << 15];
+
+    DeflateIndex() {
+        int j = 0;
+        int boundary = kLenBase[0] + (1 << kLenXb[0]);
+        std::memset(len_index, 0, sizeof(len_index));
+        for (int len = 3; len < 285; len++) {
+            if (len == boundary) {
+                j++;
+                boundary = kLenBase[j] + (1 << kLenXb[j]);
+            }
+            len_index[len] = static_cast<uint8_t>(j);
+        }
+        j = 0;
+        boundary = kPosBase[0] + (1 << kPosXb[0]);
+        for (int d = 0; d < (1 << 15); d++) {
+            if (d == boundary) {
+                j++;
+                boundary = kPosBase[j] + (1 << kPosXb[j]);
+            }
+            pos_index[d] = static_cast<uint8_t>(j);
+        }
+    }
+};
+
+const DeflateIndex kIndex;
+
+// -------------------------------------------------- exact LZ77 match finder
+
+// FORMAT.md §1.5: longest match over [i-window+1, i-1], length capped at
+// min(max_len, n-i), smallest distance on ties. Hash chains keyed by the
+// min_len-gram (verified exactly), walked nearest-first — result-equivalent
+// to the reference's brute-force backward scan.
+class MatchFinder {
+  public:
+    MatchFinder(const uint8_t* data, uint64_t n, uint32_t window,
+                int min_len, int max_len)
+        : data_(data), n_(n), window_(window),
+          min_len_(min_len), max_len_(max_len),
+          head_(kTableSize, -1),
+          prev_(n > 0 ? n : 1, -1) {}
+
+    // Insert position p into its gram chain (call for every p in order).
+    void insert(uint64_t p) {
+        if (p + static_cast<uint64_t>(min_len_) <= n_) {
+            uint32_t h = hash(p);
+            prev_[p] = head_[h];
+            head_[h] = static_cast<int64_t>(p);
+        }
+    }
+
+    void find(uint64_t i, uint32_t* out_len, uint32_t* out_dist) const {
+        *out_len = 0;
+        *out_dist = 0;
+        uint64_t cap64 = n_ - i;
+        uint32_t cap = cap64 < static_cast<uint64_t>(max_len_)
+                           ? static_cast<uint32_t>(cap64)
+                           : static_cast<uint32_t>(max_len_);
+        if (cap < static_cast<uint32_t>(min_len_)) return;
+        int64_t lo = static_cast<int64_t>(i) - window_ + 1;
+        if (lo < 0) lo = 0;
+        uint32_t best = 0;
+        const uint8_t* cur = data_ + i;
+        for (int64_t j = head_[hash(i)]; j >= lo; j = prev_[j]) {
+            const uint8_t* cand = data_ + j;
+            // exact gram verification (the chain is keyed by a hash)
+            if (std::memcmp(cand, cur, static_cast<size_t>(min_len_)) != 0) continue;
+            uint32_t k = static_cast<uint32_t>(min_len_);
+            while (k < cap && cand[k] == cur[k]) k++;
+            if (k > best) {
+                best = k;
+                *out_dist = static_cast<uint32_t>(i - j);
+                if (k == cap) break;  // cannot be strictly beaten
+            }
+        }
+        *out_len = best;
+    }
+
+  private:
+    static constexpr uint32_t kTableBits = 17;
+    static constexpr uint32_t kTableSize = 1u << kTableBits;
+
+    uint32_t hash(uint64_t p) const {
+        uint32_t g = data_[p];
+        for (int k = 1; k < min_len_; k++) g = (g << 8) | data_[p + k];
+        return (g * 2654435761u) >> (32 - kTableBits);
+    }
+
+    const uint8_t* data_;
+    uint64_t n_;
+    uint32_t window_;
+    int min_len_, max_len_;
+    std::vector<int64_t> head_;
+    std::vector<int64_t> prev_;
+};
+
+// --------------------------------------------------------- squeeze encoder
+
+void squeeze_write_sym(BitWriter& bw, HuffTree& t, int sym) {
+    bw.write_bits(t.path(sym), t.bits(sym));
+    t.inc_frequency(sym);  // strictly after emission (FORMAT.md §1.3)
+}
+
+void squeeze_encode_lit(BitWriter& bw, HuffTree& lit, int sym) {
+    if (!lit.seen(sym)) {
+        squeeze_write_sym(bw, lit, kLitNyt);
+        bw.write_bits(static_cast<uint64_t>(sym), 9);
+        if (!lit.insert(sym)) fail(E2BIG);
+    } else {
+        squeeze_write_sym(bw, lit, sym);
+    }
+}
+
+void squeeze_encode_pos(BitWriter& bw, HuffTree& pos, int code) {
+    if (!pos.seen(code)) {
+        squeeze_write_sym(bw, pos, kPosNyt);
+        bw.write_bits(static_cast<uint64_t>(code), 5);
+        if (!pos.insert(code)) fail(E2BIG);
+    } else {
+        squeeze_write_sym(bw, pos, code);
+    }
+}
+
+void squeeze_encode_payload(const uint8_t* data, uint64_t n, int win_bits,
+                            BitWriter& bw) {
+    HuffTree lit(512), pos(32);
+    lit.insert(kLitNyt);
+    pos.insert(kPosNyt);
+    MatchFinder mf(data, n, 1u << win_bits, kSqueezeLenMin, kSqueezeLenMax);
+    uint64_t i = 0;
+    while (i < n) {
+        uint32_t len, dist;
+        mf.find(i, &len, &dist);
+        if (len >= kSqueezeLenMin) {
+            int li = kIndex.len_index[len];
+            squeeze_encode_lit(bw, lit, kSymMin + li);
+            if (kLenXb[li]) bw.write_bits(len - kLenBase[li], kLenXb[li]);
+            int pi = kIndex.pos_index[dist];
+            squeeze_encode_pos(bw, pos, pi);
+            if (kPosXb[pi]) bw.write_bits(dist - kPosBase[pi], kPosXb[pi]);
+            for (uint32_t k = 0; k < len; k++) mf.insert(i + k);
+            i += len;
+        } else {
+            squeeze_encode_lit(bw, lit, data[i]);
+            mf.insert(i);
+            i++;
+        }
+    }
+    bw.flush();
+}
+
+uint64_t squeeze_read_sym(BitReader& br, HuffTree& t) {
+    int i = t.root();
+    uint32_t bit = br.read_bit();
+    for (;;) {
+        i = bit ? t.right(i) : t.left(i);
+        if (i < 0) fail(EILSEQ);
+        if (t.is_leaf(i)) break;
+        bit = br.read_bit();
+    }
+    t.inc_frequency(i);
+    return static_cast<uint64_t>(i);
+}
+
+uint64_t squeeze_decode_payload(BitReader& br, uint8_t* out, uint64_t size) {
+    HuffTree lit(512), pos(32);
+    lit.insert(kLitNyt);
+    pos.insert(kPosNyt);
+    uint64_t i = 0;
+    while (i < size) {
+        uint64_t sym = squeeze_read_sym(br, lit);
+        if (sym == kLitNyt) {
+            sym = br.read_bits(9);
+            if (sym >= 512 || !lit.insert(static_cast<int>(sym))) fail(EILSEQ);
+        }
+        if (sym <= 0xFF) {
+            out[i++] = static_cast<uint8_t>(sym);
+        } else {
+            if (sym < kSymMin || sym >= kLitNyt) fail(EILSEQ);
+            int li = static_cast<int>(sym) - kSymMin;
+            uint32_t len = kLenBase[li];
+            if (kLenXb[li]) len += static_cast<uint32_t>(br.read_bits(kLenXb[li]));
+            uint64_t pi = squeeze_read_sym(br, pos);
+            if (pi == kPosNyt) {
+                pi = br.read_bits(5);
+                if (pi >= 30 || !pos.insert(static_cast<int>(pi))) fail(EILSEQ);
+            }
+            if (pi >= 30) fail(EILSEQ);
+            uint32_t dist = kPosBase[pi];
+            if (kPosXb[pi]) dist += static_cast<uint32_t>(br.read_bits(kPosXb[pi]));
+            if (dist == 0 || dist > i || i + len > size) fail(ERANGE);
+            for (uint32_t k = 0; k < len; k++, i++) out[i] = out[i - dist];
+        }
+    }
+    return i;
+}
+
+// ----------------------------------------------------- sqz4 range coder
+
+// FORMAT.md §2.2: adaptive frequency model with Fenwick-tree cumulative
+// queries (values identical to plain prefix sums; the tree is a speed
+// optimization, as in the reference).
+class ProbModel {
+  public:
+    explicit ProbModel(int n) {
+        std::memset(freq_, 0, sizeof(freq_));
+        std::memset(tree_, 0, sizeof(tree_));
+        for (int i = 0; i < n; i++) freq_[i] = 1;
+        for (int i = 0; i < 256; i++) tree_[i] = freq_[i];
+        for (int i = 1; i <= 256; i++) {
+            int parent = i + (i & -i);
+            if (parent <= 256) tree_[parent - 1] += tree_[i - 1];
+        }
+        total_ = 0;
+        for (int i = 0; i < 256; i++) total_ += freq_[i];
+    }
+
+    uint64_t total() const { return total_; }
+    uint64_t size(int sym) const { return freq_[sym]; }
+
+    uint64_t start(int sym) const {  // cumulative frequency below sym
+        uint64_t sum = 0;
+        for (int i = sym - 1; i >= 0; i -= (i + 1) & -(i + 1)) sum += tree_[i];
+        return sum;
+    }
+
+    void update(int sym) {
+        if (total_ >= (1ull << 56)) return;  // freq cap (src/sqz.c:467)
+        freq_[sym]++;
+        total_++;
+        for (int i = sym; i < 256; i += (i + 1) & -(i + 1)) tree_[i]++;
+    }
+
+    // symbol whose cumulative interval contains cum; -1 when out of range
+    int index_of(uint64_t cum) const {
+        if (cum >= total_) return -1;
+        uint64_t value = cum;
+        int i = 0;
+        for (int mask = 128; mask != 0; mask >>= 1) {
+            int t = i + mask;
+            if (t <= 256 && value >= tree_[t - 1]) {
+                i = t;
+                value -= tree_[t - 1];
+            }
+        }
+        // i = count of full prefix positions; the symbol is i (0-based) when
+        // its frequency is nonzero
+        return freq_[i] > 0 ? i : -1;
+    }
+
+  private:
+    uint64_t freq_[256];
+    uint64_t tree_[256];
+    uint64_t total_;
+};
+
+struct Sqz4Models {
+    ProbModel literal{2}, size{256}, byte{256}, bits{32};
+    std::vector<ProbModel> dist;
+    Sqz4Models() : dist(32, ProbModel(2)) {}
+};
+
+class RangeEncoder {
+  public:
+    RangeEncoder(uint8_t* out, uint64_t cap) : out_(out), cap_(cap) {}
+
+    void encode(ProbModel& pm, int sym) {
+        uint64_t total = pm.total();
+        uint64_t start = pm.start(sym);
+        uint64_t size = pm.size(sym);
+        range_ /= total;
+        low_ += start * range_;
+        range_ *= size;
+        pm.update(sym);
+        while ((low_ >> 56) == ((low_ + range_) >> 56)) emit();
+        if (range_ < total + 1) {
+            emit();
+            emit();
+            range_ = kMask64 - low_;
+        }
+    }
+
+    void flush() {
+        for (int i = 0; i < 8; i++) {
+            range_ = kMask64;
+            emit();
+        }
+    }
+
+    uint64_t bytes() const { return len_; }
+
+  private:
+    void emit() {
+        if (len_ >= cap_) fail(ENOBUFS);
+        out_[len_++] = static_cast<uint8_t>(low_ >> 56);
+        low_ <<= 8;
+        range_ <<= 8;
+    }
+
+    uint8_t* out_;
+    uint64_t cap_;
+    uint64_t len_ = 0;
+    uint64_t low_ = 0;
+    uint64_t range_ = kMask64;
+};
+
+class RangeDecoder {
+  public:
+    RangeDecoder(const uint8_t* data, uint64_t n) : data_(data), n_(n) {
+        for (int i = 0; i < 8; i++) code_ = (code_ << 8) + next_byte();
+    }
+
+    int decode(ProbModel& pm) {
+        uint64_t total = pm.total();
+        if (total < 1) fail(EINVAL);
+        if (range_ < total) {
+            consume();
+            consume();
+            range_ = kMask64 - low_;
+        }
+        uint64_t cum = (code_ - low_) / (range_ / total);
+        int sym = pm.index_of(cum);
+        if (sym < 0) fail(EILSEQ);
+        uint64_t start = pm.start(sym);
+        uint64_t size = pm.size(sym);
+        range_ /= total;
+        low_ += start * range_;
+        range_ *= size;
+        pm.update(sym);
+        while ((low_ >> 56) == ((low_ + range_) >> 56)) consume();
+        return sym;
+    }
+
+  private:
+    uint8_t next_byte() { return pos_ < n_ ? data_[pos_++] : 0; }
+
+    void consume() {
+        code_ = (code_ << 8) + next_byte();
+        low_ <<= 8;
+        range_ <<= 8;
+    }
+
+    const uint8_t* data_;
+    uint64_t n_;
+    uint64_t pos_ = 0;
+    uint64_t low_ = 0;
+    uint64_t range_ = kMask64;
+    uint64_t code_ = 0;
+};
+
+constexpr int kSqz4MinLen = 2, kSqz4MaxLen = 254, kSqz4Eos = 0xFF;
+
+uint64_t sqz4_encode_payload(const uint8_t* data, uint64_t n, uint32_t window,
+                             int lz, uint8_t* out, uint64_t cap) {
+    Sqz4Models pm;
+    RangeEncoder enc(out, cap);
+    if (lz) {
+        MatchFinder mf(data, n, window, kSqz4MinLen, kSqz4MaxLen);
+        uint64_t i = 0;
+        while (i < n) {
+            uint32_t len, dist;
+            mf.find(i, &len, &dist);
+            uint32_t nbits = 0;
+            for (uint32_t d = dist; d != 0; d >>= 1) nbits++;
+            // short-far rejection (src/sqz.c:678-685)
+            if (len <= 3 && nbits > 3) len = 0;
+            if (len >= kSqz4MinLen) {
+                enc.encode(pm.literal, 0);
+                enc.encode(pm.size, static_cast<int>(len));
+                enc.encode(pm.bits, static_cast<int>(nbits));
+                uint32_t d = dist;
+                for (uint32_t b = 0; b + 1 < nbits; b++) {
+                    enc.encode(pm.dist[b], static_cast<int>(d & 1));
+                    d >>= 1;
+                }
+                for (uint32_t k = 0; k < len; k++) mf.insert(i + k);
+                i += len;
+            } else {
+                enc.encode(pm.literal, 1);
+                enc.encode(pm.byte, data[i]);
+                mf.insert(i);
+                i++;
+            }
+        }
+    } else {
+        for (uint64_t i = 0; i < n; i++) {
+            enc.encode(pm.literal, 1);
+            enc.encode(pm.byte, data[i]);
+        }
+    }
+    enc.encode(pm.literal, 0);
+    enc.encode(pm.size, kSqz4Eos);
+    enc.flush();
+    return enc.bytes();
+}
+
+uint64_t sqz4_decode_payload(const uint8_t* payload, uint64_t n,
+                             uint8_t* out, uint64_t size) {
+    Sqz4Models pm;
+    RangeDecoder dec(payload, n);
+    uint64_t i = 0;
+    for (;;) {
+        int flag = dec.decode(pm.literal);
+        if (flag) {
+            if (i >= size) fail(ENOBUFS);
+            out[i++] = static_cast<uint8_t>(dec.decode(pm.byte));
+        } else {
+            int len = dec.decode(pm.size);
+            if (len == kSqz4Eos) break;
+            if (len < kSqz4MinLen || len > kSqz4MaxLen) fail(ERANGE);
+            int nbits = dec.decode(pm.bits);
+            uint32_t dist = 0;
+            for (int b = 0; b + 1 < nbits; b++) {
+                dist |= static_cast<uint32_t>(dec.decode(pm.dist[b])) << b;
+            }
+            // implicit MSB at nbits-1 (FORMAT.md §2.4; fixes src/sqz.c:821)
+            if (nbits > 0) dist |= 1u << (nbits - 1);
+            if (dist == 0 || dist > i) fail(ERANGE);
+            if (i + static_cast<uint64_t>(len) > size) fail(ENOBUFS);
+            for (int k = 0; k < len; k++, i++) out[i] = out[i - dist];
+        }
+    }
+    return i;
+}
+
+}  // namespace
+
+// ----------------------------------------------------------------- C ABI
+
+extern "C" {
+
+// All entry points return the produced byte count, or -errno on failure.
+
+int64_t sqz_squeeze_compress(const uint8_t* data, uint64_t n, int win_bits,
+                             int with_header, uint8_t* out, uint64_t cap) {
+    try {
+        if (win_bits < 10 || win_bits > 15) return -EINVAL;
+        BitWriter bw(out, cap);
+        if (with_header) {
+            bw.write_bits(n, 64);
+            bw.write_bits(static_cast<uint64_t>(win_bits), 8);
+        }
+        squeeze_encode_payload(data, n, win_bits, bw);
+        return static_cast<int64_t>(bw.bytes());
+    } catch (const CodecError& e) {
+        return -e.err;
+    }
+}
+
+int64_t sqz_squeeze_decompress(const uint8_t* blob, uint64_t n,
+                               int with_header, uint64_t size,
+                               uint8_t* out, uint64_t cap) {
+    try {
+        BitReader br(blob, n);
+        if (with_header) {
+            size = br.read_bits(64);
+            uint64_t win_bits = br.read_bits(8);
+            if (win_bits < 10 || win_bits > 15) return -EILSEQ;
+        }
+        if (size > cap) return -ENOBUFS;
+        return static_cast<int64_t>(squeeze_decode_payload(br, out, size));
+    } catch (const CodecError& e) {
+        return -e.err;
+    }
+}
+
+int64_t sqz_sqz4_compress(const uint8_t* data, uint64_t n, uint32_t window,
+                          int lz, uint8_t* out, uint64_t cap) {
+    try {
+        return static_cast<int64_t>(
+            sqz4_encode_payload(data, n, window, lz, out, cap));
+    } catch (const CodecError& e) {
+        return -e.err;
+    }
+}
+
+int64_t sqz_sqz4_decompress(const uint8_t* payload, uint64_t n, uint64_t size,
+                            uint8_t* out, uint64_t cap) {
+    try {
+        if (size > cap) return -ENOBUFS;
+        return static_cast<int64_t>(sqz4_decode_payload(payload, n, out, size));
+    } catch (const CodecError& e) {
+        return -e.err;
+    }
+}
+
+// Threaded block executor for the sqzt container (FORMAT.md §3): compresses
+// ceil(n / 2^blk_bits) independent blocks in parallel. out_sizes must hold
+// one entry per block; each block's payload is written at
+// out + block_index * out_stride. Returns the block count or -errno.
+int64_t sqz_blocks_compress(const uint8_t* data, uint64_t n, int fmt,
+                            int win_bits, int blk_bits, int lz, int nthreads,
+                            uint8_t* out, uint64_t out_stride,
+                            int64_t* out_sizes) {
+    const uint64_t bs = 1ull << blk_bits;
+    const uint64_t nblocks = n == 0 ? 1 : (n + bs - 1) / bs;
+    if (nthreads <= 0) nthreads = static_cast<int>(std::thread::hardware_concurrency());
+    if (nthreads < 1) nthreads = 1;
+    std::vector<std::thread> pool;
+    std::atomic<uint64_t> next{0};
+    auto worker = [&]() {
+        for (;;) {
+            uint64_t b = next.fetch_add(1);
+            if (b >= nblocks) return;
+            const uint8_t* p = data + b * bs;
+            uint64_t len = n - b * bs < bs ? n - b * bs : bs;
+            uint8_t* dst = out + b * out_stride;
+            if (fmt == 0) {
+                out_sizes[b] = sqz_squeeze_compress(p, len, win_bits, 0,
+                                                    dst, out_stride);
+            } else {
+                out_sizes[b] = sqz_sqz4_compress(p, len, 1u << win_bits, lz,
+                                                 dst, out_stride);
+            }
+        }
+    };
+    for (int t = 0; t < nthreads; t++) pool.emplace_back(worker);
+    for (auto& t : pool) t.join();
+    for (uint64_t b = 0; b < nblocks; b++) {
+        if (out_sizes[b] < 0) return out_sizes[b];
+    }
+    return static_cast<int64_t>(nblocks);
+}
+
+// Mirror: parallel decode of independent blocks into a contiguous buffer.
+int64_t sqz_blocks_decompress(const uint8_t* payloads, const int64_t* offsets,
+                              const int64_t* sizes, uint64_t nblocks, int fmt,
+                              int blk_bits, int nthreads,
+                              uint8_t* out, uint64_t total_size) {
+    const uint64_t bs = 1ull << blk_bits;
+    if (nthreads <= 0) nthreads = static_cast<int>(std::thread::hardware_concurrency());
+    if (nthreads < 1) nthreads = 1;
+    std::vector<std::thread> pool;
+    std::atomic<uint64_t> next{0};
+    std::vector<int64_t> results(nblocks, 0);
+    auto worker = [&]() {
+        for (;;) {
+            uint64_t b = next.fetch_add(1);
+            if (b >= nblocks) return;
+            uint64_t off = b * bs;
+            uint64_t len = total_size - off < bs ? total_size - off : bs;
+            if (fmt == 0) {
+                results[b] = sqz_squeeze_decompress(
+                    payloads + offsets[b], static_cast<uint64_t>(sizes[b]), 0,
+                    len, out + off, len);
+            } else {
+                results[b] = sqz_sqz4_decompress(
+                    payloads + offsets[b], static_cast<uint64_t>(sizes[b]),
+                    len, out + off, len);
+            }
+        }
+    };
+    for (int t = 0; t < nthreads; t++) pool.emplace_back(worker);
+    for (auto& t : pool) t.join();
+    for (uint64_t b = 0; b < nblocks; b++) {
+        if (results[b] < 0) return results[b];
+    }
+    return static_cast<int64_t>(total_size);
+}
+
+}  // extern "C"
