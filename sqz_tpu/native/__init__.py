@@ -51,6 +51,9 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.sqz_sqz4_compress.argtypes = [u8p, u64, u32, i32, u8p, u64]
         lib.sqz_sqz4_decompress.restype = i64
         lib.sqz_sqz4_decompress.argtypes = [u8p, u64, u64, u8p, u64]
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        lib.sqz_tokenize.restype = i64
+        lib.sqz_tokenize.argtypes = [u8p, u64, u32, i32, i32, i32, i32p, u64]
         lib.sqz_blocks_compress.restype = i64
         lib.sqz_blocks_compress.argtypes = [u8p, u64, i32, i32, i32, i32, i32,
                                             u8p, u64, i64p]
@@ -164,6 +167,18 @@ def sqz4_decompress_payload(payload: bytes, size: int) -> bytes:
     rc = _check(lib.sqz_sqz4_decompress(_u8(src), len(payload), size,
                                         _u8(out), out.size))
     return out[:rc].tobytes()
+
+
+def tokenize(data: bytes, window: int, min_len: int, max_len: int,
+             reject_short_far: bool = False) -> np.ndarray:
+    """Greedy token triples (kind, a, b): 0=literal(byte) / 1=match(len,dist)."""
+    lib = _load()
+    src = np.frombuffer(data, dtype=np.uint8) if data else np.zeros(1, np.uint8)
+    toks = np.empty((max(len(data), 1), 3), dtype=np.int32)
+    rc = _check(lib.sqz_tokenize(
+        _u8(src), len(data), window, min_len, max_len, int(reject_short_far),
+        toks.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), toks.shape[0]))
+    return toks[:rc]
 
 
 # ------------------------------------------------------- threaded block API

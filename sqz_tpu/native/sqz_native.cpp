@@ -756,6 +756,46 @@ int64_t sqz_sqz4_decompress(const uint8_t* payload, uint64_t n, uint64_t size,
     }
 }
 
+// Greedy tokenizer (FORMAT.md §1.5 / §2.4 match policy): fills out_tokens
+// with (kind, a, b) triples — kind 0 = literal (a = byte), kind 1 = match
+// (a = length, b = distance). reject_short_far applies the sqz4 rule
+// (src/sqz.c:678-685). Returns the token count or -errno.
+int64_t sqz_tokenize(const uint8_t* data, uint64_t n, uint32_t window,
+                     int min_len, int max_len, int reject_short_far,
+                     int32_t* out_tokens, uint64_t max_tokens) {
+    try {
+        MatchFinder mf(data, n, window, min_len, max_len);
+        uint64_t i = 0, t = 0;
+        while (i < n) {
+            uint32_t len, dist;
+            mf.find(i, &len, &dist);
+            if (reject_short_far) {
+                uint32_t nbits = 0;
+                for (uint32_t d = dist; d != 0; d >>= 1) nbits++;
+                if (len <= 3 && nbits > 3) len = 0;
+            }
+            if (t >= max_tokens) return -ENOBUFS;
+            if (len >= static_cast<uint32_t>(min_len)) {
+                out_tokens[3 * t] = 1;
+                out_tokens[3 * t + 1] = static_cast<int32_t>(len);
+                out_tokens[3 * t + 2] = static_cast<int32_t>(dist);
+                for (uint32_t k = 0; k < len; k++) mf.insert(i + k);
+                i += len;
+            } else {
+                out_tokens[3 * t] = 0;
+                out_tokens[3 * t + 1] = data[i];
+                out_tokens[3 * t + 2] = 0;
+                mf.insert(i);
+                i++;
+            }
+            t++;
+        }
+        return static_cast<int64_t>(t);
+    } catch (const CodecError& e) {
+        return -e.err;
+    }
+}
+
 // Threaded block executor for the sqzt container (FORMAT.md §3): compresses
 // ceil(n / 2^blk_bits) independent blocks in parallel. out_sizes must hold
 // one entry per block; each block's payload is written at

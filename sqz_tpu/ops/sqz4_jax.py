@@ -1,0 +1,410 @@
+"""Block-parallel sqz4 codec on TPU (FORMAT.md §2).
+
+Encoder: tokens are expanded into a flat stream of micro-ops
+``(model_id, symbol)`` — one range-coder encode each — padded to a common
+length across blocks; a single ``lax.scan`` then advances B independent
+coder states per step, vectorized over blocks and the 256-symbol model axis.
+Byte emission (renormalization, FORMAT.md §2.3) is a masked bounded loop
+writing into per-block output cursors via dropped-out-of-range scatters.
+
+Decoder: a ``lax.while_loop`` state machine decodes one micro-op per block
+per step (FLAG → BYTE | SIZE → BITS → DIST-bits), places literal bytes
+directly at their output positions, and appends back-references to a match
+list; a second pass applies matches in order with the periodic-gather trick
+(``src = dst - dist + (i mod dist)``), which resolves overlapped copies
+(dist < len) without byte-serial work. Literal-only streams therefore decode
+with zero serial copy work — the reference's byte-serial loops
+(src/sqz.c:826-831) become two batched passes.
+
+All state carries exact uint64 range-coder registers; model tables are
+uint32 ``[B, 36, 256]`` (reference layout: src/sqz.c:550-565).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sqz_tpu.formats.constants import (
+    PM_LITERAL, PM_SIZE, PM_BYTE, PM_BITS, PM_DIST0, PM_ROWS, PM_SYMS,
+    SQZ4_MIN_LEN, SQZ4_MAX_LEN, SQZ4_EOS,
+)
+
+MASK64 = np.uint64(0xFFFFFFFFFFFFFFFF)
+OP_FLUSH = PM_ROWS          # micro-op id for one flush emission
+OP_PAD = -1
+EMIT_SLOTS = 16             # max bytes one encode micro-op can emit
+RENORM_ITERS = 12           # bound for the same-top-byte loop (<=8 observed)
+
+# decoder state machine
+ST_FLAG, ST_BYTE, ST_SIZE, ST_BITS, ST_DIST, ST_DONE, ST_ERR = range(7)
+# model consumed in each state (ST_DIST uses PM_DIST0 + bitpos dynamically)
+_MODEL_FOR_STATE = np.array(
+    [PM_LITERAL, PM_BYTE, PM_SIZE, PM_BITS, PM_DIST0, 0, 0], dtype=np.int32)
+
+
+# --------------------------------------------------------------- micro-ops
+
+def microops_from_tokens(tokens) -> Tuple[np.ndarray, np.ndarray]:
+    """Flatten a token list into (model_id, symbol) micro-op arrays,
+    including the EOS token and the 8 flush emissions (FORMAT.md §2.4)."""
+    ms: list[int] = []
+    ss: list[int] = []
+    for tok in tokens:
+        if tok[0] == "lit":
+            ms += [PM_LITERAL, PM_BYTE]
+            ss += [1, tok[1]]
+        else:
+            _, length, dist = tok
+            nbits = int(dist).bit_length()
+            ms += [PM_LITERAL, PM_SIZE, PM_BITS]
+            ss += [0, length, nbits]
+            d = dist
+            for b in range(nbits - 1):
+                ms.append(PM_DIST0 + b)
+                ss.append(d & 1)
+                d >>= 1
+    ms += [PM_LITERAL, PM_SIZE] + [OP_FLUSH] * 8
+    ss += [0, SQZ4_EOS] + [0] * 8
+    return np.asarray(ms, dtype=np.int32), np.asarray(ss, dtype=np.int32)
+
+
+def init_model_state(nblocks: int):
+    """Fresh per-block model tables: freq[B, 36, 256] and totals[B, 36]."""
+    freq = np.zeros((PM_ROWS, 256), dtype=np.uint32)
+    for m, n in enumerate(PM_SYMS):
+        freq[m, :n] = 1
+    F = jnp.asarray(np.broadcast_to(freq, (nblocks, PM_ROWS, 256)))
+    totals = jnp.asarray(
+        np.broadcast_to(PM_SYMS.astype(np.uint64), (nblocks, PM_ROWS)))
+    return F, totals
+
+
+# ----------------------------------------------------------------- encoder
+
+def _emit_one(do, low, rng, cnt, slots):
+    """Masked single-byte emission: write low>>56 at per-block cursor cnt."""
+    byte = (low >> np.uint64(56)).astype(jnp.uint8)
+    onehot = (jnp.arange(EMIT_SLOTS)[None, :] == cnt[:, None])
+    slots = jnp.where(onehot & do[:, None], byte[:, None], slots)
+    cnt = cnt + do.astype(cnt.dtype)
+    low = jnp.where(do, low << np.uint64(8), low)
+    rng = jnp.where(do, rng << np.uint64(8), rng)
+    return low, rng, cnt, slots
+
+
+@partial(jax.jit, static_argnames=("cap",))
+def _encode_scan(m_ops, s_ops, cap: int):
+    """m_ops/s_ops: [B, T] int32. Returns (payload [B, cap] u8, lens [B])."""
+    B, T = m_ops.shape
+    F, totals = init_model_state(B)
+    bidx = jnp.arange(B)
+    viota = jnp.arange(256, dtype=jnp.uint32)
+
+    def step(carry, op):
+        low, rng, F, totals, ptr, payload = carry
+        m, s = op
+        active = (m >= 0) & (m < PM_ROWS)
+        flush = m == OP_FLUSH
+        m_safe = jnp.where(active, m, 0)
+        s_safe = jnp.where(active, s, 0)
+
+        row = jnp.take_along_axis(
+            F, m_safe[:, None, None], axis=1)[:, 0, :]          # [B, 256]
+        total = jnp.take_along_axis(
+            totals, m_safe[:, None], axis=1)[:, 0]              # [B] u64
+        total = jnp.maximum(total, np.uint64(1))
+        start = jnp.sum(
+            jnp.where(viota[None, :] < s_safe[:, None].astype(jnp.uint32),
+                      row, 0), axis=1).astype(jnp.uint64)
+        size = jnp.take_along_axis(
+            row, s_safe[:, None], axis=1)[:, 0].astype(jnp.uint64)
+        size = jnp.maximum(size, np.uint64(1))
+
+        # range-coder arithmetic (FORMAT.md §2.3), masked by `active`
+        rng_div = rng // total
+        low1 = low + start * rng_div
+        rng1 = rng_div * size
+        low = jnp.where(active, low1, low)
+        rng = jnp.where(active, rng1, rng)
+
+        # adaptive model update (strictly after coding)
+        F = F.at[bidx, m_safe, s_safe].add(active.astype(jnp.uint32))
+        totals = totals.at[bidx, m_safe].add(active.astype(jnp.uint64))
+
+        # renormalization: emit while the top byte is pinned
+        slots = jnp.zeros((B, EMIT_SLOTS), dtype=jnp.uint8)
+        cnt = jnp.zeros((B,), dtype=jnp.int32)
+        still = active
+
+        def renorm(_, st):
+            low, rng, cnt, slots, still = st
+            same = (low >> np.uint64(56)) == ((low + rng) >> np.uint64(56))
+            still = still & same
+            low, rng, cnt, slots = _emit_one(still, low, rng, cnt, slots)
+            return low, rng, cnt, slots, still
+
+        low, rng, cnt, slots, _ = jax.lax.fori_loop(
+            0, RENORM_ITERS, renorm, (low, rng, cnt, slots, still))
+
+        # underflow escape: two forced emissions, then re-inflate the range
+        uf = active & (rng < total + np.uint64(1))
+        low, rng, cnt, slots = _emit_one(uf, low, rng, cnt, slots)
+        low, rng, cnt, slots = _emit_one(uf, low, rng, cnt, slots)
+        rng = jnp.where(uf, MASK64 - low, rng)
+
+        # flush micro-op: one forced emission with range pinned to max
+        rng = jnp.where(flush, MASK64, rng)
+        low, rng, cnt, slots = _emit_one(flush, low, rng, cnt, slots)
+
+        # write the emitted bytes at each block's output cursor
+        idx = ptr[:, None] + jnp.arange(EMIT_SLOTS)[None, :]
+        idx = jnp.where(jnp.arange(EMIT_SLOTS)[None, :] < cnt[:, None],
+                        idx, cap)                                # drop invalid
+        payload = payload.at[bidx[:, None], idx].set(slots, mode="drop")
+        ptr = ptr + cnt.astype(ptr.dtype)
+        return (low, rng, F, totals, ptr, payload), None
+
+    carry0 = (
+        jnp.zeros((B,), dtype=jnp.uint64),            # low
+        jnp.full((B,), MASK64, dtype=jnp.uint64),     # range
+        F, totals,
+        jnp.zeros((B,), dtype=jnp.int32),             # output cursor
+        jnp.zeros((B, cap), dtype=jnp.uint8),
+    )
+    ops = (m_ops.T, s_ops.T)                          # scan over T
+    (low, rng, F, totals, ptr, payload), _ = jax.lax.scan(step, carry0, ops)
+    return payload, ptr
+
+
+def encode_blocks(token_lists: Sequence[list], blk_bits: int) -> List[bytes]:
+    """Encode pre-tokenized blocks in lock-step on the device."""
+    ops = [microops_from_tokens(toks) for toks in token_lists]
+    T = max(len(m) for m, _ in ops)
+    B = len(ops)
+    m_ops = np.full((B, T), OP_PAD, dtype=np.int32)
+    s_ops = np.zeros((B, T), dtype=np.int32)
+    for b, (m, s) in enumerate(ops):
+        m_ops[b, :len(m)] = m
+        s_ops[b, :len(s)] = s
+    cap = (1 << blk_bits) * 2 + 4096
+    payload, lens = _encode_scan(jnp.asarray(m_ops), jnp.asarray(s_ops), cap)
+    payload = np.asarray(payload)
+    lens = np.asarray(lens)
+    return [payload[b, :lens[b]].tobytes() for b in range(B)]
+
+
+# ----------------------------------------------------------------- decoder
+
+@partial(jax.jit, static_argnames=("out_cap", "t_max", "m_max"))
+def _decode_scan(payloads, plens, sizes, out_cap: int, t_max: int, m_max: int):
+    """payloads: [B, P] u8 (padded); plens/sizes: [B].
+
+    Returns (out [B, out_cap+pad] u8, out_lens, matches [B, m_max, 3], mlens,
+    err [B]).
+    """
+    B, P = payloads.shape
+    F, totals = init_model_state(B)
+    bidx = jnp.arange(B)
+    model_for_state = jnp.asarray(_MODEL_FOR_STATE)
+
+    def next_byte(code, low, rng, rptr, do):
+        byte = jnp.where(
+            rptr < plens,
+            payloads[bidx, jnp.minimum(rptr, P - 1)], 0).astype(jnp.uint64)
+        code = jnp.where(do, (code << np.uint64(8)) + byte, code)
+        low = jnp.where(do, low << np.uint64(8), low)
+        rng = jnp.where(do, rng << np.uint64(8), rng)
+        rptr = rptr + do.astype(rptr.dtype)
+        return code, low, rng, rptr
+
+    def cond(st):
+        t = st[0]
+        state = st[7]
+        return (t < t_max) & jnp.any((state != ST_DONE) & (state != ST_ERR))
+
+    def step(st):
+        (t, low, rng, code, rptr, F, totals, state,
+         psize, pbits, pdist, bitpos, out, optr, matches, mptr) = st
+        active = (state != ST_DONE) & (state != ST_ERR)
+        m = model_for_state[jnp.minimum(state, 6)]
+        m = jnp.where(state == ST_DIST, PM_DIST0 + bitpos, m)
+        m_safe = jnp.where(active, m, 0)
+
+        total = jnp.take_along_axis(
+            totals, m_safe[:, None], axis=1)[:, 0]
+        total = jnp.maximum(total, np.uint64(1))
+
+        # pre-decode underflow escape (FORMAT.md §2.3)
+        uf = active & (rng < total)
+        code, low, rng, rptr = next_byte(code, low, rng, rptr, uf)
+        code, low, rng, rptr = next_byte(code, low, rng, rptr, uf)
+        rng = jnp.where(uf, MASK64 - low, rng)
+
+        rng_div = jnp.maximum(rng // total, np.uint64(1))
+        cum = (code - low) // rng_div
+        bad = active & (cum >= total)
+        cum = jnp.minimum(cum, total - np.uint64(1))
+
+        row = jnp.take_along_axis(
+            F, m_safe[:, None, None], axis=1)[:, 0, :]           # [B,256] u32
+        csum = jnp.cumsum(row, axis=1).astype(jnp.uint64)        # inclusive
+        sym = jnp.sum((csum <= cum[:, None]).astype(jnp.int32),
+                      axis=1).astype(jnp.int32)
+        sym = jnp.minimum(sym, 255)
+        size = jnp.take_along_axis(row, sym[:, None], axis=1)[:, 0]
+        start = (jnp.take_along_axis(csum, sym[:, None], axis=1)[:, 0]
+                 - size.astype(jnp.uint64))
+        size64 = jnp.maximum(size.astype(jnp.uint64), np.uint64(1))
+
+        low = jnp.where(active, low + start * rng_div, low)
+        rng = jnp.where(active, rng_div * size64, rng)
+        F = F.at[bidx, m_safe, sym].add(active.astype(jnp.uint32))
+        totals = totals.at[bidx, m_safe].add(active.astype(jnp.uint64))
+
+        def consume(i, s):
+            code, low, rng, rptr, still = s
+            same = (low >> np.uint64(56)) == ((low + rng) >> np.uint64(56))
+            still = still & same
+            code, low, rng, rptr = next_byte(code, low, rng, rptr, still)
+            return code, low, rng, rptr, still
+
+        code, low, rng, rptr, _ = jax.lax.fori_loop(
+            0, RENORM_ITERS, consume, (code, low, rng, rptr, active))
+
+        # ---- state machine transitions + token outputs
+        is_flag = active & (state == ST_FLAG)
+        is_byte = active & (state == ST_BYTE)
+        is_size = active & (state == ST_SIZE)
+        is_bits = active & (state == ST_BITS)
+        is_dist = active & (state == ST_DIST)
+
+        nstate = state
+        nstate = jnp.where(is_flag, jnp.where(sym == 1, ST_BYTE, ST_SIZE), nstate)
+
+        # literal byte: place directly at its output position
+        out = out.at[bidx, jnp.where(is_byte, optr, out.shape[1] - 1)].set(
+            sym.astype(jnp.uint8), mode="drop")
+        optr = optr + is_byte.astype(optr.dtype)
+        nstate = jnp.where(is_byte, ST_FLAG, nstate)
+
+        eos = is_size & (sym == SQZ4_EOS)
+        bad_size = is_size & ~eos & ((sym < SQZ4_MIN_LEN) | (sym > SQZ4_MAX_LEN))
+        psize = jnp.where(is_size & ~eos, sym, psize)
+        nstate = jnp.where(is_size, jnp.where(eos, ST_DONE, ST_BITS), nstate)
+
+        # bits symbol: nbits-1 explicit low bits follow; nbits<=1 means the
+        # distance is complete immediately (dist = 1 << (nbits-1))
+        done_now = is_bits & (sym <= 1)
+        bad_bits = is_bits & (sym == 0)
+        pbits = jnp.where(is_bits, sym, pbits)
+        pdist = jnp.where(is_bits, 0, pdist)
+        bitpos = jnp.where(is_bits, 0, bitpos)
+        nstate = jnp.where(is_bits, jnp.where(done_now, ST_FLAG, ST_DIST), nstate)
+
+        pdist = jnp.where(is_dist, pdist | (sym << bitpos), pdist)
+        bitpos = jnp.where(is_dist, bitpos + 1, bitpos)
+        dist_done = is_dist & (bitpos == pbits - 1)
+        nstate = jnp.where(dist_done, ST_FLAG, nstate)
+
+        emit_match = (done_now | dist_done) & ~bad_bits
+        dist = pdist | (1 << jnp.maximum(pbits - 1, 0))
+        bad_dist = emit_match & (dist.astype(jnp.int64) > optr.astype(jnp.int64))
+        emit_ok = emit_match & ~bad_dist
+        mslot = jnp.where(emit_ok, mptr, m_max)
+        matches = matches.at[bidx, mslot, 0].set(optr, mode="drop")
+        matches = matches.at[bidx, mslot, 1].set(psize, mode="drop")
+        matches = matches.at[bidx, mslot, 2].set(dist, mode="drop")
+        mptr = mptr + emit_ok.astype(mptr.dtype)
+        optr = optr + jnp.where(emit_ok, psize, 0)
+
+        overrun = active & (optr > sizes)
+        err = bad | bad_size | bad_bits | bad_dist | overrun
+        nstate = jnp.where(err, ST_ERR, nstate)
+
+        i32 = jnp.int32
+        return (t + 1, low, rng, code, rptr, F, totals, nstate.astype(i32),
+                psize.astype(i32), pbits.astype(i32), pdist.astype(i32),
+                bitpos.astype(i32), out, optr.astype(i32), matches,
+                mptr.astype(i32))
+
+    # prime `code` with 8 stream bytes — code only, low/range untouched
+    # (src/sqz.c:794-797)
+    code = jnp.zeros((B,), dtype=jnp.uint64)
+    low = jnp.zeros((B,), dtype=jnp.uint64)
+    rng = jnp.full((B,), MASK64, dtype=jnp.uint64)
+    rptr = jnp.zeros((B,), dtype=jnp.int32)
+    for k in range(8):
+        byte = jnp.where(k < plens, payloads[bidx, min(k, P - 1)],
+                         0).astype(jnp.uint64)
+        code = (code << np.uint64(8)) + byte
+    rptr = rptr + 8
+
+    st0 = (
+        jnp.zeros((), jnp.int32), low, rng, code, rptr, F, totals,
+        jnp.full((B,), ST_FLAG, jnp.int32),
+        jnp.zeros((B,), jnp.int32), jnp.zeros((B,), jnp.int32),
+        jnp.zeros((B,), jnp.int32), jnp.zeros((B,), jnp.int32),
+        jnp.zeros((B, out_cap + 257), jnp.uint8),
+        jnp.zeros((B,), jnp.int32),
+        jnp.zeros((B, m_max + 1, 3), jnp.int32),
+        jnp.zeros((B,), jnp.int32),
+    )
+    st = jax.lax.while_loop(cond, step, st0)
+    state, out, optr, matches, mptr = st[7], st[12], st[13], st[14], st[15]
+    return out, optr, matches, mptr, state == ST_ERR
+
+
+@partial(jax.jit, static_argnames=("m_max",))
+def _apply_matches(out, matches, mlens, m_max: int):
+    """Apply back-references in order. Copies use the periodic gather
+    ``src = dst - dist + (i mod dist)``: every source index lands in the
+    already-resolved prefix, so overlapped copies need no serial work."""
+    B, W = out.shape
+    bidx = jnp.arange(B)
+    iidx = jnp.arange(SQZ4_MAX_LEN)
+
+    def step(out, slot):
+        dst, size, dist = slot[:, 0], slot[:, 1], slot[:, 2]
+        live = size > 0
+        dist_c = jnp.maximum(dist, 1)
+        src = dst[:, None] - dist_c[:, None] + (iidx[None, :] % dist_c[:, None])
+        src = jnp.clip(src, 0, W - 1)
+        vals = out[bidx[:, None], src]
+        pos = jnp.where((iidx[None, :] < size[:, None]) & live[:, None],
+                        dst[:, None] + iidx[None, :], W)
+        out = out.at[bidx[:, None], pos].set(vals, mode="drop")
+        return out, None
+
+    out, _ = jax.lax.scan(step, out, jnp.swapaxes(matches[:, :m_max], 0, 1))
+    return out
+
+
+def decode_blocks(payloads: Sequence[bytes], sizes: Sequence[int],
+                  blk_bits: int) -> List[bytes]:
+    B = len(payloads)
+    P = max(max(len(p) for p in payloads), 8)
+    buf = np.zeros((B, P), dtype=np.uint8)
+    for b, p in enumerate(payloads):
+        buf[b, :len(p)] = np.frombuffer(p, dtype=np.uint8)
+    plens = np.asarray([len(p) for p in payloads], dtype=np.int32)
+    out_cap = 1 << blk_bits
+    t_max = 17 * out_cap // 4 + 64
+    m_max = out_cap // 2 + 1
+    out, optr, matches, mptr, err = _decode_scan(
+        jnp.asarray(buf), jnp.asarray(plens),
+        jnp.asarray(np.asarray(sizes, dtype=np.int32)),
+        out_cap, t_max, m_max)
+    if bool(jnp.any(err)):
+        raise ValueError(f"corrupt sqz4 block(s): {np.nonzero(np.asarray(err))[0]}")
+    out = _apply_matches(out, matches, mptr, m_max)
+    out = np.asarray(out)
+    optr = np.asarray(optr)
+    for b, s in enumerate(sizes):
+        if optr[b] != s:
+            raise ValueError(f"block {b}: produced {optr[b]} of {s} bytes")
+    return [out[b, :sizes[b]].tobytes() for b in range(B)]
