@@ -73,6 +73,49 @@ def microops_from_tokens(tokens) -> Tuple[np.ndarray, np.ndarray]:
     return np.asarray(ms, dtype=np.int32), np.asarray(ss, dtype=np.int32)
 
 
+def microops_from_token_array(toks: np.ndarray
+                              ) -> Tuple[np.ndarray, np.ndarray]:
+    """Vectorized micro-op expansion from native tokenizer triples
+    (kind, a, b) — same output as microops_from_tokens, numpy-speed."""
+    if toks.size == 0:
+        return microops_from_tokens([])
+    kind = toks[:, 0]
+    a = toks[:, 1]
+    dist = toks[:, 2].astype(np.uint32)
+    nbits = np.zeros(len(toks), dtype=np.int32)
+    nz = dist > 0
+    nbits[nz] = np.floor(np.log2(dist[nz])).astype(np.int32) + 1
+    counts = np.where(kind == 0, 2, 3 + np.maximum(nbits - 1, 0))
+    offs = np.concatenate([[0], np.cumsum(counts)])
+    T = int(offs[-1]) + 2 + 8  # + EOS + flush
+    ms = np.full(T, OP_PAD, dtype=np.int32)
+    ss = np.zeros(T, dtype=np.int32)
+    lit = kind == 0
+    lo = offs[:-1][lit]
+    ms[lo] = PM_LITERAL
+    ss[lo] = 1
+    ms[lo + 1] = PM_BYTE
+    ss[lo + 1] = a[lit]
+    mat = ~lit
+    mo = offs[:-1][mat]
+    ms[mo] = PM_LITERAL
+    ss[mo] = 0
+    ms[mo + 1] = PM_SIZE
+    ss[mo + 1] = a[mat]
+    ms[mo + 2] = PM_BITS
+    ss[mo + 2] = nbits[mat]
+    mdist, mbits = dist[mat], nbits[mat]
+    for b in range(31):
+        sel = mbits - 1 > b
+        pos = mo[sel] + 3 + b
+        ms[pos] = PM_DIST0 + b
+        ss[pos] = (mdist[sel] >> b) & 1
+    ms[offs[-1]:offs[-1] + 2] = [PM_LITERAL, PM_SIZE]
+    ss[offs[-1]:offs[-1] + 2] = [0, SQZ4_EOS]
+    ms[offs[-1] + 2:] = OP_FLUSH
+    return ms, ss
+
+
 def init_model_state(nblocks: int):
     """Fresh per-block model tables: freq[B, 36, 256] and totals[B, 36]."""
     freq = np.zeros((PM_ROWS, 256), dtype=np.uint32)
@@ -97,9 +140,11 @@ def _emit_one(do, low, rng, cnt, slots):
     return low, rng, cnt, slots
 
 
-@partial(jax.jit, static_argnames=("cap",))
-def _encode_scan(m_ops, s_ops, cap: int):
-    """m_ops/s_ops: [B, T] int32. Returns (payload [B, cap] u8, lens [B])."""
+def encode_scan_impl(m_ops, s_ops, cap: int):
+    """m_ops/s_ops: [B, T] int32. Returns (payload [B, cap] u8, lens [B]).
+
+    Pure (unjitted) so parallel.shard / __graft_entry__ can wrap it in
+    shard_map / jit directly."""
     B, T = m_ops.shape
     F, totals = init_model_state(B)
     bidx = jnp.arange(B)
@@ -179,6 +224,9 @@ def _encode_scan(m_ops, s_ops, cap: int):
     ops = (m_ops.T, s_ops.T)                          # scan over T
     (low, rng, F, totals, ptr, payload), _ = jax.lax.scan(step, carry0, ops)
     return payload, ptr
+
+
+_encode_scan = partial(jax.jit, static_argnames=("cap",))(encode_scan_impl)
 
 
 def encode_blocks(token_lists: Sequence[list], blk_bits: int) -> List[bytes]:
@@ -359,29 +407,9 @@ def _decode_scan(payloads, plens, sizes, out_cap: int, t_max: int, m_max: int):
     return out, optr, matches, mptr, state == ST_ERR
 
 
-@partial(jax.jit, static_argnames=("m_max",))
 def _apply_matches(out, matches, mlens, m_max: int):
-    """Apply back-references in order. Copies use the periodic gather
-    ``src = dst - dist + (i mod dist)``: every source index lands in the
-    already-resolved prefix, so overlapped copies need no serial work."""
-    B, W = out.shape
-    bidx = jnp.arange(B)
-    iidx = jnp.arange(SQZ4_MAX_LEN)
-
-    def step(out, slot):
-        dst, size, dist = slot[:, 0], slot[:, 1], slot[:, 2]
-        live = size > 0
-        dist_c = jnp.maximum(dist, 1)
-        src = dst[:, None] - dist_c[:, None] + (iidx[None, :] % dist_c[:, None])
-        src = jnp.clip(src, 0, W - 1)
-        vals = out[bidx[:, None], src]
-        pos = jnp.where((iidx[None, :] < size[:, None]) & live[:, None],
-                        dst[:, None] + iidx[None, :], W)
-        out = out.at[bidx[:, None], pos].set(vals, mode="drop")
-        return out, None
-
-    out, _ = jax.lax.scan(step, out, jnp.swapaxes(matches[:, :m_max], 0, 1))
-    return out
+    from sqz_tpu.ops.lz_apply import apply_matches
+    return apply_matches(out, matches[:, :m_max], SQZ4_MAX_LEN)
 
 
 def decode_blocks(payloads: Sequence[bytes], sizes: Sequence[int],
