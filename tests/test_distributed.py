@@ -1,0 +1,52 @@
+"""Multi-device sharding on the virtual 8-device CPU mesh: N-block parallel
+compression over the mesh must equal the 1-device serial result (the
+reference has no parallelism — SURVEY.md §2.6 — so equality with the oracle
+IS the spec)."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from sqz_tpu.utils import corpus
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from sqz_tpu.parallel.mesh import make_mesh
+    return make_mesh(8)
+
+
+def test_sharded_encode_matches_oracle(mesh8):
+    from sqz_tpu.oracle.sqz4 import sqz4_encode_payload
+    from sqz_tpu.parallel.shard import encode_blocks_sharded
+
+    blocks = [corpus.texty(256, seed=i) for i in range(16)]
+    tokens = [[("lit", b) for b in blk] for blk in blocks]
+    payloads = encode_blocks_sharded(tokens, blk_bits=8, mesh=mesh8)
+    for i, (blk, p) in enumerate(zip(blocks, payloads)):
+        assert p == sqz4_encode_payload(blk, 1 << 8, lz=False), f"block {i}"
+
+
+def test_sharded_uneven_blocks(mesh8):
+    # block count not a multiple of the mesh size: padding must not leak
+    from sqz_tpu.oracle.sqz4 import sqz4_encode_payload
+    from sqz_tpu.parallel.shard import encode_blocks_sharded
+
+    blocks = [corpus.texty(128 + 16 * i, seed=i) for i in range(11)]
+    tokens = [[("lit", b) for b in blk] for blk in blocks]
+    payloads = encode_blocks_sharded(tokens, blk_bits=8, mesh=mesh8)
+    assert len(payloads) == 11
+    for i, (blk, p) in enumerate(zip(blocks, payloads)):
+        assert p == sqz4_encode_payload(blk, 1 << 8, lz=False), f"block {i}"
+
+
+def test_dryrun_multichip_entrypoints():
+    import __graft_entry__ as g
+
+    fn, args = g.entry()
+    out = jax.jit(fn)(*args)
+    assert out[0].shape[0] == 8
+    g.dryrun_multichip(min(8, len(jax.devices())))
