@@ -101,26 +101,27 @@ def main() -> None:
     total_d = jnp.asarray(total)
 
     def run_encode():
+        # lean device scan + on-device bulk-scatter compaction; timing
+        # includes the (small) payload transfer — block_until_ready alone
+        # lies on the axon relay
         payload, lens = sqz4_jax._encode_scan_stats(start_d, size_d,
                                                     total_d, cap)
-        return jax.block_until_ready((payload, lens))
+        payload, lens = np.asarray(payload), np.asarray(lens)
+        return [payload[b, :lens[b]].tobytes() for b in range(B)]
 
     t0 = time.perf_counter()
-    payload, lens = run_encode()                       # warm-up + compile
+    payloads = run_encode()                            # warm-up + compile
     t_compile_enc = time.perf_counter() - t0
     t0 = time.perf_counter()
-    payload, lens = run_encode()
+    payloads = run_encode()
     t_enc = time.perf_counter() - t0
-
-    payload_np = np.asarray(payload)
-    lens_np = np.asarray(lens)
-    payloads = [payload_np[b, :lens_np[b]].tobytes() for b in range(B)]
     assert payloads == base_payloads, "device stream != native stream"
 
+    lens_np = np.asarray([len(p) for p in payloads])
     P = max(max(lens_np), 8)
     pbuf = np.zeros((B, int(P)), dtype=np.uint8)
     for b in range(B):
-        pbuf[b, :lens_np[b]] = payload_np[b, :lens_np[b]]
+        pbuf[b, :lens_np[b]] = np.frombuffer(payloads[b], np.uint8)
     pbuf_d = jnp.asarray(pbuf)
     plens_d = jnp.asarray(lens_np.astype(np.int32))
     sizes_d = jnp.asarray(np.asarray(sizes, dtype=np.int32))
@@ -133,17 +134,16 @@ def main() -> None:
         out, optr, matches, mptr, err = sqz4_jax._decode_scan(
             pbuf_d, plens_d, sizes_d, bs, t_max, m_max)
         out = apply_matches(out, matches[:, :m_max], 254)
-        return jax.block_until_ready((out, optr, err))
+        return np.asarray(out), np.asarray(optr), np.asarray(err)
 
     t0 = time.perf_counter()
-    out, optr, err = run_decode()                      # warm-up + compile
+    out_np, optr, err = run_decode()                   # warm-up + compile
     t_compile_dec = time.perf_counter() - t0
     t0 = time.perf_counter()
-    out, optr, err = run_decode()
+    out_np, optr, err = run_decode()
     t_dec = time.perf_counter() - t0
 
-    assert not bool(jnp.any(err)), "device decode error"
-    out_np = np.asarray(out)
+    assert not err.any(), "device decode error" 
     got = b"".join(out_np[b, :sizes[b]].tobytes() for b in range(B))
     assert got == data, "device round-trip mismatch"
 

@@ -229,6 +229,15 @@ def encode_scan_impl(m_ops, s_ops, cap: int):
 _encode_scan = partial(jax.jit, static_argnames=("cap",))(encode_scan_impl)
 
 
+def encode_scan_stats_raw_impl(start, size, total):
+    """Scan-only variant: returns the per-step (pre_low, cnt) emission record
+    ([B, T] u64 / [B, T] i8) for host-side compaction
+    (sqz_tpu.native.compact_emissions) — bulk device scatters are
+    element-serial on TPU and dominate end-to-end time otherwise."""
+    pre_lows, cnts = _stats_scan(start, size, total)
+    return jnp.swapaxes(pre_lows, 0, 1), jnp.swapaxes(cnts, 0, 1)
+
+
 def encode_scan_stats_impl(start, size, total, cap: int):
     """Lean encode scan fed by host-precomputed model statistics.
 
@@ -245,6 +254,30 @@ def encode_scan_stats_impl(start, size, total, cap: int):
     """
     B, T = start.shape
     bidx = jnp.arange(B)
+    SLOTS = 10  # max bytes per op: <=8 renorm + 2 underflow
+    pre_lows, cnts = _stats_scan(start, size, total)      # [T, B] each
+
+    # bulk byte extraction + one compaction scatter for the whole stream
+    cnts_bt = cnts.T.astype(jnp.int32)                    # [B, T]
+    lows_bt = pre_lows.T                                  # [B, T] u64
+    starts = jnp.cumsum(cnts_bt, axis=1) - cnts_bt        # exclusive
+    j = jnp.arange(SLOTS)
+    sh = np.uint64(56) - (jnp.minimum(j, 7).astype(jnp.uint64) << np.uint64(3))
+    vals = ((lows_bt[:, :, None] >> sh[None, None, :])
+            & np.uint64(0xFF)).astype(jnp.uint8)
+    vals = jnp.where(j[None, None, :] < 8, vals, 0)       # overflow bytes = 0
+    idx = starts[:, :, None] + j[None, None, :]
+    idx = jnp.where(j[None, None, :] < cnts_bt[:, :, None], idx, cap)
+    payload = jnp.zeros((B, cap), jnp.uint8)
+    payload = payload.at[bidx[:, None],
+                         idx.reshape(B, T * SLOTS)].set(
+        vals.reshape(B, T * SLOTS), mode="drop")
+    lens = starts[:, -1] + cnts_bt[:, -1]
+    return payload, lens.astype(jnp.int32)
+
+
+def _stats_scan(start, size, total):
+    B, T = start.shape
 
     def step(carry, op):
         low, rng = carry
@@ -259,52 +292,50 @@ def encode_scan_stats_impl(start, size, total, cap: int):
         low = jnp.where(active, low + st64 * rng_div, low)
         rng = jnp.where(active, rng_div * sz64, rng)
 
-        slots = jnp.zeros((B, EMIT_SLOTS), dtype=jnp.uint8)
-        cnt = jnp.zeros((B,), dtype=jnp.int32)
+        # The while-renorm emits the top byte while low and low+range agree
+        # there; since shifting is a ring homomorphism mod 2^64, the k-th
+        # check compares byte 7-k of the ORIGINAL low and low+range. The
+        # whole loop is therefore cnt = count-of-leading-equal-bytes =
+        # clz(low ^ (low+range)) / 8, and every emitted byte is a leading
+        # byte of pre-renorm low — extracted in bulk after the scan.
+        pre_low = low
+        x = low ^ (low + rng)
+        cnt = jnp.where(active,
+                        (jax.lax.clz(x) >> np.uint64(3)).astype(jnp.int32), 0)
+        shift = (cnt.astype(jnp.uint64) << np.uint64(3))
+        # clz==64 (x==0) is unreachable for valid streams (range != 0);
+        # shifts of >=64 are UB in XLA, so clamp defensively
+        shift = jnp.minimum(shift, np.uint64(63))
+        full = cnt >= 8
+        low = jnp.where(full, 0, low << shift)
+        rng = jnp.where(full, 0, rng << shift)
 
-        def renorm(_, st):
-            low, rng, cnt, slots, still = st
-            same = (low >> np.uint64(56)) == ((low + rng) >> np.uint64(56))
-            still = still & same
-            low, rng, cnt, slots = _emit_one(still, low, rng, cnt, slots)
-            return low, rng, cnt, slots, still
-
-        low, rng, cnt, slots, _ = jax.lax.fori_loop(
-            0, RENORM_ITERS, renorm, (low, rng, cnt, slots, active))
-
+        # underflow escape: two more emissions — bytes cnt, cnt+1 of pre_low
+        # (zeros when the window ran off the end), then re-inflate
         uf = active & (rng < tt64 + np.uint64(1))
-        low, rng, cnt, slots = _emit_one(uf, low, rng, cnt, slots)
-        low, rng, cnt, slots = _emit_one(uf, low, rng, cnt, slots)
+        uf_shift = jnp.minimum(shift + np.uint64(16), np.uint64(63))
+        low = jnp.where(uf, jnp.where(cnt >= 6, 0, pre_low << uf_shift), low)
         rng = jnp.where(uf, MASK64 - low, rng)
+        cnt = cnt + jnp.where(uf, 2, 0)
 
-        rng = jnp.where(flush, MASK64, rng)
-        low, rng, cnt, slots = _emit_one(flush, low, rng, cnt, slots)
+        # flush op: exactly one emission of the current top byte
+        cnt = jnp.where(flush, 1, cnt)
+        low = jnp.where(flush, pre_low << np.uint64(8), low)
 
-        return (low, rng), (slots, cnt)
+        return (low, rng), (pre_low, cnt.astype(jnp.int8))
 
     carry0 = (
         jnp.zeros((B,), dtype=jnp.uint64),
         jnp.full((B,), MASK64, dtype=jnp.uint64),
     )
     xs = (start.T, size.T, total.T)
-    _, (slots, cnts) = jax.lax.scan(step, carry0, xs)   # [T, B, 16], [T, B]
-
-    # bulk compaction: one scatter for the whole stream
-    cnts_bt = cnts.T                                     # [B, T]
-    starts = jnp.cumsum(cnts_bt, axis=1) - cnts_bt       # exclusive, [B, T]
-    j = jnp.arange(EMIT_SLOTS)
-    idx = starts[:, :, None] + j[None, None, :]          # [B, T, 16]
-    idx = jnp.where(j[None, None, :] < cnts_bt[:, :, None], idx, cap)
-    vals = jnp.swapaxes(slots, 0, 1).reshape(B, T * EMIT_SLOTS)
-    payload = jnp.zeros((B, cap), jnp.uint8)
-    payload = payload.at[bidx[:, None],
-                         idx.reshape(B, T * EMIT_SLOTS)].set(vals, mode="drop")
-    lens = starts[:, -1] + cnts_bt[:, -1]
-    return payload, lens.astype(jnp.int32)
+    _, (pre_lows, cnts) = jax.lax.scan(step, carry0, xs)  # [T, B], [T, B]
+    return pre_lows, cnts
 
 
 _encode_scan_stats = partial(
     jax.jit, static_argnames=("cap",))(encode_scan_stats_impl)
+_encode_scan_stats_raw = jax.jit(encode_scan_stats_raw_impl)
 
 
 def stats_for_ops(ms: np.ndarray, ss: np.ndarray):
@@ -330,6 +361,19 @@ def encode_blocks(token_lists: Sequence[list], blk_bits: int) -> List[bytes]:
         m_ops[b, :len(m)] = m
         s_ops[b, :len(s)] = s
     cap = (1 << blk_bits) * 2 + 4096
+    from sqz_tpu import native
+    if native.available():
+        # fast path: host model stats + lean device scan + device compaction
+        # (one bulk scatter; shipping the raw emission record to the host
+        # costs ~18 bytes per input byte over the host link)
+        stats = [stats_for_ops(m_ops[b], s_ops[b]) for b in range(B)]
+        payload, lens = _encode_scan_stats(
+            jnp.asarray(np.stack([x[0] for x in stats])),
+            jnp.asarray(np.stack([x[1] for x in stats])),
+            jnp.asarray(np.stack([x[2] for x in stats])), cap)
+        payload = np.asarray(payload)
+        lens = np.asarray(lens)
+        return [payload[b, :lens[b]].tobytes() for b in range(B)]
     payload, lens = _encode_scan(jnp.asarray(m_ops), jnp.asarray(s_ops), cap)
     payload = np.asarray(payload)
     lens = np.asarray(lens)
@@ -346,10 +390,20 @@ def _decode_scan(payloads, plens, sizes, out_cap: int, t_max: int, m_max: int):
     err [B]).
     """
     B, P = payloads.shape
-    F, _ = init_model_state(B)
     bidx = jnp.arange(B)
-    model_for_state = jnp.asarray(_MODEL_FOR_STATE)
     WIN = 16  # stream-byte window per step (max consumes: 2 underflow + renorm)
+    iota256 = jnp.arange(256, dtype=jnp.int32)
+    iota32 = jnp.arange(32, dtype=jnp.int32)
+
+    # class-split model tables — dense (gather-free) per-step math; TPU
+    # gathers/scatters are element-serial, so the padded [B,36,256] layout
+    # cost ~ms per step. Initial freqs per reference sqz_init
+    # (src/sqz.c:550-565).
+    Flit0 = jnp.ones((B, 2), jnp.uint32)
+    Fsize0 = jnp.ones((B, 256), jnp.uint32)
+    Fbyte0 = jnp.ones((B, 256), jnp.uint32)
+    Fbits0 = jnp.ones((B, 32), jnp.uint32)
+    Fdist0 = jnp.ones((B, 32, 2), jnp.uint32)
 
     def cond(st):
         t = st[0]
@@ -357,75 +411,112 @@ def _decode_scan(payloads, plens, sizes, out_cap: int, t_max: int, m_max: int):
         return (t < t_max) & jnp.any((state != ST_DONE) & (state != ST_ERR))
 
     def step(st):
-        (t, low, rng, code, rptr, F, state,
+        (t, low, rng, code, rptr, models, state,
          psize, pbits, pdist, bitpos, out, optr, matches, mptr) = st
+        Flit, Fsize, Fbyte, Fbits, Fdist = models
         active = (state != ST_DONE) & (state != ST_ERR)
-        m = model_for_state[jnp.minimum(state, 6)]
-        m = jnp.where(state == ST_DIST, PM_DIST0 + bitpos, m)
-        m_safe = jnp.where(active, m, 0)
+        is_flag = active & (state == ST_FLAG)
+        is_byte = active & (state == ST_BYTE)
+        is_size = active & (state == ST_SIZE)
+        is_bits = active & (state == ST_BITS)
+        is_dist = active & (state == ST_DIST)
+        is256 = is_byte | is_size
 
-        # one indexed fetch per step: the model row and the byte window
-        row = jnp.take_along_axis(
-            F, m_safe[:, None, None], axis=1)[:, 0, :]           # [B,256] u32
-        csum = jnp.cumsum(row, axis=1).astype(jnp.uint64)        # inclusive
-        total = jnp.maximum(csum[:, 255], np.uint64(1))
+        # dense row selection: one 256-wide row (byte|size) and one 32-wide
+        # row (flag|bits|dist-bit) per block
+        row256 = jnp.where(is_byte[:, None], Fbyte, Fsize)
+        distrow = jnp.sum(
+            jnp.where((iota32[None, :] == bitpos[:, None])[:, :, None],
+                      Fdist, 0), axis=1)                          # [B, 2]
+        small = jnp.where(is_bits[:, None], 0,
+                          jnp.where(is_flag[:, None], Flit, distrow))
+        row32 = jnp.where(is_bits[:, None], Fbits,
+                          jnp.pad(small, ((0, 0), (0, 30))))
+        csum256 = jnp.cumsum(row256, axis=1).astype(jnp.uint64)
+        csum32 = jnp.cumsum(row32, axis=1).astype(jnp.uint64)
+        total = jnp.where(is256, csum256[:, -1], csum32[:, -1])
+        total = jnp.maximum(total, np.uint64(1))
         widx = jnp.clip(rptr[:, None] + jnp.arange(WIN)[None, :], 0, P - 1)
         window = jnp.where(
             rptr[:, None] + jnp.arange(WIN)[None, :] < plens[:, None],
             payloads[bidx[:, None], widx], 0)                    # [B, WIN] u8
-        wpos = jnp.zeros((B,), jnp.int32)
+        # the window as two big-endian u64 words: all stream-byte consumption
+        # below is pure shifts on these (no per-byte gathers in the hot loop)
+        wu = window.astype(jnp.uint64)
+        sh8 = (np.uint64(56) - (jnp.arange(8, dtype=jnp.uint64)
+                                << np.uint64(3)))
+        w0 = jnp.sum(wu[:, :8] << sh8[None, :], axis=1)
+        w1 = jnp.sum(wu[:, 8:] << sh8[None, :], axis=1)
 
-        def next_byte(code, low, rng, wpos, do):
-            byte = jnp.take_along_axis(
-                window, jnp.minimum(wpos, WIN - 1)[:, None],
-                axis=1)[:, 0].astype(jnp.uint64)
-            code = jnp.where(do, (code << np.uint64(8)) + byte, code)
-            low = jnp.where(do, low << np.uint64(8), low)
-            rng = jnp.where(do, rng << np.uint64(8), rng)
-            wpos = wpos + do.astype(wpos.dtype)
-            return code, low, rng, wpos
-
-        # pre-decode underflow escape (FORMAT.md §2.3)
+        # pre-decode underflow escape (FORMAT.md §2.3): consume 2 bytes
         uf = active & (rng < total)
-        code, low, rng, wpos = next_byte(code, low, rng, wpos, uf)
-        code, low, rng, wpos = next_byte(code, low, rng, wpos, uf)
+        code = jnp.where(uf, (code << np.uint64(16)) | (w0 >> np.uint64(48)),
+                         code)
+        low = jnp.where(uf, low << np.uint64(16), low)
         rng = jnp.where(uf, MASK64 - low, rng)
+        wpos = jnp.where(uf, 2, 0)
 
         rng_div = jnp.maximum(rng // total, np.uint64(1))
         cum = (code - low) // rng_div
         bad = active & (cum >= total)
         cum = jnp.minimum(cum, total - np.uint64(1))
 
-        sym = jnp.sum((csum <= cum[:, None]).astype(jnp.int32),
-                      axis=1).astype(jnp.int32)
-        sym = jnp.minimum(sym, 255)
-        size = jnp.take_along_axis(row, sym[:, None], axis=1)[:, 0]
-        start = (jnp.take_along_axis(csum, sym[:, None], axis=1)[:, 0]
-                 - size.astype(jnp.uint64))
+        sym256 = jnp.minimum(jnp.sum(
+            (csum256 <= cum[:, None]).astype(jnp.int32), axis=1), 255
+        ).astype(jnp.int32)
+        sym32 = jnp.minimum(jnp.sum(
+            (csum32 <= cum[:, None]).astype(jnp.int32), axis=1), 31
+        ).astype(jnp.int32)
+        sym = jnp.where(is256, sym256, sym32)
+        oh256 = (iota256[None, :] == sym256[:, None])
+        oh32 = (iota32[None, :] == sym32[:, None])
+        size = jnp.where(
+            is256,
+            jnp.sum(jnp.where(oh256, row256, 0), axis=1),
+            jnp.sum(jnp.where(oh32, row32, 0), axis=1))
+        csum_at = jnp.where(
+            is256,
+            jnp.sum(jnp.where(oh256, csum256, 0), axis=1),
+            jnp.sum(jnp.where(oh32, csum32, 0), axis=1))
+        start = csum_at - size.astype(jnp.uint64)
         size64 = jnp.maximum(size.astype(jnp.uint64), np.uint64(1))
 
         low = jnp.where(active, low + start * rng_div, low)
         rng = jnp.where(active, rng_div * size64, rng)
-        F = F.at[bidx, m_safe, sym].add(active.astype(jnp.uint32))
 
-        def consume(i, s):
-            code, low, rng, wpos, still = s
-            same = (low >> np.uint64(56)) == ((low + rng) >> np.uint64(56))
-            still = still & same
-            code, low, rng, wpos = next_byte(code, low, rng, wpos, still)
-            return code, low, rng, wpos, still
+        # dense adaptive updates (one masked add per class)
+        u32 = jnp.uint32
+        Fbyte = Fbyte + (oh256 & is_byte[:, None]).astype(u32)
+        Fsize = Fsize + (oh256 & is_size[:, None]).astype(u32)
+        Fbits = Fbits + (oh32 & is_bits[:, None]).astype(u32)
+        Flit = Flit + (oh32[:, :2] & is_flag[:, None]).astype(u32)
+        Fdist = Fdist + ((iota32[None, :] == bitpos[:, None])[:, :, None]
+                         & oh32[:, None, :2]
+                         & is_dist[:, None, None]).astype(u32)
 
-        code, low, rng, wpos, _ = jax.lax.fori_loop(
-            0, RENORM_ITERS, consume, (code, low, rng, wpos, active))
-        rptr = rptr + wpos
+        # renorm-consume, collapsed to one clz (same ring-homomorphism
+        # argument as the encoder): cnt leading equal bytes of low vs
+        # low+range → shift registers by cnt bytes and splice cnt stream
+        # bytes into code
+        x = low ^ (low + rng)
+        cnt = jnp.where(active,
+                        (jax.lax.clz(x) >> np.uint64(3)).astype(jnp.int32), 0)
+        shift = jnp.minimum(cnt.astype(jnp.uint64) << np.uint64(3),
+                            np.uint64(63))
+        full = cnt >= 8
+        # first 8 window bytes starting at wpos (wpos is 0 or 2)
+        wtop = jnp.where(wpos == 0, w0,
+                         (w0 << np.uint64(16)) | (w1 >> np.uint64(48)))
+        amount = jnp.clip(np.uint64(64) - shift, np.uint64(1), np.uint64(63))
+        consumed = jnp.where(full, wtop, wtop >> amount)
+        code = jnp.where(cnt > 0,
+                         jnp.where(full, consumed, (code << shift) | consumed),
+                         code)
+        low = jnp.where(full, 0, low << shift)
+        rng = jnp.where(full, 0, rng << shift)
+        rptr = rptr + wpos + cnt
 
         # ---- state machine transitions + token outputs
-        is_flag = active & (state == ST_FLAG)
-        is_byte = active & (state == ST_BYTE)
-        is_size = active & (state == ST_SIZE)
-        is_bits = active & (state == ST_BITS)
-        is_dist = active & (state == ST_DIST)
-
         nstate = state
         nstate = jnp.where(is_flag, jnp.where(sym == 1, ST_BYTE, ST_SIZE), nstate)
 
@@ -470,7 +561,8 @@ def _decode_scan(payloads, plens, sizes, out_cap: int, t_max: int, m_max: int):
         nstate = jnp.where(err, ST_ERR, nstate)
 
         i32 = jnp.int32
-        return (t + 1, low, rng, code, rptr.astype(i32), F, nstate.astype(i32),
+        return (t + 1, low, rng, code, rptr.astype(i32),
+                (Flit, Fsize, Fbyte, Fbits, Fdist), nstate.astype(i32),
                 psize.astype(i32), pbits.astype(i32), pdist.astype(i32),
                 bitpos.astype(i32), out, optr.astype(i32), matches,
                 mptr.astype(i32))
@@ -488,7 +580,8 @@ def _decode_scan(payloads, plens, sizes, out_cap: int, t_max: int, m_max: int):
     rptr = rptr + 8
 
     st0 = (
-        jnp.zeros((), jnp.int32), low, rng, code, rptr, F,
+        jnp.zeros((), jnp.int32), low, rng, code, rptr,
+        (Flit0, Fsize0, Fbyte0, Fbits0, Fdist0),
         jnp.full((B,), ST_FLAG, jnp.int32),
         jnp.zeros((B,), jnp.int32), jnp.zeros((B,), jnp.int32),
         jnp.zeros((B,), jnp.int32), jnp.zeros((B,), jnp.int32),
