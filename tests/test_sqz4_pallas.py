@@ -1,0 +1,79 @@
+"""Pallas sqz4 kernels, interpret mode (CPU): bit-exactness vs the oracle.
+
+The same kernels run compiled on real TPU hardware; tools/check_pallas_enc.py
+is the on-device differential harness (also exercised by bench.py). Here the
+kernels run under the Pallas interpreter on tiny inputs so the logic — u64
+pair arithmetic, the base-2^14 divider, staged byte emission — is covered by
+the default CPU test suite.
+"""
+
+import numpy as np
+import pytest
+
+from sqz_tpu.oracle.sqz4 import sqz4_encode_payload
+from sqz_tpu.ops import sqz4_jax
+from sqz_tpu.ops import sqz4_pallas as sp
+
+
+def _stats_for(data: bytes, lz: bool):
+    toks = [("lit", b) for b in data]
+    ms, ss = sqz4_jax.microops_from_tokens(toks)
+    start, size, total = np.zeros((3, len(ms)), np.uint32)
+    # pure-python model stats (no native dependency in unit tests)
+    from sqz_tpu.oracle.rangecoder import ProbModel
+    from sqz_tpu.formats.constants import PM_SYMS
+    pms = [ProbModel(int(n)) for n in PM_SYMS]
+    for i, (m, s) in enumerate(zip(ms, ss)):
+        if m == sqz4_jax.OP_FLUSH:
+            start[i], size[i], total[i] = 0, 0, 1
+        else:
+            pm = pms[m]
+            start[i] = pm.start(int(s))
+            size[i] = pm.freq[int(s)]
+            total[i] = pm.total()
+            pm.update(int(s))
+    return start, size, total
+
+
+@pytest.mark.parametrize("seed,n", [(0, 40), (1, 97), (2, 200)])
+def test_pallas_encoder_matches_oracle(seed, n):
+    rng = np.random.default_rng(seed)
+    # low-entropy bytes so renorm/underflow paths all fire
+    data = bytes(rng.integers(0, 4, size=n, dtype=np.uint8))
+    start, size, total = _stats_for(data, lz=False)
+    payloads = sp.encode_groups(start[None], size[None], total[None],
+                                cap=2 * n + 64, tc=64, interpret=True)
+    want = sqz4_encode_payload(data, 1 << 15, lz=False)
+    assert payloads[0] == want
+
+
+def test_u64_helpers_roundtrip():
+    import jax.numpy as jnp
+    rng = np.random.default_rng(3)
+    a = rng.integers(0, 1 << 64, size=128, dtype=np.uint64)
+    b = rng.integers(0, 1 << 64, size=128, dtype=np.uint64)
+    ah, al = (a >> 32).astype(np.uint32), a.astype(np.uint32)
+    bh, bl = (b >> 32).astype(np.uint32), b.astype(np.uint32)
+    to_np = lambda pair: (np.asarray(pair[0], np.uint64) << 32) | np.asarray(
+        pair[1], np.uint64)
+    assert (to_np(sp.add64(*map(jnp.asarray, (ah, al, bh, bl)))) ==
+            a + b).all()
+    assert (to_np(sp.sub64(*map(jnp.asarray, (ah, al, bh, bl)))) ==
+            a - b).all()
+    s = rng.integers(0, 64, size=128, dtype=np.uint32)
+    assert (to_np(sp.shl64(jnp.asarray(ah), jnp.asarray(al),
+                           jnp.asarray(s))) == a << s).all()
+    assert (to_np(sp.shr64(jnp.asarray(ah), jnp.asarray(al),
+                           jnp.asarray(s))) == a >> s).all()
+    assert (np.asarray(sp.clz64(jnp.asarray(ah), jnp.asarray(al))) ==
+            np.array([64 - int(x).bit_length() for x in a])).all()
+    d = rng.integers(1, 1 << 17, size=128, dtype=np.uint32)
+    qh, ql, rem = sp.div64_small(jnp.asarray(ah), jnp.asarray(al),
+                                 jnp.asarray(d))
+    assert (to_np((qh, ql)) == a // d).all()
+    assert (np.asarray(rem, np.uint64) == a % d).all()
+    small = rng.integers(0, 1 << 17, size=128, dtype=np.uint32)
+    mh, mlo = sp.mul_small64(jnp.asarray(small), jnp.asarray(bh),
+                             jnp.asarray(bl))
+    assert (to_np((mh, mlo)) ==
+            (small.astype(np.uint64) * b)).all()  # mod 2^64 via numpy wrap
