@@ -68,6 +68,9 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.sqz_blocks_decompress.restype = i64
         lib.sqz_blocks_decompress.argtypes = [u8p, i64p, i64p, u64, i32, i32,
                                               i32, u8p, u64]
+        lib.sqz_assemble_blocks.restype = i64
+        lib.sqz_assemble_blocks.argtypes = [u32p, u64, u8p, u64, u32p, u64,
+                                            i64p, i64p, u64, i32, u8p, u64]
         _lib = lib
         return _lib
 
@@ -261,3 +264,27 @@ def blocks_decompress(payloads: List[bytes], total_size: int, fmt: int,
         len(payloads), fmt, blk_bits, nthreads, _u8(out), total_size))
     assert rc == total_size
     return out[:total_size].tobytes()
+
+
+def assemble_blocks(tok: np.ndarray, lit: np.ndarray, mrec: np.ndarray,
+                    ntok: np.ndarray, sizes: np.ndarray, out_stride: int,
+                    nthreads: int = 0) -> np.ndarray:
+    """Reconstruct decode-kernel record streams: [B, *] row-major arrays
+    (tok u32 words, lit u8 bytes, mrec u32 records) -> [B, out_stride] u8."""
+    lib = _load()
+    B = tok.shape[0]
+    tok = np.ascontiguousarray(tok, dtype=np.uint32)
+    lit = np.ascontiguousarray(lit, dtype=np.uint8)
+    mrec = np.ascontiguousarray(mrec, dtype=np.uint32)
+    nt = np.ascontiguousarray(ntok, dtype=np.int64)
+    sz = np.ascontiguousarray(sizes, dtype=np.int64)
+    out = np.zeros((B, out_stride), dtype=np.uint8)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    u32p = ctypes.POINTER(ctypes.c_uint32)
+    _check(lib.sqz_assemble_blocks(
+        tok.ctypes.data_as(u32p), tok.shape[1],
+        _u8(lit), lit.shape[1],
+        mrec.ctypes.data_as(u32p), mrec.shape[1],
+        nt.ctypes.data_as(i64p), sz.ctypes.data_as(i64p),
+        B, nthreads, _u8(out), out_stride))
+    return out

@@ -954,4 +954,57 @@ int64_t sqz_blocks_decompress(const uint8_t* payloads, const int64_t* offsets,
     return static_cast<int64_t>(total_size);
 }
 
+// Reconstruct output bytes from the TPU decode kernel's record streams
+// (sqz_tpu/ops/sqz4_pallas.py): per block, a token-kind bitstream
+// (LSB-first within u32 words), a dense literal-byte stream (big-endian
+// within u32 words, already byte-ordered here as u8), and match records
+// (len << 16 | dist). Batched + threaded over blocks.
+int64_t sqz_assemble_blocks(const uint32_t* tok, uint64_t tok_stride,
+                            const uint8_t* lit, uint64_t lit_stride,
+                            const uint32_t* mrec, uint64_t mrec_stride,
+                            const int64_t* ntok, const int64_t* sizes,
+                            uint64_t nblocks, int nthreads,
+                            uint8_t* out, uint64_t out_stride) {
+    if (nthreads <= 0) nthreads = static_cast<int>(std::thread::hardware_concurrency());
+    if (nthreads < 1) nthreads = 1;
+    std::vector<std::thread> pool;
+    std::atomic<uint64_t> next{0};
+    std::atomic<int64_t> fail{0};
+    auto worker = [&]() {
+        for (;;) {
+            uint64_t b = next.fetch_add(1);
+            if (b >= nblocks) return;
+            const uint32_t* tk = tok + b * tok_stride;
+            const uint8_t* li = lit + b * lit_stride;
+            const uint32_t* mr = mrec + b * mrec_stride;
+            uint8_t* dst = out + b * out_stride;
+            uint64_t pos = 0, mi = 0;
+            const uint64_t limit =
+                out_stride < static_cast<uint64_t>(sizes[b])
+                    ? out_stride : static_cast<uint64_t>(sizes[b]);
+            for (int64_t t = 0; t < ntok[b]; t++) {
+                if ((tk[t >> 5] >> (t & 31)) & 1u) {
+                    uint32_t rec = mr[mi++];
+                    uint32_t len = rec >> 16, dist = rec & 0xFFFF;
+                    if (dist == 0 || dist > pos || pos + len > limit) {
+                        fail.store(-EILSEQ);
+                        return;
+                    }
+                    for (uint32_t k = 0; k < len; k++, pos++) {
+                        dst[pos] = dst[pos - dist];
+                    }
+                } else {
+                    if (pos >= limit) { fail.store(-ENOBUFS); return; }
+                    dst[pos++] = *li++;
+                }
+            }
+            if (pos != static_cast<uint64_t>(sizes[b])) fail.store(-EILSEQ);
+        }
+    };
+    for (int t = 0; t < nthreads; t++) pool.emplace_back(worker);
+    for (auto& t : pool) t.join();
+    if (fail.load() != 0) return fail.load();
+    return static_cast<int64_t>(nblocks);
+}
+
 }  // extern "C"

@@ -1,14 +1,17 @@
 """TPU engine entry points used by sqz_tpu.api (sqzt container required).
 
-Round-1 pipeline split: greedy match finding (tokenization) runs on the host
-native runtime — it is embarrassingly block-parallel CPU work — while the
-serial-by-construction entropy coding runs as the batched device scans in
-sqz4_jax / squeeze_jax. Later rounds move tokenization on-device
-(vectorized hash/compare kernels, SURVEY.md §7.2 L3).
+Pipeline split: greedy match finding (tokenization) runs on the host native
+runtime — embarrassingly block-parallel CPU work — while the
+serial-by-construction entropy coding runs on the device. On real TPU
+hardware the sqz4 coder uses the Pallas kernels (sqz4_pallas: the whole
+serial coder loop as one Mosaic kernel, 128 blocks per vreg lane group); on
+CPU backends (tests, virtual meshes) it falls back to the batched XLA scans
+(sqz4_jax). Set SQZ_NO_PALLAS=1 to force the scan path everywhere.
 """
 
 from __future__ import annotations
 
+import os
 from typing import List, Sequence
 
 from sqz_tpu.formats.constants import SQZ4_MIN_LEN, SQZ4_MAX_LEN
@@ -34,12 +37,46 @@ def _tokenize(part: bytes, window: int, min_len: int, max_len: int,
     return greedy_tokens(part, window, min_len, max_len)
 
 
+def use_pallas() -> bool:
+    """Pallas kernels on real TPU backends; XLA scans elsewhere."""
+    if os.environ.get("SQZ_NO_PALLAS"):
+        return False
+    import jax
+    return jax.default_backend() != "cpu"
+
+
 def compress_blocks(parts: Sequence[bytes], fmt, win_bits: int,
                     lz: bool) -> List[bytes]:
     from sqz_tpu.api import Format
     blk_bits = max((len(p) - 1).bit_length() for p in parts) if any(parts) else 10
     if fmt is Format.SQZ4:
         from sqz_tpu.ops import sqz4_jax
+        from sqz_tpu import native
+        if use_pallas() and native.available():
+            import numpy as np
+            from sqz_tpu.ops import sqz4_pallas
+            toks = [native.tokenize(p, 1 << win_bits, SQZ4_MIN_LEN,
+                                    SQZ4_MAX_LEN, reject_short_far=True)
+                    if lz else
+                    np.stack([np.zeros(len(p), np.int32),
+                              np.frombuffer(p, np.uint8).astype(np.int32),
+                              np.zeros(len(p), np.int32)], axis=1)
+                    for p in parts]
+            ops = [sqz4_jax.microops_from_token_array(t) for t in toks]
+            T = max(len(m) for m, _ in ops)
+            NB = len(ops)
+            m_ops = np.full((NB, T), sqz4_jax.OP_PAD, dtype=np.int32)
+            s_ops = np.zeros((NB, T), dtype=np.int32)
+            for b, (m, sy) in enumerate(ops):
+                m_ops[b, :len(m)] = m
+                s_ops[b, :len(sy)] = sy
+            stats = [sqz4_jax.stats_for_ops(m_ops[b], s_ops[b])
+                     for b in range(NB)]
+            return sqz4_pallas.encode_groups(
+                np.stack([x[0] for x in stats]),
+                np.stack([x[1] for x in stats]),
+                np.stack([x[2] for x in stats]),
+                cap=(1 << blk_bits) + 2048)
         tokens = [_tokenize(p, 1 << win_bits, SQZ4_MIN_LEN, SQZ4_MAX_LEN,
                             reject=True, lz=lz) for p in parts]
         return sqz4_jax.encode_blocks(tokens, blk_bits)
@@ -55,8 +92,12 @@ def decompress_blocks(payloads: Sequence[bytes], sizes: Sequence[int],
     from sqz_tpu.api import Format
     blk_bits = max(max(s - 1 for s in sizes), 1).bit_length()
     if fmt is Format.SQZ4:
-        from sqz_tpu.ops import sqz4_jax
-        blocks = sqz4_jax.decode_blocks(payloads, list(sizes), blk_bits)
+        if use_pallas():
+            from sqz_tpu.ops import sqz4_pallas
+            blocks = sqz4_pallas.decode_groups(payloads, list(sizes), blk_bits)
+        else:
+            from sqz_tpu.ops import sqz4_jax
+            blocks = sqz4_jax.decode_blocks(payloads, list(sizes), blk_bits)
     else:
         from sqz_tpu.ops import squeeze_jax
         blocks = squeeze_jax.decode_blocks(payloads, list(sizes), blk_bits)
