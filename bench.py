@@ -72,8 +72,9 @@ def main() -> None:
     print(f"# native 1-thread: enc {len(data)/t_base_enc/1e6:.1f} MB/s, "
           f"dec {len(data)/t_base_dec/1e6:.1f} MB/s", file=sys.stderr)
 
-    # ---- encode: host tokenize+stats (pipelined host work, untimed here;
-    # the stderr end-to-end includes it), Pallas coder kernel timed
+    # ---- encode: host tokenize + op-stream packing (pipelined host work,
+    # untimed here; the stderr end-to-end includes it), self-contained
+    # Pallas coder kernel (device-resident model tables) timed
     t0 = time.perf_counter()
     toks = [native.tokenize(p, window, 2, 254, reject_short_far=True)
             if lz else
@@ -88,18 +89,28 @@ def main() -> None:
     for b, (m, s) in enumerate(ops):
         m_ops[b, :len(m)] = m
         s_ops[b, :len(s)] = s
-    stats = [sqz4_jax.stats_for_ops(m_ops[b], s_ops[b]) for b in range(NB)]
     cap = bs + 2048
     cap_words = (-(-(cap + 3) // 4) + 31) // 32 * 32
-    st, sz, tt = sp.pack_group_stats(
-        (np.stack([x[0] for x in stats]), np.stack([x[1] for x in stats]),
-         np.stack([x[2] for x in stats])), NB, T)
+    G = -(-NB // sp.LANES)
+    Tp = -(-T // sp.ENC_TC) * sp.ENC_TC
+    m8 = np.full((G * sp.LANES, Tp), sp.MOP_PAD, np.uint8)
+    s8 = np.zeros((G * sp.LANES, Tp), np.uint8)
+    msrc = np.where(m_ops < 0, sp.MOP_PAD,
+                    np.where(m_ops >= 36, sp.MOP_FLUSH, m_ops))
+    m8[:NB, :T] = msrc.astype(np.uint8)
+    s8[:NB, :T] = (s_ops & 0xFF).astype(np.uint8)
+
+    def _pack(a8):
+        a = np.ascontiguousarray(a8.reshape(G, sp.LANES, Tp).transpose(0, 2, 1))
+        a = a.reshape(G, Tp // 4, 4, sp.LANES).astype(np.uint32)
+        return (a[:, :, 0] << 24) | (a[:, :, 1] << 16) | (a[:, :, 2] << 8) | a[:, :, 3]
+    mw, sw = _pack(m8), _pack(s8)
     t_host_enc = time.perf_counter() - t0
-    std, szd, ttd = jnp.asarray(st), jnp.asarray(sz), jnp.asarray(tt)
-    jax.block_until_ready((std, szd, ttd))
+    mwd, swd = jnp.asarray(mw), jnp.asarray(sw)
+    jax.block_until_ready((mwd, swd))
 
     def run_encode():
-        words, lens = sp._encode_pallas(std, szd, ttd, cap_words)
+        words, lens = sp._encode_full_pallas(mwd, swd, cap_words)
         return np.asarray(lens), words
 
     lens, words = run_encode()                       # warm-up + compile
@@ -114,7 +125,6 @@ def main() -> None:
     # ---- decode: payload upload untimed (device-resident input), Pallas
     # kernel + record-stream download + native assembly timed end-to-end;
     # kernel time reported separately
-    G = -(-NB // sp.LANES)
     Pw = -(-(bs + 4096) // 4 + 31) // 32 * 32
     buf = np.zeros((G, Pw, sp.LANES), np.uint32)
     plens = np.zeros((G, sp.LANES), np.int32)

@@ -70,13 +70,8 @@ def compress_blocks(parts: Sequence[bytes], fmt, win_bits: int,
             for b, (m, sy) in enumerate(ops):
                 m_ops[b, :len(m)] = m
                 s_ops[b, :len(sy)] = sy
-            stats = [sqz4_jax.stats_for_ops(m_ops[b], s_ops[b])
-                     for b in range(NB)]
-            return sqz4_pallas.encode_groups(
-                np.stack([x[0] for x in stats]),
-                np.stack([x[1] for x in stats]),
-                np.stack([x[2] for x in stats]),
-                cap=(1 << blk_bits) + 2048)
+            return sqz4_pallas.encode_groups_full(
+                m_ops, s_ops, cap=(1 << blk_bits) + 2048)
         tokens = [_tokenize(p, 1 << win_bits, SQZ4_MIN_LEN, SQZ4_MAX_LEN,
                             reject=True, lz=lz) for p in parts]
         return sqz4_jax.encode_blocks(tokens, blk_bits)

@@ -161,6 +161,87 @@ def div64_small(nh, nl, d):
     return qh, ql, i2u(rem)
 
 
+
+def _enc_coder_step(active, flush, st, sz, tt, lh, ll, rh, rl):
+    """One range-coder encode micro-op on u32-pair registers (values only).
+
+    st/sz/tt are u32 model stats; returns updated registers plus the
+    pre-renorm low and the emission byte count for this op.
+    """
+    z = jnp.zeros_like(lh)
+    d = jnp.where(active, tt, _u(1))
+    qh, ql, _ = div64_small(rh, rl, d)
+    ph, plo = mul_small64(st, qh, ql)
+    nlh, nll = add64(lh, ll, ph, plo)
+    nrh, nrl = mul_small64(sz, qh, ql)
+    lh = jnp.where(active, nlh, lh)
+    ll = jnp.where(active, nll, ll)
+    rh = jnp.where(active, nrh, rh)
+    rl = jnp.where(active, nrl, rl)
+
+    # renorm: cnt = leading equal bytes of low and low+range
+    pre_h, pre_l = lh, ll
+    sh_, sl_ = add64(lh, ll, rh, rl)
+    cnt = jnp.where(active, clz64(pre_h ^ sh_, pre_l ^ sl_) >> 3, _u(0))
+    shift = umin(cnt << 3, _u(63))
+    full = cnt >= 8
+    t1h, t1l = shl64(lh, ll, shift)
+    lh = jnp.where(full, z, t1h)
+    ll = jnp.where(full, z, t1l)
+    t2h, t2l = shl64(rh, rl, shift)
+    rh = jnp.where(full, z, t2h)
+    rl = jnp.where(full, z, t2l)
+
+    # underflow escape: range < total + 1 -> two emissions, re-inflate
+    uf = active & (rh == 0) & (rl < tt + 1)
+    u1h, u1l = shl64(pre_h, pre_l, umin(shift + _u(16), _u(63)))
+    big = cnt >= 6
+    lh = jnp.where(uf, jnp.where(big, z, u1h), lh)
+    ll = jnp.where(uf, jnp.where(big, z, u1l), ll)
+    rh = jnp.where(uf, ~lh, rh)
+    rl = jnp.where(uf, ~ll, rl)
+    cnt = cnt + jnp.where(uf, _u(2), _u(0))
+
+    # flush micro-op: exactly one emission of the current top byte
+    cnt = jnp.where(flush, _u(1), cnt)
+    fh, fl = shl64(pre_h, pre_l, _u(8))
+    lh = jnp.where(flush, fh, lh)
+    ll = jnp.where(flush, fl, ll)
+    return lh, ll, rh, rl, pre_h, pre_l, cnt
+
+
+def _enc_append(stage_ref, iota64, cnt, pre_h, pre_l, ocnt, wpos,
+                ob0, ob1, ob2):
+    """Append the top `cnt` bytes of pre_low (bytes past 7 are zero) into
+    the 3-word staging register; spill full words into the stage ring."""
+    z = jnp.zeros_like(ob0)
+    kb = umin(cnt, _u(8))
+    drop = umin(_u(64) - (kb << 3), _u(63))
+    m1h, m1l = shr64(pre_h, pre_l, drop)
+    w0, w1 = shl64(m1h, m1l, drop)
+    w0 = jnp.where(kb == 0, z, w0)
+    w1 = jnp.where(kb == 0, z, w1)
+    sr = ocnt << 3                      # byte offset 0..3 within word
+    ob0 = ob0 | (w0 >> sr)
+    ob1 = ob1 | (w1 >> sr) | ((w0 << (31 - sr)) << 1)
+    ob2 = ob2 | ((w1 << (31 - sr)) << 1)
+    ocnt = ocnt + cnt
+
+    nfull = u2i(ocnt >> 2)              # 0..3
+    row = u2i(wpos)
+    for j, ob in enumerate((ob0, ob1, ob2)):
+        mask = ((iota64 == ((row + jnp.int32(j)) & 63))
+                & (jnp.int32(j) < nfull))
+        stage_ref[...] = jnp.where(mask, ob, stage_ref[...])
+    wpos = wpos + i2u(nfull)
+    ocnt = ocnt & 3
+    s1, s2, s3 = nfull >= 1, nfull >= 2, nfull >= 3
+    nb0 = jnp.where(s3, z, jnp.where(s2, ob2, jnp.where(s1, ob1, ob0)))
+    nb1 = jnp.where(s2, z, jnp.where(s1, ob2, ob1))
+    nb2 = jnp.where(s1, z, ob2)
+    return ocnt, wpos, nb0, nb1, nb2
+
+
 # ----------------------------------------------------------------- encoder
 
 def _encode_kernel(start_ref, size_ref, total_ref, out_ref, lens_ref,
@@ -204,75 +285,10 @@ def _encode_kernel(start_ref, size_ref, total_ref, out_ref, lens_ref,
         tt = total_ref[0, pl.ds(i, 1), :]
         active = (tt != 0) & (sz != 0)
         flush = (tt != 0) & (sz == 0)
-        z = jnp.zeros_like(lh)
-
-        # range //= total; low += start*range; range *= size
-        d = jnp.where(active, tt, _u(1))
-        qh, ql, _ = div64_small(rh, rl, d)
-        ph, plo = mul_small64(st, qh, ql)
-        nlh, nll = add64(lh, ll, ph, plo)
-        nrh, nrl = mul_small64(sz, qh, ql)
-        lh = jnp.where(active, nlh, lh)
-        ll = jnp.where(active, nll, ll)
-        rh = jnp.where(active, nrh, rh)
-        rl = jnp.where(active, nrl, rl)
-
-        # renorm: cnt = leading equal bytes of low and low+range
-        pre_h, pre_l = lh, ll
-        sh_, sl_ = add64(lh, ll, rh, rl)
-        cnt = jnp.where(active, clz64(pre_h ^ sh_, pre_l ^ sl_) >> 3, _u(0))
-        shift = umin(cnt << 3, _u(63))
-        full = cnt >= 8
-        t1h, t1l = shl64(lh, ll, shift)
-        lh = jnp.where(full, z, t1h)
-        ll = jnp.where(full, z, t1l)
-        t2h, t2l = shl64(rh, rl, shift)
-        rh = jnp.where(full, z, t2h)
-        rl = jnp.where(full, z, t2l)
-
-        # underflow escape: range < total + 1 -> two emissions, re-inflate
-        uf = active & (rh == 0) & (rl < tt + 1)
-        u1h, u1l = shl64(pre_h, pre_l, umin(shift + _u(16), _u(63)))
-        big = cnt >= 6
-        lh = jnp.where(uf, jnp.where(big, z, u1h), lh)
-        ll = jnp.where(uf, jnp.where(big, z, u1l), ll)
-        rh = jnp.where(uf, ~lh, rh)
-        rl = jnp.where(uf, ~ll, rl)
-        cnt = cnt + jnp.where(uf, _u(2), _u(0))
-
-        # flush micro-op: exactly one emission of the current top byte
-        cnt = jnp.where(flush, _u(1), cnt)
-        fh, fl = shl64(pre_h, pre_l, _u(8))
-        lh = jnp.where(flush, fh, lh)
-        ll = jnp.where(flush, fl, ll)
-
-        # ---- append top `cnt` bytes of pre_low (bytes past 7 are zero)
-        kb = umin(cnt, _u(8))
-        drop = umin(_u(64) - (kb << 3), _u(63))
-        m1h, m1l = shr64(pre_h, pre_l, drop)
-        w0, w1 = shl64(m1h, m1l, drop)
-        w0 = jnp.where(kb == 0, z, w0)
-        w1 = jnp.where(kb == 0, z, w1)
-        sr = ocnt << 3                      # byte offset 0..3 within word
-        ob0 = ob0 | (w0 >> sr)
-        ob1 = ob1 | (w1 >> sr) | ((w0 << (31 - sr)) << 1)
-        ob2 = ob2 | ((w1 << (31 - sr)) << 1)
-        ocnt = ocnt + cnt
-
-        # spill full words into the stage ring
-        nfull = u2i(ocnt >> 2)              # 0..3
-        row = u2i(wpos)
-        for j, ob in enumerate((ob0, ob1, ob2)):
-            mask = ((iota64 == ((row + jnp.int32(j)) & 63))
-                    & (jnp.int32(j) < nfull))
-            stage_ref[...] = jnp.where(mask, ob, stage_ref[...])
-        wpos = wpos + i2u(nfull)
-        ocnt = ocnt & 3
-        s1, s2, s3 = nfull >= 1, nfull >= 2, nfull >= 3
-        nb0 = jnp.where(s3, z, jnp.where(s2, ob2, jnp.where(s1, ob1, ob0)))
-        nb1 = jnp.where(s2, z, jnp.where(s1, ob2, ob1))
-        nb2 = jnp.where(s1, z, ob2)
-        ob0, ob1, ob2 = nb0, nb1, nb2
+        lh, ll, rh, rl, pre_h, pre_l, cnt = _enc_coder_step(
+            active, flush, st, sz, tt, lh, ll, rh, rl)
+        ocnt, wpos, ob0, ob1, ob2 = _enc_append(
+            stage_ref, iota64, cnt, pre_h, pre_l, ocnt, wpos, ob0, ob1, ob2)
 
         # retire ring halves before any lane can overrun the ring
         maxgap = jnp.max(u2i(wpos) - u2i(regs_ref[6:7, :]))
@@ -376,6 +392,229 @@ def unpack_group_payloads(words: np.ndarray, lens: np.ndarray, nb: int):
         payloads.append(
             words[g, :(n + 3) // 4, lane].astype(">u4").tobytes()[:n])
     return payloads
+
+
+
+# ------------------------------------------------- self-contained encoder
+
+MOP_FLUSH = 254   # u8 op-stream marker for one flush emission
+MOP_PAD = 255
+
+
+def _encode_full_kernel(m_ref, s_ref, out_ref, lens_ref,
+                        regs_ref, stage_ref, cb_ref, cs_ref, bits_ref,
+                        d0_ref, d1_ref):
+    """Self-contained encoder: model tables live on the device, the input is
+    the packed (model, symbol) micro-op stream (1 byte each) — no
+    host-precomputed statistics. Grid (G, NT) streams T-chunks; tables and
+    coder registers persist in scratch across chunks.
+
+    regs rows: 0 low_hi, 1 low_lo, 2 rng_hi, 3 rng_lo, 4 ocnt, 5 wpos,
+               6 s2base, 7..9 obuf words. bits_ref rows 0:32 hold the
+               pm_bits cumulative table; rows 32:34 hold the binary
+               pm_literal frequencies.
+    """
+    tc = pl.program_id(1)
+    nt = pl.num_programs(1)
+    TCW, B = m_ref.shape[1], m_ref.shape[2]
+    TC = TCW * 4
+    CW = out_ref.shape[1]
+    iota64 = jax.lax.broadcasted_iota(I32, (64, B), 0)
+    iota256 = jax.lax.broadcasted_iota(I32, (256, B), 0)
+    iota32 = jax.lax.broadcasted_iota(I32, (32, B), 0)
+
+    @pl.when(tc == 0)
+    def _():
+        regs_ref[...] = jnp.zeros((10, B), U32)
+        regs_ref[2:4, :] = jnp.full((2, B), MASK32, U32)
+        out_ref[0] = jnp.zeros((CW, B), U32)
+        cb_ref[...] = iota256 + 1
+        cs_ref[...] = iota256 + 1
+        bits_ref[0:32, :] = iota32 + 1
+        bits_ref[32:34, :] = jnp.ones((2, B), I32)   # lit-model freq0/freq1
+        d0_ref[...] = jnp.ones((32, B), I32)
+        d1_ref[...] = jnp.ones((32, B), I32)
+
+    def flush_rounds(wpos, force):
+        s2base = u2i(regs_ref[6:7, :])
+        gap = u2i(wpos) - s2base
+        doit = gap >= jnp.int32(1 if force else 32)
+        half = (s2base >> 5) & 1
+        chunk = jnp.where(doit, s2base >> 5, jnp.int32(-1))
+        rows = jnp.where(half == 0, stage_ref[0:32], stage_ref[32:64])
+        for c in range(CW // 32):
+            out_ref[0, 32 * c:32 * c + 32] = jnp.where(
+                chunk == jnp.int32(c), rows,
+                out_ref[0, 32 * c:32 * c + 32])
+        regs_ref[6:7, :] = i2u(jnp.where(doit, s2base + 32, s2base))
+
+    def step(i, carry):
+        # op streams are packed 4 per u32 word (big-endian): dynamic u8 row
+        # loads need 8-aligned indices, u32 rows do not
+        lh, ll, rh, rl, ocnt, wpos, ob0, ob1, ob2 = carry
+        sh = ((3 - (i & 3)) << 3).astype(U32)
+        mword = m_ref[0, pl.ds(i >> 2, 1), :]
+        sword = s_ref[0, pl.ds(i >> 2, 1), :]
+        m = u2i((mword >> sh) & 0xFF)
+        sym = u2i((sword >> sh) & 0xFF)
+        is_flag = m == 0
+        is_size = m == 1
+        is_byte = m == 2
+        is_bits = m == 3
+        is_dist = (m >= 4) & (m < 36)
+        bitp = jnp.where(is_dist, m - 4, _i(0))
+        flush = m == MOP_FLUSH
+        active = m < 36
+
+        # model stats from the device tables (values BEFORE the update)
+        tab256 = jnp.where(is_byte, cb_ref[...], cs_ref[...])
+        oh_at = iota256 == sym
+        oh_lt = iota256 == (sym - 1)
+        at256 = jnp.sum(jnp.where(oh_at, tab256, _i(0)), axis=0,
+                        keepdims=True, dtype=I32)
+        st256 = jnp.sum(jnp.where(oh_lt, tab256, _i(0)), axis=0,
+                        keepdims=True, dtype=I32)
+        tot256 = tab256[255:256, :]
+
+        bt = bits_ref[0:32, :]
+        oh32_at = iota32 == sym
+        oh32_lt = iota32 == (sym - 1)
+        at32 = jnp.sum(jnp.where(oh32_at, bt, _i(0)), axis=0,
+                       keepdims=True, dtype=I32)
+        st32 = jnp.sum(jnp.where(oh32_lt, bt, _i(0)), axis=0,
+                       keepdims=True, dtype=I32)
+        tot32 = bt[31:32, :]
+
+        lit0 = bits_ref[32:33, :]
+        lit1 = bits_ref[33:34, :]
+        oh_bp = iota32 == bitp
+        f0 = jnp.sum(jnp.where(oh_bp, d0_ref[...], _i(0)), axis=0,
+                     keepdims=True, dtype=I32)
+        f1 = jnp.sum(jnp.where(oh_bp, d1_ref[...], _i(0)), axis=0,
+                     keepdims=True, dtype=I32)
+        b0 = jnp.where(is_flag, lit0, f0)
+        b1 = jnp.where(is_flag, lit1, f1)
+        is256 = is_byte | is_size
+        start = jnp.where(is256, st256,
+                jnp.where(is_bits, st32,
+                jnp.where(sym == 1, b0, _i(0))))
+        size = jnp.where(is256, at256 - st256,
+               jnp.where(is_bits, at32 - st32,
+               jnp.where(sym == 1, b1, b0)))
+        total = jnp.where(is256, tot256,
+                jnp.where(is_bits, tot32, b0 + b1))
+
+        # adaptive update (strictly after reading the stats)
+        cb_ref[...] = cb_ref[...] + jnp.where(
+            is_byte & (iota256 >= sym), _i(1), _i(0))
+        cs_ref[...] = cs_ref[...] + jnp.where(
+            is_size & (iota256 >= sym), _i(1), _i(0))
+        bits_ref[0:32, :] = bt + jnp.where(
+            is_bits & (iota32 >= sym), _i(1), _i(0))
+        bits_ref[32:33, :] = lit0 + jnp.where(
+            is_flag & (sym == 0), _i(1), _i(0))
+        bits_ref[33:34, :] = lit1 + jnp.where(
+            is_flag & (sym == 1), _i(1), _i(0))
+        d0_ref[...] = d0_ref[...] + jnp.where(
+            oh_bp & is_dist & (sym == 0), _i(1), _i(0))
+        d1_ref[...] = d1_ref[...] + jnp.where(
+            oh_bp & is_dist & (sym == 1), _i(1), _i(0))
+
+        lh, ll, rh, rl, pre_h, pre_l, cnt = _enc_coder_step(
+            active, flush, i2u(start), i2u(size), i2u(total), lh, ll, rh, rl)
+        ocnt, wpos, ob0, ob1, ob2 = _enc_append(
+            stage_ref, iota64, cnt, pre_h, pre_l, ocnt, wpos, ob0, ob1, ob2)
+
+        maxgap = jnp.max(u2i(wpos) - u2i(regs_ref[6:7, :]))
+
+        @pl.when(maxgap >= jnp.int32(44))
+        def _():
+            flush_rounds(wpos, force=False)
+
+        return lh, ll, rh, rl, ocnt, wpos, ob0, ob1, ob2
+
+    carry0 = tuple(regs_ref[i:i + 1, :] for i in (0, 1, 2, 3, 4, 5, 7, 8, 9))
+    carry = jax.lax.fori_loop(jnp.int32(0), jnp.int32(TC), step, carry0)
+    lh, ll, rh, rl, ocnt, wpos, ob0, ob1, ob2 = carry
+    for i, v in zip((0, 1, 2, 3, 4, 5, 7, 8, 9),
+                    (lh, ll, rh, rl, ocnt, wpos, ob0, ob1, ob2)):
+        regs_ref[i:i + 1, :] = v
+
+    @pl.when(tc == nt - 1)
+    def _():
+        lens_ref[...] = u2i((wpos << 2) + ocnt)
+        mask = (iota64 == (u2i(wpos) & 63)) & (ocnt > 0)
+        stage_ref[...] = jnp.where(mask, ob0, stage_ref[...])
+        wfin = wpos + b2u(ocnt > 0)
+        for _ in range(3):
+            flush_rounds(wfin, force=True)
+
+
+@partial(jax.jit, static_argnames=("cap_words", "tc", "interpret"))
+def _encode_full_pallas(m_ops, s_ops, cap_words: int, tc: int = ENC_TC,
+                        interpret: bool = False):
+    """m_ops/s_ops: [G, T/4, B] u32 (4 big-endian-packed u8 ops per word)."""
+    G, TW, B = m_ops.shape
+    T = TW * 4
+    assert B == LANES and T % tc == 0 and cap_words % 32 == 0
+    z = np.int32(0)
+    spec_in = pl.BlockSpec((1, tc // 4, B), lambda g, t: (g, t, z),
+                           memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _encode_full_kernel,
+        grid=(G, T // tc),
+        in_specs=[spec_in, spec_in],
+        out_specs=(
+            pl.BlockSpec((1, cap_words, B), lambda g, t: (g, z, z),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B), lambda g, t: (g, z),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((G, cap_words, B), U32),
+            jax.ShapeDtypeStruct((G, B), I32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((10, LANES), U32),    # coder registers + cursors
+            pltpu.VMEM((64, LANES), U32),    # output word ring
+            pltpu.VMEM((256, LANES), I32),   # csum byte
+            pltpu.VMEM((256, LANES), I32),   # csum size
+            pltpu.VMEM((34, LANES), I32),    # csum bits + lit freqs
+            pltpu.VMEM((32, LANES), I32),    # dist freq0
+            pltpu.VMEM((32, LANES), I32),    # dist freq1
+        ],
+        interpret=interpret,
+    )(m_ops, s_ops)
+
+
+def encode_groups_full(m_ops: np.ndarray, s_ops: np.ndarray, cap: int,
+                       tc: int = ENC_TC, interpret: bool = False):
+    """Self-contained device encode from [NB, T] i32 micro-op arrays
+    (sqz4_jax.microops layout: model -1 pad / 36 flush, symbol)."""
+    NB, T = m_ops.shape
+    G = -(-NB // LANES)
+    Tp = -(-T // tc) * tc
+    cap_words = (-(-(cap + 3) // 4) + 31) // 32 * 32
+    m8 = np.full((G * LANES, Tp), MOP_PAD, dtype=np.uint8)
+    s8 = np.zeros((G * LANES, Tp), dtype=np.uint8)
+    m_src = np.where(m_ops < 0, MOP_PAD,
+                     np.where(m_ops >= 36, MOP_FLUSH, m_ops))
+    m8[:NB, :T] = m_src.astype(np.uint8)
+    s8[:NB, :T] = (s_ops & 0xFF).astype(np.uint8)
+
+    def pack_words(a8):
+        a = np.ascontiguousarray(
+            a8.reshape(G, LANES, Tp).transpose(0, 2, 1))     # [G, Tp, B]
+        a = a.reshape(G, Tp // 4, 4, LANES).astype(np.uint32)
+        return ((a[:, :, 0] << 24) | (a[:, :, 1] << 16)
+                | (a[:, :, 2] << 8) | a[:, :, 3])
+    words, lens = _encode_full_pallas(jnp.asarray(pack_words(m8)),
+                                      jnp.asarray(pack_words(s8)),
+                                      cap_words, tc, interpret)
+    lens = np.asarray(lens)
+    if int(lens.max(initial=0)) > cap_words * 4:
+        raise ValueError("compressed block exceeded the output capacity")
+    return unpack_group_payloads(np.asarray(words), lens, NB)
 
 
 # ----------------------------------------------------------------- decoder

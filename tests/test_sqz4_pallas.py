@@ -77,3 +77,50 @@ def test_u64_helpers_roundtrip():
                              jnp.asarray(bl))
     assert (to_np((mh, mlo)) ==
             (small.astype(np.uint64) * b)).all()  # mod 2^64 via numpy wrap
+
+
+def test_pallas_full_encoder_and_decoder_roundtrip():
+    """Self-contained encoder + decoder kernels, interpret mode, vs oracle."""
+    from sqz_tpu.oracle.match import greedy_tokens
+    rng = np.random.default_rng(7)
+    datas = [
+        bytes(rng.integers(0, 4, 60, np.uint8)),
+        b"abcabcabcabcXYZ" * 4,                   # overlapped matches
+        b"\0" * 150,                              # RLE
+        bytes(rng.integers(0, 256, 90, np.uint8)),  # high entropy
+    ]
+    payloads, wants = [], []
+    toksets = []
+    for i, d in enumerate(datas):
+        lz = i != 0
+        if lz:
+            rej = lambda l, dist: l <= 3 and dist.bit_length() > 3
+            toks = greedy_tokens(d, 1 << 10, 2, 254, reject=rej)
+        else:
+            toks = [("lit", b) for b in d]
+        toksets.append(toks)
+        wants.append(sqz4_encode_payload(d, 1 << 10, lz=lz))
+    ops = [sqz4_jax.microops_from_tokens(t) for t in toksets]
+    T = max(len(m) for m, _ in ops)
+    NB = len(ops)
+    m_ops = np.full((NB, T), sqz4_jax.OP_PAD, np.int32)
+    s_ops = np.zeros((NB, T), np.int32)
+    for b, (m, sy) in enumerate(ops):
+        m_ops[b, :len(m)] = m
+        s_ops[b, :len(sy)] = sy
+    payloads = sp.encode_groups_full(m_ops, s_ops, cap=512, tc=64,
+                                     interpret=True)
+    assert payloads == wants
+    outs = sp.decode_groups(payloads, [len(d) for d in datas], blk_bits=8,
+                            interpret=True)
+    assert outs == list(datas)
+
+
+def test_pallas_decoder_rejects_corrupt():
+    data = b"refrain refrain refrain!" * 4
+    payload = sqz4_encode_payload(data, 1 << 10, lz=True)
+    bad = bytearray(payload)
+    bad[len(bad) // 2] ^= 0xFF
+    with pytest.raises(ValueError):
+        sp.decode_groups([bytes(bad)], [len(data)], blk_bits=8,
+                         interpret=True)
