@@ -16,7 +16,7 @@ baseline  = the single-threaded native C++ codec (byte-identical streams to
             the reference C library, which publishes no throughput numbers —
             performance was an explicit non-goal, README.md:23-25).
 
-Env knobs: SQZ_BENCH_BYTES (default 2 MiB), SQZ_BENCH_BLK_BITS (default 14),
+Env knobs: SQZ_BENCH_BYTES (default 4 MiB = one full 256-lane group), SQZ_BENCH_BLK_BITS (default 14),
 SQZ_BENCH_LZ (default 1).
 """
 
@@ -39,7 +39,7 @@ def _input_bytes(n: int) -> bytes:
 
 
 def main() -> None:
-    n_bytes = int(os.environ.get("SQZ_BENCH_BYTES", 2 * 1024 * 1024))
+    n_bytes = int(os.environ.get("SQZ_BENCH_BYTES", 4 * 1024 * 1024))
     blk_bits = int(os.environ.get("SQZ_BENCH_BLK_BITS", 14))
     lz = os.environ.get("SQZ_BENCH_LZ", "1") == "1"
     window = 1 << 15

@@ -39,7 +39,9 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-LANES = 128          # blocks per kernel group = vreg lane count
+LANES = 256          # blocks per kernel group (the per-step scalar chain is
+                     # latency-bound: two vreg lane-groups cost ~24% more per
+                     # step than one and double the work per step)
 ENC_TC = 1024        # encoder T-chunk (grid-streamed from HBM)
 U32 = jnp.uint32
 I32 = jnp.int32
@@ -242,6 +244,14 @@ def _enc_append(stage_ref, iota64, cnt, pre_h, pre_l, ocnt, wpos,
     return ocnt, wpos, nb0, nb1, nb2
 
 
+
+def f32_from_u64(hi, lo):
+    """Approximate f32 value of a u64 pair (relative error ~2^-23)."""
+    top = u2i(hi >> 1).astype(F32) * jnp.float32(2.0 ** 33)
+    mid = u2i(((hi & 1) << 30) | (lo >> 2)).astype(F32) * jnp.float32(4.0)
+    return top + mid
+
+
 # ----------------------------------------------------------------- encoder
 
 def _encode_kernel(start_ref, size_ref, total_ref, out_ref, lens_ref,
@@ -326,7 +336,7 @@ def _encode_pallas(start, size, total, cap_words: int, tc: int = ENC_TC,
     block (g, b) is byte j%4 (big-endian) of words[g, j//4, b].
     """
     G, T, B = start.shape
-    assert B == LANES and T % tc == 0 and cap_words % 32 == 0
+    assert B % 128 == 0 and T % tc == 0 and cap_words % 32 == 0
     z = np.int32(0)
     spec_in = pl.BlockSpec((1, tc, B), lambda g, t: (g, t, z),
                            memory_space=pltpu.VMEM)
@@ -556,7 +566,7 @@ def _encode_full_pallas(m_ops, s_ops, cap_words: int, tc: int = ENC_TC,
     """m_ops/s_ops: [G, T/4, B] u32 (4 big-endian-packed u8 ops per word)."""
     G, TW, B = m_ops.shape
     T = TW * 4
-    assert B == LANES and T % tc == 0 and cap_words % 32 == 0
+    assert B % 128 == 0 and T % tc == 0 and cap_words % 32 == 0
     z = np.int32(0)
     spec_in = pl.BlockSpec((1, tc // 4, B), lambda g, t: (g, t, z),
                            memory_space=pltpu.VMEM)
@@ -575,13 +585,13 @@ def _encode_full_pallas(m_ops, s_ops, cap_words: int, tc: int = ENC_TC,
             jax.ShapeDtypeStruct((G, B), I32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((10, LANES), U32),    # coder registers + cursors
-            pltpu.VMEM((64, LANES), U32),    # output word ring
-            pltpu.VMEM((256, LANES), I32),   # csum byte
-            pltpu.VMEM((256, LANES), I32),   # csum size
-            pltpu.VMEM((34, LANES), I32),    # csum bits + lit freqs
-            pltpu.VMEM((32, LANES), I32),    # dist freq0
-            pltpu.VMEM((32, LANES), I32),    # dist freq1
+            pltpu.VMEM((10, B), U32),    # coder registers + cursors
+            pltpu.VMEM((64, B), U32),    # output word ring
+            pltpu.VMEM((256, B), I32),   # csum byte
+            pltpu.VMEM((256, B), I32),   # csum size
+            pltpu.VMEM((34, B), I32),    # csum bits + lit freqs
+            pltpu.VMEM((32, B), I32),    # dist freq0
+            pltpu.VMEM((32, B), I32),    # dist freq1
         ],
         interpret=interpret,
     )(m_ops, s_ops)
@@ -802,16 +812,22 @@ def _decode_kernel(payload_ref, plens_ref, sizes_ref,
         # ---- rng_div = range // total; diff = code - low; cum by binsearch
         rdh, rdl, _ = div64_small(rh, rl, jnp.where(active, tot_u, _u(1)))
         dfh, dfl = sub64(ch, cl, lh, ll)
-        cum = zi
-        ph_, pl_ = zu, zu
-        for i in range(16, -1, -1):
-            sh_h, sh_l = shl64(rdh, rdl, _u(i))
-            th_, tl_ = add64(ph_, pl_, sh_h, sh_l)
-            cand = cum | (1 << i)
-            take = (cand < total) & ~lt64(dfh, dfl, th_, tl_)
-            cum = jnp.where(take, cand, cum)
-            ph_ = jnp.where(take, th_, ph_)
-            pl_ = jnp.where(take, tl_, pl_)
+        # cum = diff // rng_div: f32 quotient estimate (abs error << 1 since
+        # cum < total < 2^17 and both f32 conversions are ~2^-23 relative),
+        # then exact +-2 correction with incremental u64 products
+        rd_f = jnp.maximum(f32_from_u64(rdh, rdl), jnp.float32(1.0))
+        est = (f32_from_u64(dfh, dfl) / rd_f).astype(I32)
+        c0 = jnp.clip(est - 2, zi, total - 1)
+        p0h, p0l = mul_small64(i2u(c0), rdh, rdl)
+        r2h, r2l = shl64(rdh, rdl, _u(1))
+        r3h, r3l = add64(r2h, r2l, rdh, rdl)
+        r4h, r4l = shl64(rdh, rdl, _u(2))
+        cum = c0
+        for kh, kl, k in ((rdh, rdl, 1), (r2h, r2l, 2),
+                          (r3h, r3l, 3), (r4h, r4l, 4)):
+            th_, tl_ = add64(p0h, p0l, kh, kl)
+            take = ((c0 + k) < total) & ~lt64(dfh, dfl, th_, tl_)
+            cum = jnp.where(take, c0 + k, cum)
         bh_, bl_ = mul_small64(tot_u, rdh, rdl)
         bad_cum = active & ~lt64(dfh, dfl, bh_, bl_)
 
@@ -1043,7 +1059,7 @@ def _decode_pallas(payload, plens, sizes, t_max: int, lw: int, tw: int,
     counts [G, 8, B] i32).
     """
     G, Pw, B = payload.shape
-    assert B == LANES and Pw % 32 == 0
+    assert B % 128 == 0 and Pw % 32 == 0
     z = np.int32(0)
     return pl.pallas_call(
         partial(_decode_kernel, t_max=t_max),
@@ -1071,16 +1087,16 @@ def _decode_pallas(payload, plens, sizes, t_max: int, lw: int, tw: int,
             jax.ShapeDtypeStruct((G, 8, B), I32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((256, LANES), I32),   # csum byte
-            pltpu.VMEM((256, LANES), I32),   # csum size
-            pltpu.VMEM((32, LANES), I32),    # csum bits
-            pltpu.VMEM((32, LANES), I32),    # dist freq0
-            pltpu.VMEM((32, LANES), I32),    # dist freq1
-            pltpu.VMEM((96, LANES), U32),    # stream window
-            pltpu.VMEM((64, LANES), U32),    # literal ring
-            pltpu.VMEM((64, LANES), U32),    # token-bit ring
-            pltpu.VMEM((64, LANES), U32),    # match-record ring
-            pltpu.VMEM((8, LANES), I32),     # retirement bases + lit model
+            pltpu.VMEM((256, B), I32),   # csum byte
+            pltpu.VMEM((256, B), I32),   # csum size
+            pltpu.VMEM((32, B), I32),    # csum bits
+            pltpu.VMEM((32, B), I32),    # dist freq0
+            pltpu.VMEM((32, B), I32),    # dist freq1
+            pltpu.VMEM((96, B), U32),    # stream window
+            pltpu.VMEM((64, B), U32),    # literal ring
+            pltpu.VMEM((64, B), U32),    # token-bit ring
+            pltpu.VMEM((64, B), U32),    # match-record ring
+            pltpu.VMEM((8, B), I32),     # retirement bases + lit model
         ],
         interpret=interpret,
     )(payload, plens, sizes)
