@@ -977,24 +977,29 @@ def _decode_kernel(payload_ref, plens_ref, sizes_ref,
         la, lav = la_refill(la, lav, rpos)
         la, lav = la_refill(la, lav, rpos)
 
-        # ---- window slide + ring retirements (collective, conditional)
+        # ---- window slide + ring retirements: the max-reduce trigger
+        # checks run every 8th step (widx moves <= 3 words/step: 64+27 < 96
+        # window; lit <= 1 word per 4 steps, mrec <= 1/step: 44+8+2 < 64
+        # ring rows — no overrun between checks)
         widx = (rpos + lav) >> 2
 
-        @pl.when(jnp.max(widx - bases_ref[0:1, :]) >= jnp.int32(64))
+        @pl.when((t & 7) == jnp.int32(0))
         def _():
-            s1_refresh(widx)
+            @pl.when(jnp.max(widx - bases_ref[0:1, :]) >= jnp.int32(64))
+            def _():
+                s1_refresh(widx)
 
-        @pl.when(jnp.max(litp - bases_ref[1:2, :]) >= jnp.int32(44))
-        def _():
-            retire(litring_ref, 1, lit_ref, LW, litp, False)
+            @pl.when(jnp.max(litp - bases_ref[1:2, :]) >= jnp.int32(44))
+            def _():
+                retire(litring_ref, 1, lit_ref, LW, litp, False)
 
-        @pl.when(jnp.max(tokp - bases_ref[2:3, :]) >= jnp.int32(44))
-        def _():
-            retire(tokring_ref, 2, tok_ref, TW, tokp, False)
+            @pl.when(jnp.max(tokp - bases_ref[2:3, :]) >= jnp.int32(44))
+            def _():
+                retire(tokring_ref, 2, tok_ref, TW, tokp, False)
 
-        @pl.when(jnp.max(mrecp - bases_ref[3:4, :]) >= jnp.int32(44))
-        def _():
-            retire(mrecring_ref, 3, mrec_ref, MW, mrecp, False)
+            @pl.when(jnp.max(mrecp - bases_ref[3:4, :]) >= jnp.int32(44))
+            def _():
+                retire(mrecring_ref, 3, mrec_ref, MW, mrecp, False)
 
         return (t + jnp.int32(1), ch, cl, lh, ll, rh, rl,
                 la[0], la[1], la[2], la[3], lav,
