@@ -71,6 +71,12 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.sqz_assemble_blocks.restype = i64
         lib.sqz_assemble_blocks.argtypes = [u32p, u64, u8p, u64, u32p, u64,
                                             i64p, i64p, u64, i32, u8p, u64]
+        lib.sqz4_plan_pack.restype = i64
+        lib.sqz4_plan_pack.argtypes = [u8p, u64, u32, i32, i32, u64, u64,
+                                       i32, u32p, u32p, i64p]
+        lib.sqz4_pack_payloads.restype = i64
+        lib.sqz4_pack_payloads.argtypes = [u8p, i64p, i64p, u64, u64, u64,
+                                           i32, u32p]
         _lib = lib
         return _lib
 
@@ -288,3 +294,47 @@ def assemble_blocks(tok: np.ndarray, lit: np.ndarray, mrec: np.ndarray,
         nt.ctypes.data_as(i64p), sz.ctypes.data_as(i64p),
         B, nthreads, _u8(out), out_stride))
     return out
+
+
+def sqz4_plan_pack(data: bytes, window: int, blk_bits: int, lz: bool,
+                   lanes: int, tp_cap: int, nthreads: int = 0):
+    """Tokenize + expand + pack the encoder op streams in one threaded pass.
+
+    Returns (m_words, s_words [G, tp_cap//4, lanes] u32, max_ops)."""
+    lib = _load()
+    n = len(data)
+    bs = 1 << blk_bits
+    nblocks = max(1, (n + bs - 1) // bs)
+    G = -(-nblocks // lanes)
+    tp_rows = tp_cap // 4
+    src = np.frombuffer(data, dtype=np.uint8) if data else np.zeros(1, np.uint8)
+    m_words = np.full((G, tp_rows, lanes), 0xFFFFFFFF, dtype=np.uint32)
+    s_words = np.zeros((G, tp_rows, lanes), dtype=np.uint32)
+    counts = np.zeros(nblocks, dtype=np.int64)
+    u32p = ctypes.POINTER(ctypes.c_uint32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    mx = _check(lib.sqz4_plan_pack(
+        _u8(src), n, window, blk_bits, int(lz), lanes, tp_cap, nthreads,
+        m_words.ctypes.data_as(u32p), s_words.ctypes.data_as(u32p),
+        counts.ctypes.data_as(i64p)))
+    return m_words, s_words, mx
+
+
+def sqz4_pack_payloads(payloads, lanes: int, pw: int,
+                       nthreads: int = 0) -> np.ndarray:
+    """Pack block payloads into the decode kernel's [G, pw, lanes] words."""
+    lib = _load()
+    nblocks = len(payloads)
+    G = -(-nblocks // lanes)
+    flat = b"".join(payloads)
+    sizes = np.asarray([len(p) for p in payloads], dtype=np.int64)
+    offsets = np.zeros(nblocks, dtype=np.int64)
+    np.cumsum(sizes[:-1], out=offsets[1:]) if nblocks > 1 else None
+    src = np.frombuffer(flat, dtype=np.uint8) if flat else np.zeros(1, np.uint8)
+    words = np.zeros((G, pw, lanes), dtype=np.uint32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    _check(lib.sqz4_pack_payloads(
+        _u8(src), offsets.ctypes.data_as(i64p), sizes.ctypes.data_as(i64p),
+        nblocks, lanes, pw, nthreads,
+        words.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32))))
+    return words

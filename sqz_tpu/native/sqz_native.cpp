@@ -1007,4 +1007,135 @@ int64_t sqz_assemble_blocks(const uint32_t* tok, uint64_t tok_stride,
     return static_cast<int64_t>(nblocks);
 }
 
+// Plan + pack the sqz4 encoder's device input in one threaded pass:
+// tokenize each 2^blk_bits block (greedy, reject-short-far — the sqz4
+// policy), expand to (model, symbol) micro-ops, and write them straight
+// into the TPU kernel's [G, Tp/4, lanes] u32 layout (4 big-endian u8 ops
+// per word; model 255 = pad, 254 = flush). m_words/s_words must be sized
+// for tp_rows = tp_cap/4 rows per group and PRE-FILLED by the caller
+// (m: 0xFFFFFFFF pad pattern, s: 0). Returns max ops per block or -errno.
+int64_t sqz4_plan_pack(const uint8_t* data, uint64_t n, uint32_t window,
+                       int blk_bits, int lz, uint64_t lanes, uint64_t tp_cap,
+                       int nthreads, uint32_t* m_words, uint32_t* s_words,
+                       int64_t* op_counts) {
+    const uint64_t bs = 1ull << blk_bits;
+    const uint64_t nblocks = n == 0 ? 1 : (n + bs - 1) / bs;
+    const uint64_t tp_rows = tp_cap / 4;
+    if (nthreads <= 0) nthreads = static_cast<int>(std::thread::hardware_concurrency());
+    if (nthreads < 1) nthreads = 1;
+    std::vector<std::thread> pool;
+    std::atomic<uint64_t> next{0};
+    std::atomic<int64_t> fail{0};
+    auto worker = [&]() {
+        std::vector<uint8_t> ms, ss;
+        ms.reserve(2 * bs + 16);
+        ss.reserve(2 * bs + 16);
+        for (;;) {
+            uint64_t b = next.fetch_add(1);
+            if (b >= nblocks) return;
+            const uint8_t* blk = data + b * bs;
+            const uint64_t len = (n - b * bs) < bs ? (n - b * bs) : bs;
+            ms.clear();
+            ss.clear();
+            try {
+                if (lz) {
+                    MatchFinder mf(blk, len, window, 2, 254);
+                    uint64_t i = 0;
+                    while (i < len) {
+                        uint32_t mlen, dist;
+                        mf.find(i, &mlen, &dist);
+                        uint32_t nbits = 0;
+                        for (uint32_t d = dist; d != 0; d >>= 1) nbits++;
+                        if (mlen <= 3 && nbits > 3) mlen = 0;
+                        if (mlen >= 2) {
+                            ms.push_back(0); ss.push_back(0);
+                            ms.push_back(1); ss.push_back(
+                                static_cast<uint8_t>(mlen));
+                            ms.push_back(3); ss.push_back(
+                                static_cast<uint8_t>(nbits));
+                            uint32_t d = dist;
+                            for (uint32_t k = 0; k + 1 < nbits; k++) {
+                                ms.push_back(static_cast<uint8_t>(4 + k));
+                                ss.push_back(d & 1);
+                                d >>= 1;
+                            }
+                            for (uint32_t k = 0; k < mlen; k++) mf.insert(i + k);
+                            i += mlen;
+                        } else {
+                            ms.push_back(0); ss.push_back(1);
+                            ms.push_back(2); ss.push_back(blk[i]);
+                            mf.insert(i);
+                            i++;
+                        }
+                    }
+                } else {
+                    for (uint64_t i = 0; i < len; i++) {
+                        ms.push_back(0); ss.push_back(1);
+                        ms.push_back(2); ss.push_back(blk[i]);
+                    }
+                }
+            } catch (const CodecError& e) {
+                fail.store(-e.err);
+                return;
+            }
+            // EOS + 8 flush emissions
+            ms.push_back(0); ss.push_back(0);
+            ms.push_back(1); ss.push_back(0xFF);
+            for (int k = 0; k < 8; k++) { ms.push_back(254); ss.push_back(0); }
+            if (ms.size() > tp_cap) { fail.store(-ENOBUFS); return; }
+            op_counts[b] = static_cast<int64_t>(ms.size());
+            const uint64_t g = b / lanes, lane = b % lanes;
+            uint32_t* mw = m_words + g * tp_rows * lanes;
+            uint32_t* sw = s_words + g * tp_rows * lanes;
+            for (uint64_t t = 0; t < ms.size(); t++) {
+                const uint64_t cell = (t >> 2) * lanes + lane;
+                const uint32_t sh = 24 - 8 * (t & 3);
+                mw[cell] = (mw[cell] & ~(0xFFu << sh))
+                           | (static_cast<uint32_t>(ms[t]) << sh);
+                sw[cell] = (sw[cell] & ~(0xFFu << sh))
+                           | (static_cast<uint32_t>(ss[t]) << sh);
+            }
+        }
+    };
+    for (int t = 0; t < nthreads; t++) pool.emplace_back(worker);
+    for (auto& th : pool) th.join();
+    if (fail.load() != 0) return fail.load();
+    int64_t mx = 0;
+    for (uint64_t b = 0; b < nblocks; b++) mx = std::max(mx, op_counts[b]);
+    return mx;
+}
+
+// Pack block payloads into the decode kernel's [G, Pw, lanes] u32 word
+// layout (big-endian bytes within words). payloads are concatenated with
+// offsets/sizes; arrays must be caller-zeroed.
+int64_t sqz4_pack_payloads(const uint8_t* payloads, const int64_t* offsets,
+                           const int64_t* sizes, uint64_t nblocks,
+                           uint64_t lanes, uint64_t pw, int nthreads,
+                           uint32_t* words) {
+    if (nthreads <= 0) nthreads = static_cast<int>(std::thread::hardware_concurrency());
+    if (nthreads < 1) nthreads = 1;
+    std::vector<std::thread> pool;
+    std::atomic<uint64_t> next{0};
+    std::atomic<int64_t> fail{0};
+    auto worker = [&]() {
+        for (;;) {
+            uint64_t b = next.fetch_add(1);
+            if (b >= nblocks) return;
+            const uint8_t* p = payloads + offsets[b];
+            const uint64_t len = static_cast<uint64_t>(sizes[b]);
+            if (len > pw * 4) { fail.store(-ENOBUFS); return; }
+            const uint64_t g = b / lanes, lane = b % lanes;
+            uint32_t* w = words + g * pw * lanes + lane;
+            for (uint64_t j = 0; j < len; j++) {
+                w[(j >> 2) * lanes] |= static_cast<uint32_t>(p[j])
+                                       << (24 - 8 * (j & 3));
+            }
+        }
+    };
+    for (int t = 0; t < nthreads; t++) pool.emplace_back(worker);
+    for (auto& th : pool) th.join();
+    if (fail.load() != 0) return fail.load();
+    return static_cast<int64_t>(nblocks);
+}
+
 }  // extern "C"

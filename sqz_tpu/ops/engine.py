@@ -53,25 +53,12 @@ def compress_blocks(parts: Sequence[bytes], fmt, win_bits: int,
         from sqz_tpu.ops import sqz4_jax
         from sqz_tpu import native
         if use_pallas() and native.available():
-            import numpy as np
             from sqz_tpu.ops import sqz4_pallas
-            toks = [native.tokenize(p, 1 << win_bits, SQZ4_MIN_LEN,
-                                    SQZ4_MAX_LEN, reject_short_far=True)
-                    if lz else
-                    np.stack([np.zeros(len(p), np.int32),
-                              np.frombuffer(p, np.uint8).astype(np.int32),
-                              np.zeros(len(p), np.int32)], axis=1)
-                    for p in parts]
-            ops = [sqz4_jax.microops_from_token_array(t) for t in toks]
-            T = max(len(m) for m, _ in ops)
-            NB = len(ops)
-            m_ops = np.full((NB, T), sqz4_jax.OP_PAD, dtype=np.int32)
-            s_ops = np.zeros((NB, T), dtype=np.int32)
-            for b, (m, sy) in enumerate(ops):
-                m_ops[b, :len(m)] = m
-                s_ops[b, :len(sy)] = sy
-            return sqz4_pallas.encode_groups_full(
-                m_ops, s_ops, cap=(1 << blk_bits) + 2048)
+            data = b"".join(parts)
+            assert all(len(p) == 1 << blk_bits for p in parts[:-1])
+            return sqz4_pallas.encode_data_full(
+                data, blk_bits, 1 << win_bits, lz,
+                cap=(1 << blk_bits) + 2048)
         tokens = [_tokenize(p, 1 << win_bits, SQZ4_MIN_LEN, SQZ4_MAX_LEN,
                             reject=True, lz=lz) for p in parts]
         return sqz4_jax.encode_blocks(tokens, blk_bits)

@@ -627,6 +627,27 @@ def encode_groups_full(m_ops: np.ndarray, s_ops: np.ndarray, cap: int,
     return unpack_group_payloads(np.asarray(words), lens, NB)
 
 
+
+def encode_data_full(data: bytes, blk_bits: int, window: int, lz: bool,
+                     cap: int, tc: int = ENC_TC):
+    """Whole-buffer encode: native threaded plan+pack straight into the
+    kernel's word layout, then the self-contained device coder."""
+    from sqz_tpu import native
+    bs = 1 << blk_bits
+    NB = max(1, -(-len(data) // bs))
+    tp_cap = -(-(5 * bs // 2 + 16) // (4 * tc)) * 4 * tc
+    mw, sw, mx = native.sqz4_plan_pack(data, window, blk_bits, lz,
+                                       LANES, tp_cap)
+    rows = -(-int(mx) // (4 * tc)) * tc        # used word rows, tc-aligned
+    cap_words = (-(-(cap + 3) // 4) + 31) // 32 * 32
+    words, lens = _encode_full_pallas(jnp.asarray(mw[:, :rows]),
+                                      jnp.asarray(sw[:, :rows]), cap_words, tc)
+    lens = np.asarray(lens)
+    if int(lens.max(initial=0)) > cap_words * 4:
+        raise ValueError("compressed block exceeded the output capacity")
+    return unpack_group_payloads(np.asarray(words), lens, NB)
+
+
 # ----------------------------------------------------------------- decoder
 
 ST_FLAG, ST_BYTE, ST_SIZE, ST_BITS, ST_DIST, ST_DONE, ST_ERR = range(7)
@@ -1135,16 +1156,22 @@ def decode_groups(payloads, sizes, blk_bits: int, interpret: bool = False):
     G = -(-NB // LANES)
     cap = bs + 4096
     Pw = -(-cap // 4 + 31) // 32 * 32
-    buf = np.zeros((G, Pw, LANES), dtype=np.uint32)
     plens = np.zeros((G, LANES), dtype=np.int32)
     szs = np.zeros((G, LANES), dtype=np.int32)
     for b, p in enumerate(payloads):
         assert len(p) <= 4 * Pw, "payload exceeds decoder buffer"
         g, lane = divmod(b, LANES)
-        w = np.frombuffer(p.ljust(-(-len(p) // 4) * 4, b"\0"), dtype=">u4")
-        buf[g, :len(w), lane] = w
         plens[g, lane] = len(p)
         szs[g, lane] = sizes[b]
+    if native.available():
+        buf = native.sqz4_pack_payloads(payloads, LANES, Pw)
+    else:
+        buf = np.zeros((G, Pw, LANES), dtype=np.uint32)
+        for b, p in enumerate(payloads):
+            g, lane = divmod(b, LANES)
+            w = np.frombuffer(p.ljust(-(-len(p) // 4) * 4, b"\0"),
+                              dtype=">u4")
+            buf[g, :len(w), lane] = w
     def ceil(a, b):
         return -(-a // b)
     lw = max(bs // 4, 32)
