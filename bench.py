@@ -16,7 +16,7 @@ baseline  = the single-threaded native C++ codec (byte-identical streams to
             the reference C library, which publishes no throughput numbers —
             performance was an explicit non-goal, README.md:23-25).
 
-Env knobs: SQZ_BENCH_BYTES (default 4 MiB = one full 256-lane group), SQZ_BENCH_BLK_BITS (default 14),
+Env knobs: SQZ_BENCH_BYTES (default 16 MiB, the tiled reference corpus), SQZ_BENCH_BLK_BITS (default 14),
 SQZ_BENCH_LZ (default 1).
 """
 
@@ -31,15 +31,18 @@ import numpy as np
 
 
 def _input_bytes(n: int) -> bytes:
+    # tile the real reference corpus (text + binaries + already-compressed)
+    # rather than padding with synthetic text: block-parallel throughput on
+    # repeated real blocks is representative at any size
     from sqz_tpu.utils import corpus
     data = b"".join(f.read_bytes() for f in corpus.available_corpus())
-    if len(data) < n:
-        data = data + corpus.texty(n - len(data), seed=1)
+    while len(data) < n:
+        data = data + data
     return data[:n]
 
 
 def main() -> None:
-    n_bytes = int(os.environ.get("SQZ_BENCH_BYTES", 4 * 1024 * 1024))
+    n_bytes = int(os.environ.get("SQZ_BENCH_BYTES", 16 * 1024 * 1024))
     blk_bits = int(os.environ.get("SQZ_BENCH_BLK_BITS", 14))
     lz = os.environ.get("SQZ_BENCH_LZ", "1") == "1"
     window = 1 << 15
@@ -48,7 +51,7 @@ def main() -> None:
     import jax.numpy as jnp
 
     from sqz_tpu import native
-    from sqz_tpu.ops import sqz4_jax, sqz4_pallas as sp
+    from sqz_tpu.ops import sqz4_pallas as sp
 
     data = _input_bytes(n_bytes)
     bs = 1 << blk_bits
@@ -76,35 +79,15 @@ def main() -> None:
     # untimed here; the stderr end-to-end includes it), self-contained
     # Pallas coder kernel (device-resident model tables) timed
     t0 = time.perf_counter()
-    toks = [native.tokenize(p, window, 2, 254, reject_short_far=True)
-            if lz else
-            np.stack([np.zeros(len(p), np.int32),
-                      np.frombuffer(p, np.uint8).astype(np.int32),
-                      np.zeros(len(p), np.int32)], axis=1)
-            for p in parts]
-    ops = [sqz4_jax.microops_from_token_array(t) for t in toks]
-    T = max(len(m) for m, _ in ops)
-    m_ops = np.full((NB, T), sqz4_jax.OP_PAD, dtype=np.int32)
-    s_ops = np.zeros((NB, T), dtype=np.int32)
-    for b, (m, s) in enumerate(ops):
-        m_ops[b, :len(m)] = m
-        s_ops[b, :len(s)] = s
     cap = bs + 2048
     cap_words = (-(-(cap + 3) // 4) + 31) // 32 * 32
-    G = -(-NB // sp.LANES)
-    Tp = -(-T // sp.ENC_TC) * sp.ENC_TC
-    m8 = np.full((G * sp.LANES, Tp), sp.MOP_PAD, np.uint8)
-    s8 = np.zeros((G * sp.LANES, Tp), np.uint8)
-    msrc = np.where(m_ops < 0, sp.MOP_PAD,
-                    np.where(m_ops >= 36, sp.MOP_FLUSH, m_ops))
-    m8[:NB, :T] = msrc.astype(np.uint8)
-    s8[:NB, :T] = (s_ops & 0xFF).astype(np.uint8)
-
-    def _pack(a8):
-        a = np.ascontiguousarray(a8.reshape(G, sp.LANES, Tp).transpose(0, 2, 1))
-        a = a.reshape(G, Tp // 4, 4, sp.LANES).astype(np.uint32)
-        return (a[:, :, 0] << 24) | (a[:, :, 1] << 16) | (a[:, :, 2] << 8) | a[:, :, 3]
-    mw, sw = _pack(m8), _pack(s8)
+    tc = sp.ENC_TC
+    tp_cap = -(-(5 * bs // 2 + 16) // (4 * tc)) * 4 * tc
+    mw, sw, mx = native.sqz4_plan_pack(data, window, blk_bits, lz,
+                                       sp.ENC_LANES, tp_cap)
+    rows = -(-int(mx) // (4 * tc)) * tc
+    mw = np.ascontiguousarray(mw[:, :rows])
+    sw = np.ascontiguousarray(sw[:, :rows])
     t_host_enc = time.perf_counter() - t0
     mwd, swd = jnp.asarray(mw), jnp.asarray(sw)
     jax.block_until_ready((mwd, swd))
@@ -125,28 +108,25 @@ def main() -> None:
     # ---- decode: payload upload untimed (device-resident input), Pallas
     # kernel + record-stream download + native assembly timed end-to-end;
     # kernel time reported separately
+    G = -(-NB // sp.LANES)
     Pw = -(-(bs + 4096) // 4 + 31) // 32 * 32
-    buf = np.zeros((G, Pw, sp.LANES), np.uint32)
-    plens = np.zeros((G, sp.LANES), np.int32)
-    szs = np.zeros((G, sp.LANES), np.int32)
+    buf = native.sqz4_pack_payloads(payloads, sp.LANES, Pw)
+    meta = np.zeros((G, 8, sp.LANES), np.int32)
     for b, p in enumerate(payloads):
         g, lane = divmod(b, sp.LANES)
-        w = np.frombuffer(p.ljust(-(-len(p) // 4) * 4, b"\0"), dtype=">u4")
-        buf[g, :len(w), lane] = w
-        plens[g, lane] = len(p)
-        szs[g, lane] = sizes[b]
+        meta[g, 0, lane] = len(p)
+        meta[g, 1, lane] = sizes[b]
     lw = max(bs // 4, 32)
     tw = (-(-bs // 32) + 1 + 31) // 32 * 32
     mw = max(bs // 4, 64)
     t_max = 9 * bs + 64
     bufd = jnp.asarray(buf)
-    plend = jnp.asarray(plens)
-    szd2 = jnp.asarray(szs)
-    jax.block_until_ready((bufd, plend, szd2))
+    metad = jnp.asarray(meta)
+    jax.block_until_ready((bufd, metad))
 
     def run_decode():
         lit, tok, mrec, counts = sp._decode_pallas(
-            bufd, plend, szd2, t_max, lw, tw, mw)
+            bufd, metad, t_max, lw, tw, mw)
         return np.asarray(counts), lit, tok, mrec
 
     counts, lit, tok, mrec = run_decode()            # warm-up + compile

@@ -39,9 +39,11 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-LANES = 256          # blocks per kernel group (the per-step scalar chain is
-                     # latency-bound: two vreg lane-groups cost ~24% more per
-                     # step than one and double the work per step)
+LANES = 256          # decoder blocks per kernel group (the per-step scalar
+                     # chain is latency-bound: two vreg lane-groups cost ~24%
+                     # more per step than one and double the work per step;
+                     # the decoder's VMEM budget caps it at 256)
+ENC_LANES = 512      # encoder groups are smaller in VMEM -> 4 lane-groups
 ENC_TC = 1024        # encoder T-chunk (grid-streamed from HBM)
 U32 = jnp.uint32
 I32 = jnp.int32
@@ -138,27 +140,34 @@ def mul_small64(a, bh, bl):
 
 
 def div64_small(nh, nl, d):
-    """Exact (nh, nl) // d for u32 d in [1, 2^17); returns (qh, ql, rem)."""
-    dig = [u2i(nh >> 24),
-           u2i((nh >> 10) & 0x3FFF),
-           u2i(((nh << 4) | (nl >> 28)) & 0x3FFF),
-           u2i((nl >> 14) & 0x3FFF),
-           u2i(nl & 0x3FFF)]
+    """Exact (nh, nl) // d for u32 d in [1, 2^15); returns (qh, ql, rem).
+
+    Base-2^16 long division, 4 digit rounds. Each round's dividend chunk
+    ``rem * 2^16 + digit`` is < 2^31 (rem < d < 2^15); the f32 reciprocal
+    estimate has absolute quotient error << 1 (relative f32 error 2^-23
+    against a 2^16-bounded quotient), so a single +-1 correction is exact.
+    The d < 2^15 bound holds because model totals are at most 257 + ops per
+    block and the kernels cap blocks at 2^14 bytes (<= 2.5 ops/byte).
+    """
+    dig = [u2i(nh >> 16), u2i(nh & 0xFFFF), u2i(nl >> 16), u2i(nl & 0xFFFF)]
     di = u2i(d)
     inv = 1.0 / di.astype(F32)
     rem = jnp.zeros_like(di)
     qh = jnp.zeros_like(d)
     ql = jnp.zeros_like(d)
-    for k in range(5):
-        cur = (rem << 14) | dig[k]
+    for k in range(4):
+        cur = (rem << 16) | dig[k]
         q = (cur.astype(F32) * inv).astype(I32)
         r = cur - q * di
         q = jnp.where(r < 0, q - 1, q)
         r = jnp.where(r < 0, r + di, r)
         q = jnp.where(r >= di, q + 1, q)
         r = jnp.where(r >= di, r - di, r)
-        qh = (qh << 14) | (ql >> 18)
-        ql = (ql << 14) | i2u(q)
+        if k:
+            qh = (qh << 16) | (ql >> 16)
+            ql = (ql << 16) | i2u(q)
+        else:
+            ql = i2u(q)
         rem = r
     return qh, ql, i2u(rem)
 
@@ -319,7 +328,7 @@ def _encode_kernel(start_ref, size_ref, total_ref, out_ref, lens_ref,
     @pl.when(tc == nt - 1)
     def _():
         # drain: spill the partial word (zero-padded), retire all halves
-        lens_ref[...] = u2i((wpos << 2) + ocnt)
+        lens_ref[0, 0:1, :] = u2i((wpos << 2) + ocnt)
         mask = (iota64 == (u2i(wpos) & 63)) & (ocnt > 0)
         stage_ref[...] = jnp.where(mask, ob0, stage_ref[...])
         wfin = wpos + b2u(ocnt > 0)
@@ -347,17 +356,19 @@ def _encode_pallas(start, size, total, cap_words: int, tc: int = ENC_TC,
         out_specs=(
             pl.BlockSpec((1, cap_words, B), lambda g, t: (g, z, z),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B), lambda g, t: (g, z),
+            pl.BlockSpec((1, 8, B), lambda g, t: (g, z, z),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((G, cap_words, B), U32),
-            jax.ShapeDtypeStruct((G, B), I32),
+            jax.ShapeDtypeStruct((G, 8, B), I32),
         ),
         scratch_shapes=[
             pltpu.VMEM((10, B), U32),   # coder registers + cursors + obuf
             pltpu.VMEM((64, B), U32),   # output word ring
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(start, size, total)
 
@@ -383,22 +394,23 @@ def encode_groups(start: np.ndarray, size: np.ndarray, total: np.ndarray,
     the native/oracle/reference encoders).
     """
     NB, T = start.shape
-    assert int(total.max(initial=0)) < (1 << 17), "totals exceed divider range"
+    assert int(total.max(initial=0)) < (1 << 15), "totals exceed divider range"
     cap_words = (-(-(cap + 3) // 4) + 31) // 32 * 32
     st, sz, tt = pack_group_stats((start, size, total), NB, T, tc)
     words, lens = _encode_pallas(jnp.asarray(st), jnp.asarray(sz),
                                  jnp.asarray(tt), cap_words, tc, interpret)
     lens = np.asarray(lens)
-    if int(lens.max(initial=0)) > cap_words * 4:
+    if int(lens[:, 0].max(initial=0)) > cap_words * 4:
         raise ValueError("compressed block exceeded the output capacity")
     return unpack_group_payloads(np.asarray(words), lens, NB)
 
 
 def unpack_group_payloads(words: np.ndarray, lens: np.ndarray, nb: int):
+    lanes = words.shape[2]
     payloads = []
     for b in range(nb):
-        g, lane = divmod(b, LANES)
-        n = int(lens[g, lane])
+        g, lane = divmod(b, lanes)
+        n = int(lens[g, 0, lane])
         payloads.append(
             words[g, :(n + 3) // 4, lane].astype(">u4").tobytes()[:n])
     return payloads
@@ -552,7 +564,7 @@ def _encode_full_kernel(m_ref, s_ref, out_ref, lens_ref,
 
     @pl.when(tc == nt - 1)
     def _():
-        lens_ref[...] = u2i((wpos << 2) + ocnt)
+        lens_ref[0, 0:1, :] = u2i((wpos << 2) + ocnt)
         mask = (iota64 == (u2i(wpos) & 63)) & (ocnt > 0)
         stage_ref[...] = jnp.where(mask, ob0, stage_ref[...])
         wfin = wpos + b2u(ocnt > 0)
@@ -577,12 +589,12 @@ def _encode_full_pallas(m_ops, s_ops, cap_words: int, tc: int = ENC_TC,
         out_specs=(
             pl.BlockSpec((1, cap_words, B), lambda g, t: (g, z, z),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B), lambda g, t: (g, z),
+            pl.BlockSpec((1, 8, B), lambda g, t: (g, z, z),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((G, cap_words, B), U32),
-            jax.ShapeDtypeStruct((G, B), I32),
+            jax.ShapeDtypeStruct((G, 8, B), I32),
         ),
         scratch_shapes=[
             pltpu.VMEM((10, B), U32),    # coder registers + cursors
@@ -593,6 +605,8 @@ def _encode_full_pallas(m_ops, s_ops, cap_words: int, tc: int = ENC_TC,
             pltpu.VMEM((32, B), I32),    # dist freq0
             pltpu.VMEM((32, B), I32),    # dist freq1
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(m_ops, s_ops)
 
@@ -622,14 +636,14 @@ def encode_groups_full(m_ops: np.ndarray, s_ops: np.ndarray, cap: int,
                                       jnp.asarray(pack_words(s8)),
                                       cap_words, tc, interpret)
     lens = np.asarray(lens)
-    if int(lens.max(initial=0)) > cap_words * 4:
+    if int(lens[:, 0].max(initial=0)) > cap_words * 4:
         raise ValueError("compressed block exceeded the output capacity")
     return unpack_group_payloads(np.asarray(words), lens, NB)
 
 
 
 def encode_data_full(data: bytes, blk_bits: int, window: int, lz: bool,
-                     cap: int, tc: int = ENC_TC):
+                     cap: int, tc: int = ENC_TC, lanes: int = ENC_LANES):
     """Whole-buffer encode: native threaded plan+pack straight into the
     kernel's word layout, then the self-contained device coder."""
     from sqz_tpu import native
@@ -637,13 +651,13 @@ def encode_data_full(data: bytes, blk_bits: int, window: int, lz: bool,
     NB = max(1, -(-len(data) // bs))
     tp_cap = -(-(5 * bs // 2 + 16) // (4 * tc)) * 4 * tc
     mw, sw, mx = native.sqz4_plan_pack(data, window, blk_bits, lz,
-                                       LANES, tp_cap)
+                                       lanes, tp_cap)
     rows = -(-int(mx) // (4 * tc)) * tc        # used word rows, tc-aligned
     cap_words = (-(-(cap + 3) // 4) + 31) // 32 * 32
     words, lens = _encode_full_pallas(jnp.asarray(mw[:, :rows]),
                                       jnp.asarray(sw[:, :rows]), cap_words, tc)
     lens = np.asarray(lens)
-    if int(lens.max(initial=0)) > cap_words * 4:
+    if int(lens[:, 0].max(initial=0)) > cap_words * 4:
         raise ValueError("compressed block exceeded the output capacity")
     return unpack_group_payloads(np.asarray(words), lens, NB)
 
@@ -665,7 +679,7 @@ def _onehot_row(tab_ref, idx, rows):
                    keepdims=True, dtype=I32)
 
 
-def _decode_kernel(payload_ref, plens_ref, sizes_ref,
+def _decode_kernel(payload_ref, meta_ref,
                    lit_ref, tok_ref, mrec_ref, counts_ref,
                    cb_ref, cs_ref, bits_ref, d0_ref, d1_ref,
                    s1_ref, litring_ref, tokring_ref, mrecring_ref,
@@ -705,7 +719,7 @@ def _decode_kernel(payload_ref, plens_ref, sizes_ref,
     bases_ref[4:5, :] = jnp.ones((1, B), I32)
     bases_ref[5:6, :] = jnp.ones((1, B), I32)
     s1_ref[...] = payload_ref[0, 0:96, :]
-    sizes = sizes_ref[0:1, :] + zi
+    sizes = meta_ref[0, 1:2, :] + zi
 
     def retire(ring_ref, base_row: int, out_ref, ow: int, wpos, force):
         base = bases_ref[base_row:base_row + 1, :]
@@ -1077,9 +1091,10 @@ def _decode_kernel(payload_ref, plens_ref, sizes_ref,
 
 
 @partial(jax.jit, static_argnames=("t_max", "lw", "tw", "mw", "interpret"))
-def _decode_pallas(payload, plens, sizes, t_max: int, lw: int, tw: int,
+def _decode_pallas(payload, meta, t_max: int, lw: int, tw: int,
                    mw: int, interpret: bool = False):
-    """payload: [G, Pw, B] u32 words (big-endian bytes); plens/sizes [G, B].
+    """payload: [G, Pw, B] u32 words (big-endian bytes); meta [G, 8, B] i32
+    (row 0 payload lengths, row 1 original sizes).
 
     Returns (lit [G, LW, B] u32, tok [G, TW, B] u32, mrec [G, MW, B] u32,
     counts [G, 8, B] i32).
@@ -1093,8 +1108,8 @@ def _decode_pallas(payload, plens, sizes, t_max: int, lw: int, tw: int,
         in_specs=[
             pl.BlockSpec((1, Pw, B), lambda g: (g, z, z),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B), lambda g: (g, z), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B), lambda g: (g, z), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, B), lambda g: (g, z, z),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec((1, lw, B), lambda g: (g, z, z),
@@ -1124,8 +1139,10 @@ def _decode_pallas(payload, plens, sizes, t_max: int, lw: int, tw: int,
             pltpu.VMEM((64, B), U32),    # match-record ring
             pltpu.VMEM((8, B), I32),     # retirement bases + lit model
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(payload, plens, sizes)
+    )(payload, meta)
 
 
 def assemble_tokens_numpy(tok_bits: np.ndarray, lits: bytes,
@@ -1156,13 +1173,12 @@ def decode_groups(payloads, sizes, blk_bits: int, interpret: bool = False):
     G = -(-NB // LANES)
     cap = bs + 4096
     Pw = -(-cap // 4 + 31) // 32 * 32
-    plens = np.zeros((G, LANES), dtype=np.int32)
-    szs = np.zeros((G, LANES), dtype=np.int32)
+    meta = np.zeros((G, 8, LANES), dtype=np.int32)
     for b, p in enumerate(payloads):
         assert len(p) <= 4 * Pw, "payload exceeds decoder buffer"
         g, lane = divmod(b, LANES)
-        plens[g, lane] = len(p)
-        szs[g, lane] = sizes[b]
+        meta[g, 0, lane] = len(p)
+        meta[g, 1, lane] = sizes[b]
     if native.available():
         buf = native.sqz4_pack_payloads(payloads, LANES, Pw)
     else:
@@ -1179,8 +1195,7 @@ def decode_groups(payloads, sizes, blk_bits: int, interpret: bool = False):
     mw = max(bs // 4, 64)
     t_max = 9 * bs + 64
     lit, tok, mrec, counts = _decode_pallas(
-        jnp.asarray(buf), jnp.asarray(plens), jnp.asarray(szs),
-        t_max, lw, tw, mw, interpret)
+        jnp.asarray(buf), jnp.asarray(meta), t_max, lw, tw, mw, interpret)
     lit = np.asarray(lit)
     tok = np.asarray(tok)
     mrec = np.asarray(mrec)

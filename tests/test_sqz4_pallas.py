@@ -67,7 +67,7 @@ def test_u64_helpers_roundtrip():
                            jnp.asarray(s))) == a >> s).all()
     assert (np.asarray(sp.clz64(jnp.asarray(ah), jnp.asarray(al))) ==
             np.array([64 - int(x).bit_length() for x in a])).all()
-    d = rng.integers(1, 1 << 17, size=128, dtype=np.uint32)
+    d = rng.integers(1, 1 << 15, size=128, dtype=np.uint32)
     qh, ql, rem = sp.div64_small(jnp.asarray(ah), jnp.asarray(al),
                                  jnp.asarray(d))
     assert (to_np((qh, ql)) == a // d).all()
