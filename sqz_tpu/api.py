@@ -41,13 +41,15 @@ def _native():
 def compress(data: bytes, fmt: Format | str = Format.SQUEEZE,
              engine: Engine | str = Engine.NATIVE,
              win_bits: int = 15, lz: bool = True,
-             blocks: bool = False, blk_bits: int = 16) -> bytes:
+             blocks: bool = False, blk_bits: int = 16,
+             checksum: bool = True) -> bytes:
     fmt, engine = Format(fmt), Engine(engine)
     if blocks:
         parts = sqzt.split_blocks(data, blk_bits)
         payloads = _compress_blocks(parts, fmt, engine, win_bits, lz)
         code = SQZT_FORMAT_SQUEEZE if fmt is Format.SQUEEZE else SQZT_FORMAT_SQZ4
-        return sqzt.pack(code, win_bits, blk_bits, len(data), payloads)
+        csum = sqzt.fnv1a64(data) if checksum else None
+        return sqzt.pack(code, win_bits, blk_bits, len(data), payloads, csum)
     if engine is Engine.TPU:
         raise ValueError("tpu engine requires blocks=True (sqzt container)")
     if fmt is Format.SQUEEZE:
@@ -90,16 +92,20 @@ def decompress(blob: bytes, fmt: Optional[Format | str] = None,
                engine: Engine | str = Engine.NATIVE) -> bytes:
     engine = Engine(engine)
     if blob[:8] == sqzt.SQZT_MAGIC:
-        code, win_bits, blk_bits, osize, payloads = sqzt.unpack(blob)
+        code, win_bits, blk_bits, osize, payloads, csum = sqzt.unpack(blob)
         fmt = Format.SQUEEZE if code == SQZT_FORMAT_SQUEEZE else Format.SQZ4
         sizes = _block_sizes(osize, blk_bits, len(payloads))
         if engine is Engine.TPU:
             from sqz_tpu.ops import engine as tpu_engine
-            return tpu_engine.decompress_blocks(payloads, sizes, fmt)
-        out = bytearray()
-        for payload, size in zip(payloads, sizes):
-            out += _decode_one(payload, size, fmt, engine)
-        return bytes(out)
+            data = tpu_engine.decompress_blocks(payloads, sizes, fmt)
+        else:
+            out = bytearray()
+            for payload, size in zip(payloads, sizes):
+                out += _decode_one(payload, size, fmt, engine)
+            data = bytes(out)
+        if csum is not None and sqzt.fnv1a64(data) != csum:
+            raise ValueError("sqzt checksum mismatch (EILSEQ)")
+        return data
     # single-block reference containers
     if fmt is None:
         fmt = Format.SQZ4 if blob[:8] == b"squeeze4" else Format.SQUEEZE

@@ -3,18 +3,37 @@
 Splits data into fixed 2^blk_bits blocks, each independently coded with fresh
 model state, so blocks encode/decode in parallel on any engine. Per-block
 payloads carry no headers; this container records the format, window, block
-size, original size and the per-block compressed lengths.
+size, original size, the per-block compressed lengths, and (flags bit 0) an
+FNV-1a64 checksum of the original data appended after the length table —
+the integrity hook the reference accumulates on every io byte but never
+verifies (reference inc/rt/fileio.h:120-129); decompress verifies it.
 """
 
 from __future__ import annotations
 
 import struct
-from typing import List, Tuple
+from typing import List, Optional, Tuple
 
 from sqz_tpu.formats.constants import (
     SQZT_MAGIC, SQZT_HEADER_BYTES,
     SQZT_FORMAT_SQUEEZE, SQZT_FORMAT_SQZ4,
 )
+
+FLAG_CHECKSUM = 1
+
+FNV_INIT = 0xCBF29CE484222325
+FNV_PRIME = 0x100000001B3
+
+
+def fnv1a64(data: bytes) -> int:
+    """FNV-1a64 (reference map_hash_init/map_prime64, src/sqz.c:44-64)."""
+    from sqz_tpu import native
+    if native.available():
+        return native.fnv1a64(data)
+    h = FNV_INIT
+    for b in data:
+        h = ((h ^ b) * FNV_PRIME) & 0xFFFFFFFFFFFFFFFF
+    return h
 
 
 def split_blocks(data: bytes, blk_bits: int) -> List[bytes]:
@@ -23,29 +42,41 @@ def split_blocks(data: bytes, blk_bits: int) -> List[bytes]:
 
 
 def pack(fmt: int, win_bits: int, blk_bits: int, original_size: int,
-         block_payloads: List[bytes]) -> bytes:
+         block_payloads: List[bytes],
+         checksum: Optional[int] = None) -> bytes:
     assert fmt in (SQZT_FORMAT_SQUEEZE, SQZT_FORMAT_SQZ4)
+    flags = FLAG_CHECKSUM if checksum is not None else 0
     head = struct.pack(
-        "<8sBBB5xQQ", SQZT_MAGIC, fmt, win_bits, blk_bits,
+        "<8sBBBB4xQQ", SQZT_MAGIC, fmt, win_bits, blk_bits, flags,
         original_size, len(block_payloads))
     assert len(head) == SQZT_HEADER_BYTES
     table = b"".join(struct.pack("<Q", len(p)) for p in block_payloads)
-    return head + table + b"".join(block_payloads)
+    tail = struct.pack("<Q", checksum) if checksum is not None else b""
+    return head + table + tail + b"".join(block_payloads)
 
 
-def unpack(blob: bytes) -> Tuple[int, int, int, int, List[bytes]]:
-    """Returns (fmt, win_bits, blk_bits, original_size, block_payloads)."""
-    magic, fmt, win_bits, blk_bits, osize, nblocks = struct.unpack_from(
-        "<8sBBB5xQQ", blob, 0)
+def unpack(blob: bytes) -> Tuple[int, int, int, int, List[bytes],
+                                 Optional[int]]:
+    """Returns (fmt, win_bits, blk_bits, original_size, payloads, checksum)."""
+    magic, fmt, win_bits, blk_bits, flags, osize, nblocks = struct.unpack_from(
+        "<8sBBBB4xQQ", blob, 0)
     if magic != SQZT_MAGIC:
         raise ValueError("bad sqzt magic")
     off = SQZT_HEADER_BYTES
+    if off + 8 * nblocks > len(blob):
+        raise ValueError("truncated sqzt length table")
     sizes = struct.unpack_from(f"<{nblocks}Q", blob, off)
     off += 8 * nblocks
+    checksum = None
+    if flags & FLAG_CHECKSUM:
+        checksum = struct.unpack_from("<Q", blob, off)[0]
+        off += 8
     payloads = []
     for s in sizes:
+        if off + s > len(blob):
+            raise ValueError("truncated sqzt payload")
         payloads.append(blob[off:off + s])
         off += s
     if off != len(blob):
         raise ValueError(f"container size mismatch: {off} != {len(blob)}")
-    return fmt, win_bits, blk_bits, osize, payloads
+    return fmt, win_bits, blk_bits, osize, payloads, checksum

@@ -74,6 +74,8 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.sqz4_plan_pack.restype = i64
         lib.sqz4_plan_pack.argtypes = [u8p, u64, u32, i32, i32, u64, u64,
                                        i32, u32p, u32p, i64p]
+        lib.sqz_fnv1a64.restype = u64
+        lib.sqz_fnv1a64.argtypes = [u8p, u64]
         lib.sqz4_pack_payloads.restype = i64
         lib.sqz4_pack_payloads.argtypes = [u8p, i64p, i64p, u64, u64, u64,
                                            i32, u32p]
@@ -338,3 +340,9 @@ def sqz4_pack_payloads(payloads, lanes: int, pw: int,
         nblocks, lanes, pw, nthreads,
         words.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32))))
     return words
+
+
+def fnv1a64(data: bytes) -> int:
+    lib = _load()
+    src = np.frombuffer(data, dtype=np.uint8) if data else np.zeros(1, np.uint8)
+    return int(lib.sqz_fnv1a64(_u8(src), len(data)))

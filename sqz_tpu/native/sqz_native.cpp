@@ -1138,4 +1138,17 @@ int64_t sqz4_pack_payloads(const uint8_t* payloads, const int64_t* offsets,
     return static_cast<int64_t>(nblocks);
 }
 
+// FNV-1a 64-bit over a byte buffer — the integrity hook the reference
+// computes on every io_put/io_get byte but never verifies
+// (reference inc/rt/fileio.h:120-129); the sqzt container stores and
+// verifies it.
+uint64_t sqz_fnv1a64(const uint8_t* data, uint64_t n) {
+    uint64_t h = 0xCBF29CE484222325ull;
+    for (uint64_t i = 0; i < n; i++) {
+        h ^= data[i];
+        h *= 0x100000001B3ull;
+    }
+    return h;
+}
+
 }  // extern "C"
