@@ -74,6 +74,9 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.sqz4_plan_pack.restype = i64
         lib.sqz4_plan_pack.argtypes = [u8p, u64, u32, i32, i32, u64, u64,
                                        i32, u32p, u32p, i64p]
+        lib.squeeze_plan_pack.restype = i64
+        lib.squeeze_plan_pack.argtypes = [u8p, u64, i32, i32, u64, u64,
+                                          i32, u32p]
         lib.sqz_fnv1a64.restype = u64
         lib.sqz_fnv1a64.argtypes = [u8p, u64]
         lib.sqz4_pack_payloads.restype = i64
@@ -346,3 +349,21 @@ def fnv1a64(data: bytes) -> int:
     lib = _load()
     src = np.frombuffer(data, dtype=np.uint8) if data else np.zeros(1, np.uint8)
     return int(lib.sqz_fnv1a64(_u8(src), len(data)))
+
+
+def squeeze_plan_pack(data: bytes, win_bits: int, blk_bits: int,
+                      lanes: int, tw_cap: int, nthreads: int = 0):
+    """Adaptive-Huffman encode per block recording bitstream writes in the
+    TPU packer's [G, tw_cap, lanes] u32 layout (0 = pad). Returns
+    (words, max_writes)."""
+    lib = _load()
+    n = len(data)
+    bs = 1 << blk_bits
+    nblocks = max(1, (n + bs - 1) // bs)
+    G = -(-nblocks // lanes)
+    src = np.frombuffer(data, dtype=np.uint8) if data else np.zeros(1, np.uint8)
+    words = np.zeros((G, tw_cap, lanes), dtype=np.uint32)
+    mx = _check(lib.squeeze_plan_pack(
+        _u8(src), n, win_bits, blk_bits, lanes, tw_cap, nthreads,
+        words.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32))))
+    return words, mx

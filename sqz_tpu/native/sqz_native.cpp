@@ -68,6 +68,40 @@ class BitWriter {
     int nbits_ = 0;
 };
 
+// Records bitstream writes for the TPU bit-packer kernel: one u32 per
+// write, nbits in bits 29..25, the nbits-bit value BIT-REVERSED in bits
+// 24..0 (the packer appends stream-order-first-bit-at-the-top chunks;
+// BitWriter emits values LSB-first). Writes over 24 bits split.
+class WriteRecorder {
+  public:
+    explicit WriteRecorder(std::vector<uint32_t>& out) : out_(&out) {}
+
+    void write_bit(uint32_t bit) { write_bits(bit & 1u, 1); }
+
+    void write_bits(uint64_t value, int nbits) {
+        while (nbits > 24) {
+            write_bits(value & 0xFFFFFF, 24);
+            value >>= 24;
+            nbits -= 24;
+        }
+        if (nbits == 0) return;
+        uint32_t rev = 0;
+        for (int i = 0; i < nbits; i++) {
+            rev = (rev << 1) | (static_cast<uint32_t>(value >> i) & 1u);
+        }
+        out_->push_back((static_cast<uint32_t>(nbits) << 25) | rev);
+        bits_ += static_cast<uint64_t>(nbits);
+    }
+
+    void flush() {}  // the packer pads the final 64-bit word itself
+
+    uint64_t bits() const { return bits_; }
+
+  private:
+    std::vector<uint32_t>* out_;
+    uint64_t bits_ = 0;
+};
+
 class BitReader {
   public:
     BitReader(const uint8_t* data, uint64_t n) : data_(data), n_(n) {}
@@ -368,12 +402,14 @@ class MatchFinder {
 
 // --------------------------------------------------------- squeeze encoder
 
-void squeeze_write_sym(BitWriter& bw, HuffTree& t, int sym) {
+template <typename W>
+void squeeze_write_sym(W& bw, HuffTree& t, int sym) {
     bw.write_bits(t.path(sym), t.bits(sym));
     t.inc_frequency(sym);  // strictly after emission (FORMAT.md §1.3)
 }
 
-void squeeze_encode_lit(BitWriter& bw, HuffTree& lit, int sym) {
+template <typename W>
+void squeeze_encode_lit(W& bw, HuffTree& lit, int sym) {
     if (!lit.seen(sym)) {
         squeeze_write_sym(bw, lit, kLitNyt);
         bw.write_bits(static_cast<uint64_t>(sym), 9);
@@ -383,7 +419,8 @@ void squeeze_encode_lit(BitWriter& bw, HuffTree& lit, int sym) {
     }
 }
 
-void squeeze_encode_pos(BitWriter& bw, HuffTree& pos, int code) {
+template <typename W>
+void squeeze_encode_pos(W& bw, HuffTree& pos, int code) {
     if (!pos.seen(code)) {
         squeeze_write_sym(bw, pos, kPosNyt);
         bw.write_bits(static_cast<uint64_t>(code), 5);
@@ -393,8 +430,9 @@ void squeeze_encode_pos(BitWriter& bw, HuffTree& pos, int code) {
     }
 }
 
+template <typename W>
 void squeeze_encode_payload(const uint8_t* data, uint64_t n, int win_bits,
-                            BitWriter& bw) {
+                            W& bw) {
     HuffTree lit(512), pos(32);
     lit.insert(kLitNyt);
     pos.insert(kPosNyt);
@@ -1149,6 +1187,52 @@ uint64_t sqz_fnv1a64(const uint8_t* data, uint64_t n) {
         h *= 0x100000001B3ull;
     }
     return h;
+}
+
+// Plan + pack the squeeze encoder's device input: run the full adaptive
+// Huffman encode per block (trees + match finder at host speed) but record
+// the bitstream WRITES instead of packing them; the TPU packer kernel
+// assembles the payload bits. One u32 per write in the kernel's
+// [G, Tw, lanes] layout (0 = pad). Returns max writes per block or -errno.
+int64_t squeeze_plan_pack(const uint8_t* data, uint64_t n, int win_bits,
+                          int blk_bits, uint64_t lanes, uint64_t tw_cap,
+                          int nthreads, uint32_t* words) {
+    const uint64_t bs = 1ull << blk_bits;
+    const uint64_t nblocks = n == 0 ? 1 : (n + bs - 1) / bs;
+    if (nthreads <= 0) nthreads = static_cast<int>(std::thread::hardware_concurrency());
+    if (nthreads < 1) nthreads = 1;
+    std::vector<std::thread> pool;
+    std::atomic<uint64_t> next{0};
+    std::atomic<int64_t> fail_{0};
+    std::vector<int64_t> counts(nblocks, 0);
+    auto worker = [&]() {
+        std::vector<uint32_t> ws;
+        for (;;) {
+            uint64_t b = next.fetch_add(1);
+            if (b >= nblocks) return;
+            const uint8_t* blk = data + b * bs;
+            const uint64_t len = (n - b * bs) < bs ? (n - b * bs) : bs;
+            ws.clear();
+            try {
+                WriteRecorder rec(ws);
+                squeeze_encode_payload(blk, len, win_bits, rec);
+            } catch (const CodecError& e) {
+                fail_.store(-e.err);
+                return;
+            }
+            if (ws.size() > tw_cap) { fail_.store(-ENOBUFS); return; }
+            counts[b] = static_cast<int64_t>(ws.size());
+            const uint64_t g = b / lanes, lane = b % lanes;
+            uint32_t* w = words + g * tw_cap * lanes + lane;
+            for (uint64_t t = 0; t < ws.size(); t++) w[t * lanes] = ws[t];
+        }
+    };
+    for (int t = 0; t < nthreads; t++) pool.emplace_back(worker);
+    for (auto& th : pool) th.join();
+    if (fail_.load() != 0) return fail_.load();
+    int64_t mx = 0;
+    for (uint64_t b = 0; b < nblocks; b++) mx = std::max(mx, counts[b]);
+    return mx;
 }
 
 }  // extern "C"

@@ -63,6 +63,12 @@ def compress_blocks(parts: Sequence[bytes], fmt, win_bits: int,
                             reject=True, lz=lz) for p in parts]
         return sqz4_jax.encode_blocks(tokens, blk_bits)
     else:
+        from sqz_tpu import native
+        if use_pallas() and native.available():
+            from sqz_tpu.ops import sqz4_pallas
+            data = b"".join(parts)
+            return sqz4_pallas.squeeze_encode_data(
+                data, blk_bits, win_bits, cap=(1 << blk_bits) + 4096)
         from sqz_tpu.ops import squeeze_jax
         tokens = [_tokenize(p, 1 << win_bits, SQUEEZE_LEN_MIN, SQUEEZE_LEN_MAX,
                             reject=False, lz=True) for p in parts]

@@ -662,6 +662,157 @@ def encode_data_full(data: bytes, blk_bits: int, window: int, lz: bool,
     return unpack_group_payloads(np.asarray(words), lens, NB)
 
 
+
+# ---------------------------------------------------- squeeze bit packer
+
+def _bitpack_kernel(ops_ref, out_ref, lens_ref, regs_ref, stage_ref):
+    """Assemble squeeze bitstreams from recorded writes (one u32 per write:
+    nbits in bits 29..25, the value bit-reversed in bits 24..0; 0 = pad).
+    The adaptive-Huffman planning runs on the host at native speed
+    (native.squeeze_plan_pack); this kernel is the device bitstream stage —
+    the parallel equivalent of the reference's shift register
+    (attic/map_experiment/bitstream.h:28-63), one 64-bit accumulator per
+    lane, spilling 32-bit words through the ring/retire machinery.
+
+    regs rows: 0 acc_hi, 1 acc_lo, 2 bitcnt, 3 wpos, 4 s2base.
+    """
+    tc = pl.program_id(1)
+    nt = pl.num_programs(1)
+    TC, B = ops_ref.shape[1], ops_ref.shape[2]
+    CW = out_ref.shape[1]
+    iota64 = jax.lax.broadcasted_iota(I32, (64, B), 0)
+
+    @pl.when(tc == 0)
+    def _():
+        regs_ref[...] = jnp.zeros((8, B), U32)
+        out_ref[0] = jnp.zeros((CW, B), U32)
+
+    def flush_rounds(wpos, force):
+        s2base = u2i(regs_ref[4:5, :])
+        gap = u2i(wpos) - s2base
+        doit = gap >= jnp.int32(1 if force else 32)
+        half = (s2base >> 5) & 1
+        chunk = jnp.where(doit, s2base >> 5, jnp.int32(-1))
+        rows = jnp.where(half == 0, stage_ref[0:32], stage_ref[32:64])
+        for c in range(CW // 32):
+            out_ref[0, 32 * c:32 * c + 32] = jnp.where(
+                chunk == jnp.int32(c), rows,
+                out_ref[0, 32 * c:32 * c + 32])
+        regs_ref[4:5, :] = i2u(jnp.where(doit, s2base + 32, s2base))
+
+    def step(i, carry):
+        ah, al, bitcnt, wpos = carry
+        w = ops_ref[0, pl.ds(i, 1), :]
+        nb = w >> 25
+        val = w & _u(0x1FFFFFF)
+        # append MSB-of-chunk-first at bit offset bitcnt
+        sh_h, sh_l = shl64(jnp.zeros_like(val), val,
+                           _u(64) - bitcnt - nb)
+        live = nb > 0
+        ah = jnp.where(live, ah | sh_h, ah)
+        al = jnp.where(live, al | sh_l, al)
+        bitcnt = bitcnt + nb
+        # spill one 32-bit word when full (nb <= 24, bitcnt < 32 before)
+        spill = bitcnt >= 32
+        mask = (iota64 == (u2i(wpos) & 63)) & spill
+        stage_ref[...] = jnp.where(mask, ah, stage_ref[...])
+        wpos = wpos + b2u(spill)
+        ah = jnp.where(spill, al, ah)
+        al = jnp.where(spill, jnp.zeros_like(al), al)
+        bitcnt = bitcnt - jnp.where(spill, _u(32), _u(0))
+
+        t = tc * jnp.int32(TC) + i
+
+        @pl.when((t & 7) == jnp.int32(0))
+        def _():
+            @pl.when(jnp.max(u2i(wpos) - u2i(regs_ref[4:5, :]))
+                     >= jnp.int32(44))
+            def _():
+                flush_rounds(wpos, force=False)
+
+        return ah, al, bitcnt, wpos
+
+    carry0 = tuple(regs_ref[i:i + 1, :] for i in (0, 1, 2, 3))
+    carry = jax.lax.fori_loop(jnp.int32(0), jnp.int32(TC), step, carry0)
+    ah, al, bitcnt, wpos = carry
+    for i, v in zip((0, 1, 2, 3), (ah, al, bitcnt, wpos)):
+        regs_ref[i:i + 1, :] = v
+
+    @pl.when(tc == nt - 1)
+    def _():
+        # reference flush pads the final 64-bit shift word with zeros
+        # (bitstream.h:112-118): spill both accumulator words, report
+        # ceil(bits/64)*8 bytes
+        bits = (wpos << 5) + bitcnt
+        # spill two words unconditionally: the reference flush pads the
+        # final 64-bit shift word with zeros (bitstream.h:112-118), and the
+        # pad region must overwrite stale ring rows
+        mask = iota64 == (u2i(wpos) & 63)
+        stage_ref[...] = jnp.where(mask, jnp.where(bitcnt > 0, ah,
+                                                   jnp.zeros_like(ah)),
+                                   stage_ref[...])
+        mask = iota64 == (u2i(wpos + 1) & 63)
+        stage_ref[...] = jnp.where(mask, al, stage_ref[...])
+        lens_ref[0, 0:1, :] = u2i(((bits + 63) >> 6) << 3)
+        for _ in range(3):
+            flush_rounds(wpos + 2, force=True)
+
+
+@partial(jax.jit, static_argnames=("cap_words", "tc", "interpret"))
+def _bitpack_pallas(ops, cap_words: int, tc: int = ENC_TC,
+                    interpret: bool = False):
+    """ops: [G, T, B] u32 write records; returns (words, lens[G,8,B])."""
+    G, T, B = ops.shape
+    assert B % 128 == 0 and T % tc == 0 and cap_words % 32 == 0
+    z = np.int32(0)
+    return pl.pallas_call(
+        _bitpack_kernel,
+        grid=(G, T // tc),
+        in_specs=[pl.BlockSpec((1, tc, B), lambda g, t: (g, t, z),
+                               memory_space=pltpu.VMEM)],
+        out_specs=(
+            pl.BlockSpec((1, cap_words, B), lambda g, t: (g, z, z),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, B), lambda g, t: (g, z, z),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((G, cap_words, B), U32),
+            jax.ShapeDtypeStruct((G, 8, B), I32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((8, B), U32),
+            pltpu.VMEM((64, B), U32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(ops)
+
+
+def squeeze_encode_data(data: bytes, blk_bits: int, win_bits: int, cap: int,
+                        tc: int = ENC_TC, lanes: int = ENC_LANES,
+                        interpret: bool = False):
+    """squeeze whole-buffer encode: host adaptive-Huffman planning (native,
+    threaded) + device bitstream assembly."""
+    from sqz_tpu import native
+    bs = 1 << blk_bits
+    NB = max(1, -(-len(data) // bs))
+    # worst case ~1 write/bit-run: <= 4 per literal (sym path chunk, NYT,
+    # raw) and a few per match; 4 per byte + EOS margin is generous
+    tw_cap = -(-(4 * bs + 64) // tc) * tc
+    words, mx = native.squeeze_plan_pack(data, win_bits, blk_bits,
+                                         lanes, tw_cap)
+    rows = max(-(-int(mx) // tc) * tc, tc)
+    cap_words = (-(-(cap + 3) // 4) + 31) // 32 * 32
+    out, lens = _bitpack_pallas(jnp.asarray(np.ascontiguousarray(
+        words[:, :rows])), cap_words, tc, interpret)
+    lens = np.asarray(lens)
+    if int(lens[:, 0].max(initial=0)) > cap_words * 4:
+        raise ValueError("compressed block exceeded the output capacity")
+    return unpack_group_payloads(np.asarray(out), lens, NB)
+
+
 # ----------------------------------------------------------------- decoder
 
 ST_FLAG, ST_BYTE, ST_SIZE, ST_BITS, ST_DIST, ST_DONE, ST_ERR = range(7)

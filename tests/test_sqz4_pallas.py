@@ -124,3 +124,20 @@ def test_pallas_decoder_rejects_corrupt():
     with pytest.raises(ValueError):
         sp.decode_groups([bytes(bad)], [len(data)], blk_bits=8,
                          interpret=True)
+
+
+def test_squeeze_bitpack_matches_native():
+    """Device bitstream assembly from recorded adaptive-Huffman writes is
+    byte-identical to the native squeeze encoder (interpret mode)."""
+    from sqz_tpu import native
+    if not native.available():
+        pytest.skip("native runtime unavailable")
+    rng = np.random.default_rng(11)
+    data = (b"she sells sea shells by the sea shore " * 20
+            + bytes(rng.integers(0, 256, 700, np.uint8)))
+    bs = 1 << 10
+    want = [native.squeeze_compress_payload(data[o:o + bs], 10)
+            for o in range(0, len(data), bs)]
+    got = sp.squeeze_encode_data(data, 10, 10, cap=bs + 4096, tc=64,
+                                 interpret=True)
+    assert got == want
