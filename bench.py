@@ -110,12 +110,17 @@ def main() -> None:
     # kernel time reported separately
     G = -(-NB // sp.LANES)
     Pw = -(-(bs + 4096) // 4 + 31) // 32 * 32
-    buf = native.sqz4_pack_payloads(payloads, sp.LANES, Pw)
+    # group blocks by compressed size (straggler segregation, see
+    # sqz4_pallas.decode_groups)
+    order = sorted(range(NB), key=lambda b: len(payloads[b]))
+    dec_payloads = [payloads[b] for b in order]
+    dec_sizes = [sizes[b] for b in order]
+    buf = native.sqz4_pack_payloads(dec_payloads, sp.LANES, Pw)
     meta = np.zeros((G, 8, sp.LANES), np.int32)
-    for b, p in enumerate(payloads):
+    for b, p in enumerate(dec_payloads):
         g, lane = divmod(b, sp.LANES)
         meta[g, 0, lane] = len(p)
-        meta[g, 1, lane] = sizes[b]
+        meta[g, 1, lane] = dec_sizes[b]
     lw = max(bs // 4, 32)
     tw = (-(-bs // 32) + 1 + 31) // 32 * 32
     mw = max(bs // 4, 64)
@@ -144,9 +149,10 @@ def main() -> None:
     assert not cnt[:, 6].any(), "match-record overflow"
     out = native.assemble_blocks(tokb, litu8, mrecb,
                                  cnt[:, 2].astype(np.int64),
-                                 np.asarray(sizes, np.int64), bs)
+                                 np.asarray(dec_sizes, np.int64), bs)
     t_dec_dl = time.perf_counter() - t0
-    got = b"".join(out[b, :sizes[b]].tobytes() for b in range(NB))
+    inv = np.argsort(np.asarray(order))
+    got = b"".join(out[inv[b], :sizes[b]].tobytes() for b in range(NB))
     assert got == data, "device round-trip mismatch"
 
     gbps = 2 * len(data) / (t_enc + t_dec) / 1e9

@@ -1324,6 +1324,13 @@ def decode_groups(payloads, sizes, blk_bits: int, interpret: bool = False):
     G = -(-NB // LANES)
     cap = bs + 4096
     Pw = -(-cap // 4 + 31) // 32 * 32
+    # group blocks by compressed size: the while_loop runs until the
+    # slowest lane in a group finishes, and step count tracks payload
+    # size — sorting keeps stragglers together instead of padding every
+    # group to the global worst block
+    order = sorted(range(NB), key=lambda b: len(payloads[b]))
+    payloads = [payloads[b] for b in order]
+    sizes = [sizes[b] for b in order]
     meta = np.zeros((G, 8, LANES), dtype=np.int32)
     for b, p in enumerate(payloads):
         assert len(p) <= 4 * Pw, "payload exceeds decoder buffer"
@@ -1388,4 +1395,7 @@ def decode_groups(payloads, sizes, blk_bits: int, interpret: bool = False):
                 outs[b] = assemble_tokens_numpy(
                     tokb[b], litu8[b].tobytes(), mrecb[b],
                     int(ntoks[b]), sizes[b])
-    return outs
+    unsorted = [None] * NB
+    for pos, b in enumerate(order):
+        unsorted[b] = outs[pos]
+    return unsorted
