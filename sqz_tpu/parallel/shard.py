@@ -76,3 +76,55 @@ def encode_blocks_sharded(token_lists: Sequence[list], blk_bits: int,
     payload = np.asarray(payload)
     lens = np.asarray(lens)
     return [payload[b, :lens[b]].tobytes() for b in range(B)]
+
+
+# ----------------------------------------------- pallas kernels over a mesh
+
+def sharded_encode_pallas_fn(mesh: Mesh, cap_words: int, tc: int,
+                             interpret: bool = False):
+    """shard_map program running the self-contained Pallas encoder on each
+    device's local block groups (group axis sharded; ICI all-gather of the
+    per-block lengths for the container table)."""
+    from sqz_tpu.ops.sqz4_pallas import _encode_full_pallas
+
+    def local(m_words, s_words):
+        words, lens = _encode_full_pallas.__wrapped__(
+            m_words, s_words, cap_words, tc, interpret)
+        all_lens = jax.lax.all_gather(lens, "blocks", tiled=True)
+        return words, all_lens
+
+    return jax.jit(shard_map(
+        local, mesh=mesh,
+        in_specs=(P("blocks", None, None), P("blocks", None, None)),
+        out_specs=(P("blocks", None, None), P(None)),
+        **{_VMA_KW: False},
+    ))
+
+
+def encode_data_sharded_pallas(data: bytes, blk_bits: int, window: int,
+                               mesh: Mesh, lanes: int = 128,
+                               tc: int = 256,
+                               interpret: bool = False) -> List[bytes]:
+    """Whole-buffer sqz4 encode with block groups sharded over the mesh:
+    native plan+pack -> per-device Pallas coder -> ordered host gather."""
+    from sqz_tpu import native
+    from sqz_tpu.ops.sqz4_pallas import unpack_group_payloads
+    bs = 1 << blk_bits
+    NB = max(1, -(-len(data) // bs))
+    n = mesh.devices.size
+    # pad the group count to a device multiple
+    G = -(-NB // lanes)
+    Gp = ((G + n - 1) // n) * n
+    tp_cap = -(-(5 * bs // 2 + 16) // (4 * tc)) * 4 * tc
+    mw, sw, mx = native.sqz4_plan_pack(data, window, blk_bits, True,
+                                       lanes, tp_cap)
+    rows = max(-(-int(mx) // tc) * tc, tc)
+    if Gp > G:
+        pad = np.full((Gp - G,) + mw.shape[1:], 0xFFFFFFFF, np.uint32)
+        mw = np.concatenate([mw, pad])
+        sw = np.concatenate([sw, np.zeros_like(pad)])
+    cap_words = (-(-(bs + 2048 + 3) // 4) + 31) // 32 * 32
+    fn = sharded_encode_pallas_fn(mesh, cap_words, tc, interpret)
+    words, lens = fn(jnp.asarray(np.ascontiguousarray(mw[:, :rows])),
+                     jnp.asarray(np.ascontiguousarray(sw[:, :rows])))
+    return unpack_group_payloads(np.asarray(words), np.asarray(lens), NB)

@@ -50,3 +50,21 @@ def test_dryrun_multichip_entrypoints():
     out = jax.jit(fn)(*args)
     assert out[0].shape[0] == 8
     g.dryrun_multichip(min(8, len(jax.devices())))
+
+
+def test_pallas_encoder_sharded_over_mesh():
+    """The Pallas coder runs per-device under shard_map (interpret mode on
+    the virtual CPU mesh); payloads match the oracle."""
+    import numpy as np
+    from sqz_tpu.oracle.sqz4 import sqz4_encode_payload
+    from sqz_tpu.parallel.mesh import make_mesh
+    from sqz_tpu.parallel.shard import encode_data_sharded_pallas
+
+    mesh = make_mesh(4)
+    rng = np.random.default_rng(5)
+    data = bytes(rng.integers(0, 8, 4 * 256, np.uint8))
+    payloads = encode_data_sharded_pallas(data, 8, 1 << 10, mesh,
+                                          lanes=128, tc=64, interpret=True)
+    for i in range(4):
+        blk = data[i * 256:(i + 1) * 256]
+        assert payloads[i] == sqz4_encode_payload(blk, 1 << 10, lz=True)
