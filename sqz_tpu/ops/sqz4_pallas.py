@@ -139,24 +139,35 @@ def mul_small64(a, bh, bl):
     return hi, lo
 
 
-def div64_small(nh, nl, d):
-    """Exact (nh, nl) // d for u32 d in [1, 2^15); returns (qh, ql, rem).
+def div64_small(nh, nl, d, wide: bool = False):
+    """Exact (nh, nl) // d; returns (qh, ql, rem).
 
-    Base-2^16 long division, 4 digit rounds. Each round's dividend chunk
-    ``rem * 2^16 + digit`` is < 2^31 (rem < d < 2^15); the f32 reciprocal
-    estimate has absolute quotient error << 1 (relative f32 error 2^-23
-    against a 2^16-bounded quotient), so a single +-1 correction is exact.
-    The d < 2^15 bound holds because model totals are at most 257 + ops per
-    block and the kernels cap blocks at 2^14 bytes (<= 2.5 ops/byte).
+    Long division with f32-reciprocal digit estimates and a +-1 correction:
+    each round's dividend chunk ``rem * 2^b + digit`` must stay < 2^31 and
+    the estimate's absolute error << 1 (f32 relative error 2^-23 against a
+    2^b-bounded quotient digit). Default: base-2^16, 4 rounds, exact for
+    d < 2^15 — model totals fit (<= 257 + ops/block, <= 2.5 ops/byte) for
+    blocks up to 2^14 bytes. ``wide``: base-2^14, 5 rounds, exact for
+    d < 2^17 — covers 2^16-byte blocks at ~25% more chain latency.
     """
-    dig = [u2i(nh >> 16), u2i(nh & 0xFFFF), u2i(nl >> 16), u2i(nl & 0xFFFF)]
     di = u2i(d)
     inv = 1.0 / di.astype(F32)
     rem = jnp.zeros_like(di)
     qh = jnp.zeros_like(d)
     ql = jnp.zeros_like(d)
-    for k in range(4):
-        cur = (rem << 16) | dig[k]
+    if wide:
+        b = 14
+        dig = [u2i(nh >> 24),
+               u2i((nh >> 10) & 0x3FFF),
+               u2i(((nh << 4) | (nl >> 28)) & 0x3FFF),
+               u2i((nl >> 14) & 0x3FFF),
+               u2i(nl & 0x3FFF)]
+    else:
+        b = 16
+        dig = [u2i(nh >> 16), u2i(nh & 0xFFFF),
+               u2i(nl >> 16), u2i(nl & 0xFFFF)]
+    for k, dg in enumerate(dig):
+        cur = (rem << b) | dg
         q = (cur.astype(F32) * inv).astype(I32)
         r = cur - q * di
         q = jnp.where(r < 0, q - 1, q)
@@ -164,8 +175,8 @@ def div64_small(nh, nl, d):
         q = jnp.where(r >= di, q + 1, q)
         r = jnp.where(r >= di, r - di, r)
         if k:
-            qh = (qh << 16) | (ql >> 16)
-            ql = (ql << 16) | i2u(q)
+            qh = (qh << b) | (ql >> (32 - b))
+            ql = (ql << b) | i2u(q)
         else:
             ql = i2u(q)
         rem = r
@@ -173,7 +184,8 @@ def div64_small(nh, nl, d):
 
 
 
-def _enc_coder_step(active, flush, st, sz, tt, lh, ll, rh, rl):
+def _enc_coder_step(active, flush, st, sz, tt, lh, ll, rh, rl,
+                    wide=False):
     """One range-coder encode micro-op on u32-pair registers (values only).
 
     st/sz/tt are u32 model stats; returns updated registers plus the
@@ -181,7 +193,7 @@ def _enc_coder_step(active, flush, st, sz, tt, lh, ll, rh, rl):
     """
     z = jnp.zeros_like(lh)
     d = jnp.where(active, tt, _u(1))
-    qh, ql, _ = div64_small(rh, rl, d)
+    qh, ql, _ = div64_small(rh, rl, d, wide)
     ph, plo = mul_small64(st, qh, ql)
     nlh, nll = add64(lh, ll, ph, plo)
     nrh, nrl = mul_small64(sz, qh, ql)
@@ -425,7 +437,7 @@ MOP_PAD = 255
 
 def _encode_full_kernel(m_ref, s_ref, out_ref, lens_ref,
                         regs_ref, stage_ref, cb_ref, cs_ref, bits_ref,
-                        d0_ref, d1_ref):
+                        d0_ref, d1_ref, *, wide: bool = False):
     """Self-contained encoder: model tables live on the device, the input is
     the packed (model, symbol) micro-op stream (1 byte each) — no
     host-precomputed statistics. Grid (G, NT) streams T-chunks; tables and
@@ -543,7 +555,8 @@ def _encode_full_kernel(m_ref, s_ref, out_ref, lens_ref,
             oh_bp & is_dist & (sym == 1), _i(1), _i(0))
 
         lh, ll, rh, rl, pre_h, pre_l, cnt = _enc_coder_step(
-            active, flush, i2u(start), i2u(size), i2u(total), lh, ll, rh, rl)
+            active, flush, i2u(start), i2u(size), i2u(total), lh, ll, rh, rl,
+            wide)
         ocnt, wpos, ob0, ob1, ob2 = _enc_append(
             stage_ref, iota64, cnt, pre_h, pre_l, ocnt, wpos, ob0, ob1, ob2)
 
@@ -572,9 +585,9 @@ def _encode_full_kernel(m_ref, s_ref, out_ref, lens_ref,
             flush_rounds(wfin, force=True)
 
 
-@partial(jax.jit, static_argnames=("cap_words", "tc", "interpret"))
+@partial(jax.jit, static_argnames=("cap_words", "tc", "interpret", "wide"))
 def _encode_full_pallas(m_ops, s_ops, cap_words: int, tc: int = ENC_TC,
-                        interpret: bool = False):
+                        interpret: bool = False, wide: bool = False):
     """m_ops/s_ops: [G, T/4, B] u32 (4 big-endian-packed u8 ops per word)."""
     G, TW, B = m_ops.shape
     T = TW * 4
@@ -583,7 +596,7 @@ def _encode_full_pallas(m_ops, s_ops, cap_words: int, tc: int = ENC_TC,
     spec_in = pl.BlockSpec((1, tc // 4, B), lambda g, t: (g, t, z),
                            memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        _encode_full_kernel,
+        partial(_encode_full_kernel, wide=wide),
         grid=(G, T // tc),
         in_specs=[spec_in, spec_in],
         out_specs=(
@@ -655,7 +668,8 @@ def encode_data_full(data: bytes, blk_bits: int, window: int, lz: bool,
     rows = -(-int(mx) // (4 * tc)) * tc        # used word rows, tc-aligned
     cap_words = (-(-(cap + 3) // 4) + 31) // 32 * 32
     words, lens = _encode_full_pallas(jnp.asarray(mw[:, :rows]),
-                                      jnp.asarray(sw[:, :rows]), cap_words, tc)
+                                      jnp.asarray(sw[:, :rows]), cap_words,
+                                      tc, False, blk_bits >= 15)
     lens = np.asarray(lens)
     if int(lens[:, 0].max(initial=0)) > cap_words * 4:
         raise ValueError("compressed block exceeded the output capacity")
@@ -834,7 +848,7 @@ def _decode_kernel(payload_ref, meta_ref,
                    lit_ref, tok_ref, mrec_ref, counts_ref,
                    cb_ref, cs_ref, bits_ref, d0_ref, d1_ref,
                    s1_ref, litring_ref, tokring_ref, mrecring_ref,
-                   bases_ref, *, t_max: int):
+                   bases_ref, *, t_max: int, wide: bool = False):
     """One grid step decodes LANES blocks in lock-step.
 
     Per-class cumulative-frequency tables (inclusive csum) live in VMEM and
@@ -996,7 +1010,8 @@ def _decode_kernel(payload_ref, meta_ref,
         rpos = rpos + jnp.where(uf, _i(2), _i(0))
 
         # ---- rng_div = range // total; diff = code - low; cum by binsearch
-        rdh, rdl, _ = div64_small(rh, rl, jnp.where(active, tot_u, _u(1)))
+        rdh, rdl, _ = div64_small(rh, rl,
+                                  jnp.where(active, tot_u, _u(1)), wide)
         dfh, dfl = sub64(ch, cl, lh, ll)
         # cum = diff // rng_div: f32 quotient estimate (abs error << 1 since
         # cum < total < 2^17 and both f32 conversions are ~2^-23 relative),
@@ -1241,9 +1256,10 @@ def _decode_kernel(payload_ref, meta_ref,
     counts_ref[0, 7:8, :] = state
 
 
-@partial(jax.jit, static_argnames=("t_max", "lw", "tw", "mw", "interpret"))
+@partial(jax.jit, static_argnames=("t_max", "lw", "tw", "mw", "interpret",
+                                   "wide"))
 def _decode_pallas(payload, meta, t_max: int, lw: int, tw: int,
-                   mw: int, interpret: bool = False):
+                   mw: int, interpret: bool = False, wide: bool = False):
     """payload: [G, Pw, B] u32 words (big-endian bytes); meta [G, 8, B] i32
     (row 0 payload lengths, row 1 original sizes).
 
@@ -1254,7 +1270,7 @@ def _decode_pallas(payload, meta, t_max: int, lw: int, tw: int,
     assert B % 128 == 0 and Pw % 32 == 0
     z = np.int32(0)
     return pl.pallas_call(
-        partial(_decode_kernel, t_max=t_max),
+        partial(_decode_kernel, t_max=t_max, wide=wide),
         grid=(G,),
         in_specs=[
             pl.BlockSpec((1, Pw, B), lambda g: (g, z, z),
@@ -1353,7 +1369,8 @@ def decode_groups(payloads, sizes, blk_bits: int, interpret: bool = False):
     mw = max(bs // 4, 64)
     t_max = 9 * bs + 64
     lit, tok, mrec, counts = _decode_pallas(
-        jnp.asarray(buf), jnp.asarray(meta), t_max, lw, tw, mw, interpret)
+        jnp.asarray(buf), jnp.asarray(meta), t_max, lw, tw, mw, interpret,
+        blk_bits >= 15)
     lit = np.asarray(lit)
     tok = np.asarray(tok)
     mrec = np.asarray(mrec)

@@ -72,6 +72,11 @@ def test_u64_helpers_roundtrip():
                                  jnp.asarray(d))
     assert (to_np((qh, ql)) == a // d).all()
     assert (np.asarray(rem, np.uint64) == a % d).all()
+    dw = rng.integers(1, 1 << 17, size=128, dtype=np.uint32)
+    qh, ql, rem = sp.div64_small(jnp.asarray(ah), jnp.asarray(al),
+                                 jnp.asarray(dw), wide=True)
+    assert (to_np((qh, ql)) == a // dw).all()
+    assert (np.asarray(rem, np.uint64) == a % dw).all()
     small = rng.integers(0, 1 << 17, size=128, dtype=np.uint32)
     mh, mlo = sp.mul_small64(jnp.asarray(small), jnp.asarray(bh),
                              jnp.asarray(bl))
