@@ -87,6 +87,15 @@ def decompress_blocks(payloads: Sequence[bytes], sizes: Sequence[int],
             from sqz_tpu.ops import sqz4_jax
             blocks = sqz4_jax.decode_blocks(payloads, list(sizes), blk_bits)
     else:
+        from sqz_tpu import native
+        if use_pallas() and native.available():
+            # Adaptive-Huffman decode is pointer-chasing with data-dependent
+            # restructure cascades — measured at microseconds/symbol when
+            # emulated with one-hot node gathers (PERF.md "design decisions");
+            # the tpu engine runs the threaded native decoder for squeeze
+            # payloads and keeps the device scan for CPU meshes.
+            return native.blocks_decompress(
+                list(payloads), sum(sizes), 0, blk_bits)
         from sqz_tpu.ops import squeeze_jax
         blocks = squeeze_jax.decode_blocks(payloads, list(sizes), blk_bits)
     return b"".join(blocks)
