@@ -129,9 +129,11 @@ def main() -> None:
     metad = jnp.asarray(meta)
     jax.block_until_ready((bufd, metad))
 
+    slots = sp.DEC_SLOTS if G % sp.DEC_SLOTS == 0 else 1
+
     def run_decode():
         lit, tok, mrec, counts = sp._decode_pallas(
-            bufd, metad, t_max, lw, tw, mw)
+            bufd, metad, t_max, lw, tw, mw, False, False, slots)
         return np.asarray(counts), lit, tok, mrec
 
     counts, lit, tok, mrec = run_decode()            # warm-up + compile

@@ -844,11 +844,55 @@ def _onehot_row(tab_ref, idx, rows):
                    keepdims=True, dtype=I32)
 
 
-def _decode_kernel(payload_ref, meta_ref,
-                   lit_ref, tok_ref, mrec_ref, counts_ref,
-                   cb_ref, cs_ref, bits_ref, d0_ref, d1_ref,
-                   s1_ref, litring_ref, tokring_ref, mrecring_ref,
-                   bases_ref, *, t_max: int, wide: bool = False):
+
+class _Rows:
+    """Slot view over the leading row axis of a 2-D scratch ref - lets one
+    physical scratch buffer hold several interleaved coder slots (the Mosaic
+    scheduler overlaps the slots' independent dependence chains)."""
+
+    def __init__(self, ref, off, rows):
+        self.ref, self.off, self.rows = ref, off, rows
+        self.shape = (rows, ref.shape[-1])
+
+    def _m(self, idx):
+        if idx is Ellipsis:
+            return slice(self.off, self.off + self.rows)
+        if isinstance(idx, tuple):
+            return (self._m(idx[0]),) + idx[1:]
+        if isinstance(idx, slice):
+            return slice(self.off + idx.start, self.off + idx.stop)
+        raise TypeError(idx)
+
+    def __getitem__(self, idx):
+        return self.ref[self._m(idx)]
+
+    def __setitem__(self, idx, v):
+        self.ref[self._m(idx)] = v
+
+
+class _Slot3:
+    """View selecting one leading-axis slot of a 3-D block ref."""
+
+    def __init__(self, ref, sl):
+        self.ref, self.sl = ref, sl
+
+    def _m(self, idx):
+        assert isinstance(idx, tuple) and idx[0] == 0
+        return (self.sl,) + idx[1:]
+
+    def __getitem__(self, idx):
+        return self.ref[self._m(idx)]
+
+    def __setitem__(self, idx, v):
+        self.ref[self._m(idx)] = v
+
+
+def _decode_kernel(payload_all, meta_all,
+                   lit_all, tok_all, mrec_all, counts_all,
+                   cb_all, cs_all, bits_all, d0_all, d1_all,
+                   s1_all, litring_all, tokring_all, mrecring_all,
+                   bases_all, *, t_max: int, wide: bool = False,
+                   slots: int = 1):
     """One grid step decodes LANES blocks in lock-step.
 
     Per-class cumulative-frequency tables (inclusive csum) live in VMEM and
@@ -864,8 +908,8 @@ def _decode_kernel(payload_ref, meta_ref,
     bases rows: 0 s1base, 1 lit, 2 tok, 3 mrec ring retirement bases.
     counts rows: 0 optr, 1 nlit, 2 ntok, 3 nmatch, 4 err, 5 steps, 6 ovf.
     """
-    Pw, B = payload_ref.shape[1], payload_ref.shape[2]
-    LW, TW, MW = lit_ref.shape[1], tok_ref.shape[1], mrec_ref.shape[1]
+    Pw, B = payload_all.shape[1], payload_all.shape[2]
+    LW, TW, MW = lit_all.shape[1], tok_all.shape[1], mrec_all.shape[1]
     iota64 = jax.lax.broadcasted_iota(I32, (64, B), 0)
     iota96 = jax.lax.broadcasted_iota(I32, (96, B), 0)
     iota256 = jax.lax.broadcasted_iota(I32, (256, B), 0)
@@ -873,419 +917,461 @@ def _decode_kernel(payload_ref, meta_ref,
     zu = jnp.zeros((1, B), U32)
     zi = jnp.zeros((1, B), I32)
 
-    # ---- init: fresh models (freq 1 -> inclusive csum = index + 1)
-    cb_ref[...] = iota256 + 1
-    cs_ref[...] = iota256 + 1
-    bits_ref[...] = iota32 + 1
-    d0_ref[...] = jnp.ones((32, B), I32)
-    d1_ref[...] = jnp.ones((32, B), I32)
-    # lit model as two scalar rows folded into bases_ref rows 4, 5
-    bases_ref[...] = jnp.zeros((8, B), I32)
-    bases_ref[4:5, :] = jnp.ones((1, B), I32)
-    bases_ref[5:6, :] = jnp.ones((1, B), I32)
-    s1_ref[...] = payload_ref[0, 0:96, :]
-    sizes = meta_ref[0, 1:2, :] + zi
+    def make(sl):
+        payload_ref = _Slot3(payload_all, sl)
+        meta_ref = _Slot3(meta_all, sl)
+        lit_ref = _Slot3(lit_all, sl)
+        tok_ref = _Slot3(tok_all, sl)
+        mrec_ref = _Slot3(mrec_all, sl)
+        counts_ref = _Slot3(counts_all, sl)
+        cb_ref = _Rows(cb_all, sl * 256, 256)
+        cs_ref = _Rows(cs_all, sl * 256, 256)
+        bits_ref = _Rows(bits_all, sl * 32, 32)
+        d0_ref = _Rows(d0_all, sl * 32, 32)
+        d1_ref = _Rows(d1_all, sl * 32, 32)
+        s1_ref = _Rows(s1_all, sl * 96, 96)
+        litring_ref = _Rows(litring_all, sl * 64, 64)
+        tokring_ref = _Rows(tokring_all, sl * 64, 64)
+        mrecring_ref = _Rows(mrecring_all, sl * 64, 64)
+        bases_ref = _Rows(bases_all, sl * 8, 8)
 
-    def retire(ring_ref, base_row: int, out_ref, ow: int, wpos, force):
-        base = bases_ref[base_row:base_row + 1, :]
-        gap = wpos - base
-        doit = gap >= jnp.int32(1 if force else 32)
-        half = (base >> 5) & 1
-        chunk = jnp.where(doit, base >> 5, jnp.int32(-1))
-        rows = jnp.where(half == 0, ring_ref[0:32], ring_ref[32:64])
-        for c in range(ow // 32):
-            out_ref[0, 32 * c:32 * c + 32] = jnp.where(
-                chunk == jnp.int32(c), rows,
-                out_ref[0, 32 * c:32 * c + 32])
-        bases_ref[base_row:base_row + 1, :] = jnp.where(doit, base + 32, base)
+        # ---- init: fresh models (freq 1 -> inclusive csum = index + 1)
+        cb_ref[...] = iota256 + 1
+        cs_ref[...] = iota256 + 1
+        bits_ref[...] = iota32 + 1
+        d0_ref[...] = jnp.ones((32, B), I32)
+        d1_ref[...] = jnp.ones((32, B), I32)
+        # lit model as two scalar rows folded into bases_ref rows 4, 5
+        bases_ref[...] = jnp.zeros((8, B), I32)
+        bases_ref[4:5, :] = jnp.ones((1, B), I32)
+        bases_ref[5:6, :] = jnp.ones((1, B), I32)
+        s1_ref[...] = payload_ref[0, 0:96, :]
+        sizes = meta_ref[0, 1:2, :] + zi
 
-    def s1_refresh(widx):
-        kb = (widx >> 5)
-        need = (widx - bases_ref[0:1, :]) >= jnp.int32(64)
-        newbase = jnp.where(need, kb << 5, bases_ref[0:1, :])
-        bases_ref[0:1, :] = newbase
-        for slot in range(3):
-            sl = s1_ref[32 * slot:32 * slot + 32]
-            sl = jnp.where(need, zu, sl)
-            for c in range(Pw // 32):
-                sel = need & ((kb + jnp.int32(slot)) == jnp.int32(c))
-                sl = jnp.where(sel, payload_ref[0, 32 * c:32 * c + 32, :], sl)
-            s1_ref[32 * slot:32 * slot + 32] = sl
+        def retire(ring_ref, base_row: int, out_ref, ow: int, wpos, force):
+            base = bases_ref[base_row:base_row + 1, :]
+            gap = wpos - base
+            doit = gap >= jnp.int32(1 if force else 32)
+            half = (base >> 5) & 1
+            chunk = jnp.where(doit, base >> 5, jnp.int32(-1))
+            rows = jnp.where(half == 0, ring_ref[0:32], ring_ref[32:64])
+            for c in range(ow // 32):
+                out_ref[0, 32 * c:32 * c + 32] = jnp.where(
+                    chunk == jnp.int32(c), rows,
+                    out_ref[0, 32 * c:32 * c + 32])
+            bases_ref[base_row:base_row + 1, :] = jnp.where(doit, base + 32, base)
 
-    def s1_word(widx):
-        """payload word widx (per-lane) from the s1 window, as u32."""
-        off = widx - bases_ref[0:1, :]
-        v = jnp.sum(jnp.where(iota96 == off, u2i(s1_ref[...]), _i(0)),
-                    axis=0, keepdims=True, dtype=I32)
-        return i2u(v)
+        def s1_refresh(widx):
+            kb = (widx >> 5)
+            need = (widx - bases_ref[0:1, :]) >= jnp.int32(64)
+            newbase = jnp.where(need, kb << 5, bases_ref[0:1, :])
+            bases_ref[0:1, :] = newbase
+            for slot in range(3):
+                sl = s1_ref[32 * slot:32 * slot + 32]
+                sl = jnp.where(need, zu, sl)
+                for c in range(Pw // 32):
+                    sel = need & ((kb + jnp.int32(slot)) == jnp.int32(c))
+                    sl = jnp.where(sel, payload_ref[0, 32 * c:32 * c + 32, :], sl)
+                s1_ref[32 * slot:32 * slot + 32] = sl
 
-    def la_refill(la, lav, rpos):
-        """Load one stream word into the 16-byte lookahead for lanes <= 12.
+        def s1_word(widx):
+            """payload word widx (per-lane) from the s1 window, as u32."""
+            off = widx - bases_ref[0:1, :]
+            v = jnp.sum(jnp.where(iota96 == off, u2i(s1_ref[...]), _i(0)),
+                        axis=0, keepdims=True, dtype=I32)
+            return i2u(v)
 
-        (rpos + lav) is word-aligned on the stream side by construction, but
-        the buffer offset `lav` is an arbitrary byte offset — the loaded word
-        splits across buffer words lav>>2 and lav>>2 + 1. Bytes >= lav are
-        zero (shifts feed zeros; loads only ever OR into that region).
-        """
-        la0, la1, la2, la3 = la
-        need = lav <= 12
-        w = s1_word((rpos + lav) >> 2)
-        wsel = lav >> 2
-        sr = i2u((lav & 3) << 3)
-        hi = w >> sr
-        lo = (w << (_u(31) - sr)) << 1
-        zero = jnp.zeros_like(w)
-        la0 = la0 | jnp.where(need & (wsel == 0), hi, zero)
-        la1 = (la1 | jnp.where(need & (wsel == 1), hi, zero)
-               | jnp.where(need & (wsel == 0), lo, zero))
-        la2 = (la2 | jnp.where(need & (wsel == 2), hi, zero)
-               | jnp.where(need & (wsel == 1), lo, zero))
-        la3 = (la3 | jnp.where(need & (wsel == 3), hi, zero)
-               | jnp.where(need & (wsel == 2), lo, zero))
-        return (la0, la1, la2, la3), jnp.where(need, lav + 4, lav)
+        def la_refill(la, lav, rpos):
+            """Load one stream word into the 16-byte lookahead for lanes <= 12.
 
-    def la_shift(la, k):
-        """Shift the 4-word lookahead left by k bytes (k in 0..8)."""
-        la0, la1, la2, la3 = la
-        wk = k >> 2
-        w0 = jnp.where(wk == 0, la0, jnp.where(wk == 1, la1, la2))
-        w1 = jnp.where(wk == 0, la1, jnp.where(wk == 1, la2, la3))
-        w2 = jnp.where(wk == 0, la2, jnp.where(wk == 1, la3, zu))
-        w3 = jnp.where(wk == 0, la3, zu)
-        s = i2u((k & 3) << 3)
-        sl = _u(31) - s
-        n0 = (w0 << s) | ((w1 >> 1) >> sl)
-        n1 = (w1 << s) | ((w2 >> 1) >> sl)
-        n2 = (w2 << s) | ((w3 >> 1) >> sl)
-        n3 = w3 << s
-        return (n0, n1, n2, n3)
+            (rpos + lav) is word-aligned on the stream side by construction, but
+            the buffer offset `lav` is an arbitrary byte offset — the loaded word
+            splits across buffer words lav>>2 and lav>>2 + 1. Bytes >= lav are
+            zero (shifts feed zeros; loads only ever OR into that region).
+            """
+            la0, la1, la2, la3 = la
+            need = lav <= 12
+            w = s1_word((rpos + lav) >> 2)
+            wsel = lav >> 2
+            sr = i2u((lav & 3) << 3)
+            hi = w >> sr
+            lo = (w << (_u(31) - sr)) << 1
+            zero = jnp.zeros_like(w)
+            la0 = la0 | jnp.where(need & (wsel == 0), hi, zero)
+            la1 = (la1 | jnp.where(need & (wsel == 1), hi, zero)
+                   | jnp.where(need & (wsel == 0), lo, zero))
+            la2 = (la2 | jnp.where(need & (wsel == 2), hi, zero)
+                   | jnp.where(need & (wsel == 1), lo, zero))
+            la3 = (la3 | jnp.where(need & (wsel == 3), hi, zero)
+                   | jnp.where(need & (wsel == 2), lo, zero))
+            return (la0, la1, la2, la3), jnp.where(need, lav + 4, lav)
 
-    def cond(c):
-        t, state = c[0], c[12]
-        return (t < jnp.int32(t_max)) & (
-            jnp.max(jnp.where(state < ST_DONE, _i(1), _i(0))) > 0)
+        def la_shift(la, k):
+            """Shift the 4-word lookahead left by k bytes (k in 0..8)."""
+            la0, la1, la2, la3 = la
+            wk = k >> 2
+            w0 = jnp.where(wk == 0, la0, jnp.where(wk == 1, la1, la2))
+            w1 = jnp.where(wk == 0, la1, jnp.where(wk == 1, la2, la3))
+            w2 = jnp.where(wk == 0, la2, jnp.where(wk == 1, la3, zu))
+            w3 = jnp.where(wk == 0, la3, zu)
+            s = i2u((k & 3) << 3)
+            sl = _u(31) - s
+            n0 = (w0 << s) | ((w1 >> 1) >> sl)
+            n1 = (w1 << s) | ((w2 >> 1) >> sl)
+            n2 = (w2 << s) | ((w3 >> 1) >> sl)
+            n3 = w3 << s
+            return (n0, n1, n2, n3)
 
-    def step(c):
-        (t, ch, cl, lh, ll, rh, rl, la0, la1, la2, la3, lav,
-         state, rpos, psize, pbits, pdist, bitpos,
-         optr, nlit, ntok, nmatch, litw, tokw, err,
-         litp, tokp, mrecp) = c
-        la = (la0, la1, la2, la3)
-        active = state < ST_DONE
-        is_flag = state == ST_FLAG
-        is_byte = state == ST_BYTE
-        is_size = state == ST_SIZE
-        is_bits = state == ST_BITS
-        is_dist = state == ST_DIST
-        is256 = is_byte | is_size
+        def step(t, c):
+            (ch, cl, lh, ll, rh, rl, la0, la1, la2, la3, lav,
+             state, rpos, psize, pbits, pdist, bitpos,
+             optr, nlit, ntok, nmatch, litw, tokw, err,
+             litp, tokp, mrecp) = c
+            la = (la0, la1, la2, la3)
+            active = state < ST_DONE
+            is_flag = state == ST_FLAG
+            is_byte = state == ST_BYTE
+            is_size = state == ST_SIZE
+            is_bits = state == ST_BITS
+            is_dist = state == ST_DIST
+            is256 = is_byte | is_size
 
-        # ---- total of the active model (pre-update)
-        tot_b = cb_ref[255:256, :]
-        tot_s = cs_ref[255:256, :]
-        tot_bits = bits_ref[31:32, :]
-        f0 = _onehot_row(d0_ref, bitpos, 32)
-        f1 = _onehot_row(d1_ref, bitpos, 32)
-        lit0 = bases_ref[4:5, :]
-        lit1 = bases_ref[5:6, :]
-        total = jnp.where(is_byte, tot_b,
-                jnp.where(is_size, tot_s,
-                jnp.where(is_bits, tot_bits,
-                jnp.where(is_flag, lit0 + lit1, f0 + f1))))
-        total = jnp.where(active, total, zi + 1)
-        tot_u = i2u(total)
+            # ---- total of the active model (pre-update)
+            tot_b = cb_ref[255:256, :]
+            tot_s = cs_ref[255:256, :]
+            tot_bits = bits_ref[31:32, :]
+            f0 = _onehot_row(d0_ref, bitpos, 32)
+            f1 = _onehot_row(d1_ref, bitpos, 32)
+            lit0 = bases_ref[4:5, :]
+            lit1 = bases_ref[5:6, :]
+            total = jnp.where(is_byte, tot_b,
+                    jnp.where(is_size, tot_s,
+                    jnp.where(is_bits, tot_bits,
+                    jnp.where(is_flag, lit0 + lit1, f0 + f1))))
+            total = jnp.where(active, total, zi + 1)
+            tot_u = i2u(total)
 
-        # ---- underflow escape: range < total -> consume 2, re-inflate
-        uf = active & (rh == 0) & (rl < tot_u)
-        top2 = la0 >> 16
-        nch_, ncl_ = shl64(ch, cl, _u(16))
-        ch = jnp.where(uf, nch_ | top2, ch)
-        cl = jnp.where(uf, ncl_, cl)
-        nlh_, nll_ = shl64(lh, ll, _u(16))
-        lh = jnp.where(uf, nlh_, lh)
-        ll = jnp.where(uf, nll_, ll)
-        rh = jnp.where(uf, ~lh, rh)
-        rl = jnp.where(uf, ~ll, rl)
-        la = la_shift(la, jnp.where(uf, _i(2), _i(0)))
-        lav = lav - jnp.where(uf, _i(2), _i(0))
-        rpos = rpos + jnp.where(uf, _i(2), _i(0))
+            # ---- underflow escape: range < total -> consume 2, re-inflate
+            uf = active & (rh == 0) & (rl < tot_u)
+            top2 = la0 >> 16
+            nch_, ncl_ = shl64(ch, cl, _u(16))
+            ch = jnp.where(uf, nch_ | top2, ch)
+            cl = jnp.where(uf, ncl_, cl)
+            nlh_, nll_ = shl64(lh, ll, _u(16))
+            lh = jnp.where(uf, nlh_, lh)
+            ll = jnp.where(uf, nll_, ll)
+            rh = jnp.where(uf, ~lh, rh)
+            rl = jnp.where(uf, ~ll, rl)
+            la = la_shift(la, jnp.where(uf, _i(2), _i(0)))
+            lav = lav - jnp.where(uf, _i(2), _i(0))
+            rpos = rpos + jnp.where(uf, _i(2), _i(0))
 
-        # ---- rng_div = range // total; diff = code - low; cum by binsearch
-        rdh, rdl, _ = div64_small(rh, rl,
-                                  jnp.where(active, tot_u, _u(1)), wide)
-        dfh, dfl = sub64(ch, cl, lh, ll)
-        # cum = diff // rng_div: f32 quotient estimate (abs error << 1 since
-        # cum < total < 2^17 and both f32 conversions are ~2^-23 relative),
-        # then exact +-2 correction with incremental u64 products
-        rd_f = jnp.maximum(f32_from_u64(rdh, rdl), jnp.float32(1.0))
-        est = (f32_from_u64(dfh, dfl) / rd_f).astype(I32)
-        c0 = jnp.clip(est - 2, zi, total - 1)
-        p0h, p0l = mul_small64(i2u(c0), rdh, rdl)
-        r2h, r2l = shl64(rdh, rdl, _u(1))
-        r3h, r3l = add64(r2h, r2l, rdh, rdl)
-        r4h, r4l = shl64(rdh, rdl, _u(2))
-        cum = c0
-        for kh, kl, k in ((rdh, rdl, 1), (r2h, r2l, 2),
-                          (r3h, r3l, 3), (r4h, r4l, 4)):
-            th_, tl_ = add64(p0h, p0l, kh, kl)
-            take = ((c0 + k) < total) & ~lt64(dfh, dfl, th_, tl_)
-            cum = jnp.where(take, c0 + k, cum)
-        bh_, bl_ = mul_small64(tot_u, rdh, rdl)
-        bad_cum = active & ~lt64(dfh, dfl, bh_, bl_)
+            # ---- rng_div = range // total; diff = code - low; cum by binsearch
+            rdh, rdl, _ = div64_small(rh, rl,
+                                      jnp.where(active, tot_u, _u(1)), wide)
+            dfh, dfl = sub64(ch, cl, lh, ll)
+            # cum = diff // rng_div: f32 quotient estimate (abs error << 1 since
+            # cum < total < 2^17 and both f32 conversions are ~2^-23 relative),
+            # then exact +-2 correction with incremental u64 products
+            rd_f = jnp.maximum(f32_from_u64(rdh, rdl), jnp.float32(1.0))
+            est = (f32_from_u64(dfh, dfl) / rd_f).astype(I32)
+            c0 = jnp.clip(est - 2, zi, total - 1)
+            p0h, p0l = mul_small64(i2u(c0), rdh, rdl)
+            r2h, r2l = shl64(rdh, rdl, _u(1))
+            r3h, r3l = add64(r2h, r2l, rdh, rdl)
+            r4h, r4l = shl64(rdh, rdl, _u(2))
+            cum = c0
+            for kh, kl, k in ((rdh, rdl, 1), (r2h, r2l, 2),
+                              (r3h, r3l, 3), (r4h, r4l, 4)):
+                th_, tl_ = add64(p0h, p0l, kh, kl)
+                take = ((c0 + k) < total) & ~lt64(dfh, dfl, th_, tl_)
+                cum = jnp.where(take, c0 + k, cum)
+            bh_, bl_ = mul_small64(tot_u, rdh, rdl)
+            bad_cum = active & ~lt64(dfh, dfl, bh_, bl_)
 
-        # ---- symbol + start/size from the class csum tables
-        tab256 = jnp.where(is_byte, cb_ref[...], cs_ref[...])
-        le256 = tab256 <= cum
-        sym256 = jnp.sum(jnp.where(le256, _i(1), _i(0)), axis=0,
-                         keepdims=True, dtype=I32)
-        start256 = jnp.max(jnp.where(le256, tab256, _i(0)), axis=0, keepdims=True)
-        at256 = jnp.min(jnp.where(le256, jnp.int32(0x7FFFFFFF), tab256),
-                        axis=0, keepdims=True)
-        le32 = bits_ref[...] <= cum
-        sym32 = jnp.sum(jnp.where(le32, _i(1), _i(0)), axis=0,
-                        keepdims=True, dtype=I32)
-        start32 = jnp.max(jnp.where(le32, bits_ref[...], _i(0)),
-                          axis=0, keepdims=True)
-        at32 = jnp.min(jnp.where(le32, jnp.int32(0x7FFFFFFF), bits_ref[...]),
-                       axis=0, keepdims=True)
-        bin0 = jnp.where(is_flag, lit0, f0)
-        bin1 = jnp.where(is_flag, lit1, f1)
-        symb = jnp.where(cum >= bin0, _i(1), _i(0))
-        startb = jnp.where(symb == 1, bin0, zi)
-        sizeb = jnp.where(symb == 1, bin1, bin0)
-        sym = jnp.where(is256, sym256, jnp.where(is_bits, sym32, symb))
-        start = jnp.where(is256, start256,
-                          jnp.where(is_bits, start32, startb))
-        size = jnp.where(is256, at256 - start256,
-                         jnp.where(is_bits, at32 - start32, sizeb))
+            # ---- symbol + start/size from the class csum tables
+            tab256 = jnp.where(is_byte, cb_ref[...], cs_ref[...])
+            le256 = tab256 <= cum
+            sym256 = jnp.sum(jnp.where(le256, _i(1), _i(0)), axis=0,
+                             keepdims=True, dtype=I32)
+            start256 = jnp.max(jnp.where(le256, tab256, _i(0)), axis=0, keepdims=True)
+            at256 = jnp.min(jnp.where(le256, jnp.int32(0x7FFFFFFF), tab256),
+                            axis=0, keepdims=True)
+            le32 = bits_ref[...] <= cum
+            sym32 = jnp.sum(jnp.where(le32, _i(1), _i(0)), axis=0,
+                            keepdims=True, dtype=I32)
+            start32 = jnp.max(jnp.where(le32, bits_ref[...], _i(0)),
+                              axis=0, keepdims=True)
+            at32 = jnp.min(jnp.where(le32, jnp.int32(0x7FFFFFFF), bits_ref[...]),
+                           axis=0, keepdims=True)
+            bin0 = jnp.where(is_flag, lit0, f0)
+            bin1 = jnp.where(is_flag, lit1, f1)
+            symb = jnp.where(cum >= bin0, _i(1), _i(0))
+            startb = jnp.where(symb == 1, bin0, zi)
+            sizeb = jnp.where(symb == 1, bin1, bin0)
+            sym = jnp.where(is256, sym256, jnp.where(is_bits, sym32, symb))
+            start = jnp.where(is256, start256,
+                              jnp.where(is_bits, start32, startb))
+            size = jnp.where(is256, at256 - start256,
+                             jnp.where(is_bits, at32 - start32, sizeb))
 
-        # ---- coder update: low += start*rng_div; range = rng_div*size
-        su, zu_ = i2u(jnp.where(active, start, zi)), zu
-        ah_, al_ = mul_small64(su, rdh, rdl)
-        nlh_, nll_ = add64(lh, ll, ah_, al_)
-        lh = jnp.where(active, nlh_, lh)
-        ll = jnp.where(active, nll_, ll)
-        nrh_, nrl_ = mul_small64(i2u(jnp.where(active, size, zi + 1)), rdh, rdl)
-        rh = jnp.where(active, nrh_, rh)
-        rl = jnp.where(active, nrl_, rl)
+            # ---- coder update: low += start*rng_div; range = rng_div*size
+            su, zu_ = i2u(jnp.where(active, start, zi)), zu
+            ah_, al_ = mul_small64(su, rdh, rdl)
+            nlh_, nll_ = add64(lh, ll, ah_, al_)
+            lh = jnp.where(active, nlh_, lh)
+            ll = jnp.where(active, nll_, ll)
+            nrh_, nrl_ = mul_small64(i2u(jnp.where(active, size, zi + 1)), rdh, rdl)
+            rh = jnp.where(active, nrh_, rh)
+            rl = jnp.where(active, nrl_, rl)
 
-        # ---- adaptive update (strictly after coding)
-        cb_ref[...] = cb_ref[...] + jnp.where(
-            is_byte & (iota256 >= sym), _i(1), _i(0))
-        cs_ref[...] = cs_ref[...] + jnp.where(
-            is_size & (iota256 >= sym), _i(1), _i(0))
-        bits_ref[...] = bits_ref[...] + jnp.where(
-            is_bits & (iota32 >= sym), _i(1), _i(0))
-        bases_ref[4:5, :] = lit0 + jnp.where(is_flag & (sym == 0), _i(1), _i(0))
-        bases_ref[5:6, :] = lit1 + jnp.where(is_flag & (sym == 1), _i(1), _i(0))
-        oh_bp = iota32 == bitpos
-        d0_ref[...] = d0_ref[...] + jnp.where(
-            oh_bp & is_dist & (sym == 0), _i(1), _i(0))
-        d1_ref[...] = d1_ref[...] + jnp.where(
-            oh_bp & is_dist & (sym == 1), _i(1), _i(0))
+            # ---- adaptive update (strictly after coding)
+            cb_ref[...] = cb_ref[...] + jnp.where(
+                is_byte & (iota256 >= sym), _i(1), _i(0))
+            cs_ref[...] = cs_ref[...] + jnp.where(
+                is_size & (iota256 >= sym), _i(1), _i(0))
+            bits_ref[...] = bits_ref[...] + jnp.where(
+                is_bits & (iota32 >= sym), _i(1), _i(0))
+            bases_ref[4:5, :] = lit0 + jnp.where(is_flag & (sym == 0), _i(1), _i(0))
+            bases_ref[5:6, :] = lit1 + jnp.where(is_flag & (sym == 1), _i(1), _i(0))
+            oh_bp = iota32 == bitpos
+            d0_ref[...] = d0_ref[...] + jnp.where(
+                oh_bp & is_dist & (sym == 0), _i(1), _i(0))
+            d1_ref[...] = d1_ref[...] + jnp.where(
+                oh_bp & is_dist & (sym == 1), _i(1), _i(0))
 
-        # ---- renorm consume: splice cnt leading bytes of la into code
-        sh_h, sh_l = add64(lh, ll, rh, rl)
-        cnt = jnp.where(active, u2i(clz64(lh ^ sh_h, ll ^ sh_l) >> 3), zi)
-        shift = umin(i2u(cnt) << 3, _u(63))
-        full = cnt >= 8
-        drop = _u(64) - umin(i2u(cnt) << 3, _u(64))
-        th_, tl_ = shr64(la[0], la[1], umin(drop, _u(63)))
-        th_ = jnp.where(cnt == 0, zu, jnp.where(full, la[0], th_))
-        tl_ = jnp.where(cnt == 0, zu, jnp.where(full, la[1], tl_))
-        sch, scl = shl64(ch, cl, shift)
-        ch = jnp.where(full, th_, sch | th_)
-        cl = jnp.where(full, tl_, scl | tl_)
-        slh, sll = shl64(lh, ll, shift)
-        lh = jnp.where(full, zu, slh)
-        ll = jnp.where(full, zu, sll)
-        srh, srl = shl64(rh, rl, shift)
-        rh = jnp.where(full, zu, srh)
-        rl = jnp.where(full, zu, srl)
-        la = la_shift(la, cnt)
-        lav = lav - cnt
-        rpos = rpos + cnt
+            # ---- renorm consume: splice cnt leading bytes of la into code
+            sh_h, sh_l = add64(lh, ll, rh, rl)
+            cnt = jnp.where(active, u2i(clz64(lh ^ sh_h, ll ^ sh_l) >> 3), zi)
+            shift = umin(i2u(cnt) << 3, _u(63))
+            full = cnt >= 8
+            drop = _u(64) - umin(i2u(cnt) << 3, _u(64))
+            th_, tl_ = shr64(la[0], la[1], umin(drop, _u(63)))
+            th_ = jnp.where(cnt == 0, zu, jnp.where(full, la[0], th_))
+            tl_ = jnp.where(cnt == 0, zu, jnp.where(full, la[1], tl_))
+            sch, scl = shl64(ch, cl, shift)
+            ch = jnp.where(full, th_, sch | th_)
+            cl = jnp.where(full, tl_, scl | tl_)
+            slh, sll = shl64(lh, ll, shift)
+            lh = jnp.where(full, zu, slh)
+            ll = jnp.where(full, zu, sll)
+            srh, srl = shl64(rh, rl, shift)
+            rh = jnp.where(full, zu, srh)
+            rl = jnp.where(full, zu, srl)
+            la = la_shift(la, cnt)
+            lav = lav - cnt
+            rpos = rpos + cnt
 
-        # ---- state machine + token outputs
-        nstate = state
-        nstate = jnp.where(is_flag,
-                           jnp.where(sym == 1, _i(ST_BYTE), _i(ST_SIZE)), nstate)
+            # ---- state machine + token outputs
+            nstate = state
+            nstate = jnp.where(is_flag,
+                               jnp.where(sym == 1, _i(ST_BYTE), _i(ST_SIZE)), nstate)
 
-        # literal byte -> dense literal stream + token bit 0
-        lit_over = is_byte & (optr >= sizes)
-        litw = litw | jnp.where(is_byte, i2u(sym) << i2u(24 - ((nlit & 3) << 3)),
-                                zu)
-        spill_lit = is_byte & ((nlit & 3) == 3)
-        mask = (iota64 == (litp & 63)) & spill_lit
-        litring_ref[...] = jnp.where(mask, litw, litring_ref[...])
-        litw = jnp.where(spill_lit, zu, litw)
-        litp = litp + jnp.where(spill_lit, _i(1), _i(0))
-        nlit = nlit + jnp.where(is_byte, _i(1), _i(0))
-        optr = optr + jnp.where(is_byte, _i(1), _i(0))
-        nstate = jnp.where(is_byte, _i(ST_FLAG), nstate)
+            # literal byte -> dense literal stream + token bit 0
+            lit_over = is_byte & (optr >= sizes)
+            litw = litw | jnp.where(is_byte, i2u(sym) << i2u(24 - ((nlit & 3) << 3)),
+                                    zu)
+            spill_lit = is_byte & ((nlit & 3) == 3)
+            mask = (iota64 == (litp & 63)) & spill_lit
+            litring_ref[...] = jnp.where(mask, litw, litring_ref[...])
+            litw = jnp.where(spill_lit, zu, litw)
+            litp = litp + jnp.where(spill_lit, _i(1), _i(0))
+            nlit = nlit + jnp.where(is_byte, _i(1), _i(0))
+            optr = optr + jnp.where(is_byte, _i(1), _i(0))
+            nstate = jnp.where(is_byte, _i(ST_FLAG), nstate)
 
-        eos = is_size & (sym == 255)
-        bad_size = is_size & ~eos & ((sym < 2) | (sym > 254))
-        psize = jnp.where(is_size & ~eos, sym, psize)
-        nstate = jnp.where(is_size, jnp.where(eos, _i(ST_DONE), _i(ST_BITS)),
-                           nstate)
+            eos = is_size & (sym == 255)
+            bad_size = is_size & ~eos & ((sym < 2) | (sym > 254))
+            psize = jnp.where(is_size & ~eos, sym, psize)
+            nstate = jnp.where(is_size, jnp.where(eos, _i(ST_DONE), _i(ST_BITS)),
+                               nstate)
 
-        done_now = is_bits & (sym == 1)
-        bad_bits = is_bits & (sym == 0)
-        pbits = jnp.where(is_bits, sym, pbits)
-        pdist = jnp.where(is_bits, zi, pdist)
-        bitpos = jnp.where(is_bits, zi, bitpos)
-        nstate = jnp.where(is_bits & ~done_now & ~bad_bits, _i(ST_DIST), nstate)
+            done_now = is_bits & (sym == 1)
+            bad_bits = is_bits & (sym == 0)
+            pbits = jnp.where(is_bits, sym, pbits)
+            pdist = jnp.where(is_bits, zi, pdist)
+            bitpos = jnp.where(is_bits, zi, bitpos)
+            nstate = jnp.where(is_bits & ~done_now & ~bad_bits, _i(ST_DIST), nstate)
 
-        pdist = jnp.where(is_dist, pdist | (sym << bitpos), pdist)
-        bitpos = bitpos + jnp.where(is_dist, _i(1), _i(0))
-        dist_done = is_dist & (bitpos == pbits - 1)
-        emit = done_now | dist_done
-        dist = pdist | jnp.where(
-            emit, jnp.int32(1) << jnp.where(pbits > 0, pbits - 1, zi), zi)
-        bad_dist = emit & (dist > optr)
-        over = emit & (optr + psize > sizes)
-        emit_ok = emit & ~bad_dist & ~over
+            pdist = jnp.where(is_dist, pdist | (sym << bitpos), pdist)
+            bitpos = bitpos + jnp.where(is_dist, _i(1), _i(0))
+            dist_done = is_dist & (bitpos == pbits - 1)
+            emit = done_now | dist_done
+            dist = pdist | jnp.where(
+                emit, jnp.int32(1) << jnp.where(pbits > 0, pbits - 1, zi), zi)
+            bad_dist = emit & (dist > optr)
+            over = emit & (optr + psize > sizes)
+            emit_ok = emit & ~bad_dist & ~over
 
-        # match record + token bit 1
-        mrec = i2u(psize) << 16 | i2u(dist)
-        mask = (iota64 == (mrecp & 63)) & emit_ok
-        mrecring_ref[...] = jnp.where(mask, mrec, mrecring_ref[...])
-        mrecp = mrecp + jnp.where(emit_ok, _i(1), _i(0))
-        nmatch = nmatch + jnp.where(emit_ok, _i(1), _i(0))
-        optr = optr + jnp.where(emit_ok, psize, zi)
-        tokw = tokw | jnp.where(emit_ok, _u(1) << i2u(ntok & 31), zu)
-        is_tok = is_byte | emit_ok
-        ntok = ntok + jnp.where(is_tok, _i(1), _i(0))
-        spill_tok = is_tok & ((ntok & 31) == 0)
-        mask = (iota64 == (tokp & 63)) & spill_tok
-        tokring_ref[...] = jnp.where(mask, tokw, tokring_ref[...])
-        tokw = jnp.where(spill_tok, zu, tokw)
-        tokp = tokp + jnp.where(spill_tok, _i(1), _i(0))
-        nstate = jnp.where(emit, _i(ST_FLAG), nstate)
+            # match record + token bit 1
+            mrec = i2u(psize) << 16 | i2u(dist)
+            mask = (iota64 == (mrecp & 63)) & emit_ok
+            mrecring_ref[...] = jnp.where(mask, mrec, mrecring_ref[...])
+            mrecp = mrecp + jnp.where(emit_ok, _i(1), _i(0))
+            nmatch = nmatch + jnp.where(emit_ok, _i(1), _i(0))
+            optr = optr + jnp.where(emit_ok, psize, zi)
+            tokw = tokw | jnp.where(emit_ok, _u(1) << i2u(ntok & 31), zu)
+            is_tok = is_byte | emit_ok
+            ntok = ntok + jnp.where(is_tok, _i(1), _i(0))
+            spill_tok = is_tok & ((ntok & 31) == 0)
+            mask = (iota64 == (tokp & 63)) & spill_tok
+            tokring_ref[...] = jnp.where(mask, tokw, tokring_ref[...])
+            tokw = jnp.where(spill_tok, zu, tokw)
+            tokp = tokp + jnp.where(spill_tok, _i(1), _i(0))
+            nstate = jnp.where(emit, _i(ST_FLAG), nstate)
 
-        # ---- errors
-        newerr = jnp.where(bad_cum, _i(E_ILSEQ),
-                 jnp.where(bad_size, _i(E_SIZE),
-                 jnp.where(bad_bits, _i(E_BITS),
-                 jnp.where(bad_dist, _i(E_DIST),
-                 jnp.where(lit_over | over, _i(E_OVERRUN), zi)))))
-        err = jnp.where(active & (err == 0) & (newerr > 0), newerr, err)
-        nstate = jnp.where(active & (newerr > 0), _i(ST_ERR), nstate)
-        state = jnp.where(active, nstate, state)
+            # ---- errors
+            newerr = jnp.where(bad_cum, _i(E_ILSEQ),
+                     jnp.where(bad_size, _i(E_SIZE),
+                     jnp.where(bad_bits, _i(E_BITS),
+                     jnp.where(bad_dist, _i(E_DIST),
+                     jnp.where(lit_over | over, _i(E_OVERRUN), zi)))))
+            err = jnp.where(active & (err == 0) & (newerr > 0), newerr, err)
+            nstate = jnp.where(active & (newerr > 0), _i(ST_ERR), nstate)
+            state = jnp.where(active, nstate, state)
 
-        # ---- refill the lookahead (3 word-loads cover a 10-byte burst)
-        la, lav = la_refill(la, lav, rpos)
-        la, lav = la_refill(la, lav, rpos)
-        la, lav = la_refill(la, lav, rpos)
+            # ---- refill the lookahead (3 word-loads cover a 10-byte burst)
+            la, lav = la_refill(la, lav, rpos)
+            la, lav = la_refill(la, lav, rpos)
+            la, lav = la_refill(la, lav, rpos)
 
-        # ---- window slide + ring retirements: the max-reduce trigger
-        # checks run every 8th step (widx moves <= 3 words/step: 64+27 < 96
-        # window; lit <= 1 word per 4 steps, mrec <= 1/step: 44+8+2 < 64
-        # ring rows — no overrun between checks)
-        widx = (rpos + lav) >> 2
+            # ---- window slide + ring retirements: the max-reduce trigger
+            # checks run every 8th step (widx moves <= 3 words/step: 64+27 < 96
+            # window; lit <= 1 word per 4 steps, mrec <= 1/step: 44+8+2 < 64
+            # ring rows — no overrun between checks)
+            widx = (rpos + lav) >> 2
 
-        @pl.when((t & 7) == jnp.int32(0))
-        def _():
-            @pl.when(jnp.max(widx - bases_ref[0:1, :]) >= jnp.int32(64))
+            @pl.when((t & 7) == jnp.int32(0))
             def _():
-                s1_refresh(widx)
+                @pl.when(jnp.max(widx - bases_ref[0:1, :]) >= jnp.int32(64))
+                def _():
+                    s1_refresh(widx)
 
-            @pl.when(jnp.max(litp - bases_ref[1:2, :]) >= jnp.int32(44))
-            def _():
-                retire(litring_ref, 1, lit_ref, LW, litp, False)
+                @pl.when(jnp.max(litp - bases_ref[1:2, :]) >= jnp.int32(44))
+                def _():
+                    retire(litring_ref, 1, lit_ref, LW, litp, False)
 
-            @pl.when(jnp.max(tokp - bases_ref[2:3, :]) >= jnp.int32(44))
-            def _():
-                retire(tokring_ref, 2, tok_ref, TW, tokp, False)
+                @pl.when(jnp.max(tokp - bases_ref[2:3, :]) >= jnp.int32(44))
+                def _():
+                    retire(tokring_ref, 2, tok_ref, TW, tokp, False)
 
-            @pl.when(jnp.max(mrecp - bases_ref[3:4, :]) >= jnp.int32(44))
-            def _():
-                retire(mrecring_ref, 3, mrec_ref, MW, mrecp, False)
+                @pl.when(jnp.max(mrecp - bases_ref[3:4, :]) >= jnp.int32(44))
+                def _():
+                    retire(mrecring_ref, 3, mrec_ref, MW, mrecp, False)
 
-        return (t + jnp.int32(1), ch, cl, lh, ll, rh, rl,
-                la[0], la[1], la[2], la[3], lav,
-                state, rpos, psize, pbits, pdist, bitpos,
-                optr, nlit, ntok, nmatch, litw, tokw, err,
-                litp, tokp, mrecp)
+            return (ch, cl, lh, ll, rh, rl,
+                    la[0], la[1], la[2], la[3], lav,
+                    state, rpos, psize, pbits, pdist, bitpos,
+                    optr, nlit, ntok, nmatch, litw, tokw, err,
+                    litp, tokp, mrecp)
 
-    # ---- prime code with the first 8 stream bytes; fill the lookahead.
-    # Every carry initializer derives from a memory load: Mosaic assigns
-    # constant vectors a replicated layout it cannot unify with the loop
-    # body's outputs at the while_loop carry boundary.
-    zi0 = bases_ref[6:7, :]          # zeroed at init, stays zero
-    zu0 = i2u(zi0)
-    ones = ~zu0
-    ch = payload_ref[0, 0:1, :]
-    cl = payload_ref[0, 1:2, :]
-    la = (zu0, zu0, zu0, zu0)
-    lav = zi0
-    rpos = zi0 + 8
-    for _ in range(4):
-        la, lav = la_refill(la, lav, rpos)
-    c0 = (jnp.int32(0), ch, cl, zu0, zu0, ones, ones,
-          la[0], la[1], la[2], la[3], lav,
-          zi0 + ST_FLAG, rpos, zi0, zi0, zi0, zi0,
-          zi0, zi0, zi0, zi0, zu0, zu0, zi0, zi0, zi0, zi0)
-    c = jax.lax.while_loop(cond, step, c0)
-    (t, ch, cl, lh, ll, rh, rl, la0, la1, la2, la3, lav,
-     state, rpos, psize, pbits, pdist, bitpos,
-     optr, nlit, ntok, nmatch, litw, tokw, err,
-     litp, tokp, mrecp) = c
+        # ---- prime code with the first 8 stream bytes; fill the lookahead.
+        # Every carry initializer derives from a memory load: Mosaic assigns
+        # constant vectors a replicated layout it cannot unify with the loop
+        # body's outputs at the while_loop carry boundary.
+        zi0 = bases_ref[6:7, :]          # zeroed at init, stays zero
+        zu0 = i2u(zi0)
+        ones = ~zu0
+        ch = payload_ref[0, 0:1, :]
+        cl = payload_ref[0, 1:2, :]
+        la = (zu0, zu0, zu0, zu0)
+        lav = zi0
+        rpos = zi0 + 8
+        for _ in range(4):
+            la, lav = la_refill(la, lav, rpos)
+        c0 = (ch, cl, zu0, zu0, ones, ones,
+              la[0], la[1], la[2], la[3], lav,
+              zi0 + ST_FLAG, rpos, zi0, zi0, zi0, zi0,
+              zi0, zi0, zi0, zi0, zu0, zu0, zi0, zi0, zi0, zi0)
 
-    # ---- drain: spill partial words, retire every ring fully
-    mask = (iota64 == (litp & 63)) & ((nlit & 3) != 0)
-    litring_ref[...] = jnp.where(mask, litw, litring_ref[...])
-    litp_f = litp + jnp.where((nlit & 3) != 0, _i(1), _i(0))
-    mask = (iota64 == (tokp & 63)) & ((ntok & 31) != 0)
-    tokring_ref[...] = jnp.where(mask, tokw, tokring_ref[...])
-    tokp_f = tokp + jnp.where((ntok & 31) != 0, _i(1), _i(0))
-    for _ in range(3):
-        retire(litring_ref, 1, lit_ref, LW, litp_f, True)
-        retire(tokring_ref, 2, tok_ref, TW, tokp_f, True)
-        retire(mrecring_ref, 3, mrec_ref, MW, mrecp, True)
+        def drain(t, c):
+            (ch, cl, lh, ll, rh, rl, la0, la1, la2, la3, lav,
+             state, rpos, psize, pbits, pdist, bitpos,
+             optr, nlit, ntok, nmatch, litw, tokw, err,
+             litp, tokp, mrecp) = c
+            mask = (iota64 == (litp & 63)) & ((nlit & 3) != 0)
+            litring_ref[...] = jnp.where(mask, litw, litring_ref[...])
+            litp_f = litp + jnp.where((nlit & 3) != 0, _i(1), _i(0))
+            mask = (iota64 == (tokp & 63)) & ((ntok & 31) != 0)
+            tokring_ref[...] = jnp.where(mask, tokw, tokring_ref[...])
+            tokp_f = tokp + jnp.where((ntok & 31) != 0, _i(1), _i(0))
+            for _ in range(3):
+                retire(litring_ref, 1, lit_ref, LW, litp_f, True)
+                retire(tokring_ref, 2, tok_ref, TW, tokp_f, True)
+                retire(mrecring_ref, 3, mrec_ref, MW, mrecp, True)
 
-    hang = (state < ST_DONE)
-    counts_ref[0, 0:1, :] = optr
-    counts_ref[0, 1:2, :] = nlit
-    counts_ref[0, 2:3, :] = ntok
-    counts_ref[0, 3:4, :] = nmatch
-    counts_ref[0, 4:5, :] = jnp.where(
-        (err == 0) & hang, jnp.int32(E_ILSEQ), err)
-    counts_ref[0, 5:6, :] = t + zi
-    counts_ref[0, 6:7, :] = jnp.where(nmatch > jnp.int32(MW), _i(1), _i(0))
-    counts_ref[0, 7:8, :] = state
+            hang = (state < ST_DONE)
+            counts_ref[0, 0:1, :] = optr
+            counts_ref[0, 1:2, :] = nlit
+            counts_ref[0, 2:3, :] = ntok
+            counts_ref[0, 3:4, :] = nmatch
+            counts_ref[0, 4:5, :] = jnp.where(
+                (err == 0) & hang, jnp.int32(E_ILSEQ), err)
+            counts_ref[0, 5:6, :] = t + zi
+            counts_ref[0, 6:7, :] = jnp.where(nmatch > jnp.int32(MW),
+                                              _i(1), _i(0))
+            counts_ref[0, 7:8, :] = state
+
+        return c0, step, drain
+
+
+
+    made = [make(sl) for sl in range(slots)]
+
+    def cond(carry):
+        t, cs_ = carry
+        alive = None
+        for c in cs_:
+            a = jnp.max(jnp.where(c[11] < ST_DONE, _i(1), _i(0))) > 0
+            alive = a if alive is None else (alive | a)
+        return (t < jnp.int32(t_max)) & alive
+
+    def step_all(carry):
+        t, cs_ = carry
+        return t + jnp.int32(1), tuple(
+            made[sl][1](t, cs_[sl]) for sl in range(slots))
+
+    t, cs_ = jax.lax.while_loop(
+        cond, step_all,
+        (jnp.int32(0), tuple(m[0] for m in made)))
+    for sl in range(slots):
+        made[sl][2](t, cs_[sl])
 
 
 @partial(jax.jit, static_argnames=("t_max", "lw", "tw", "mw", "interpret",
-                                   "wide"))
+                                   "wide", "slots"))
 def _decode_pallas(payload, meta, t_max: int, lw: int, tw: int,
-                   mw: int, interpret: bool = False, wide: bool = False):
+                   mw: int, interpret: bool = False, wide: bool = False,
+                   slots: int = 1):
     """payload: [G, Pw, B] u32 words (big-endian bytes); meta [G, 8, B] i32
-    (row 0 payload lengths, row 1 original sizes).
+    (row 0 payload lengths, row 1 original sizes). G must be a multiple of
+    `slots`; each kernel instance interleaves `slots` groups so their
+    independent dependence chains overlap in the scheduler.
 
     Returns (lit [G, LW, B] u32, tok [G, TW, B] u32, mrec [G, MW, B] u32,
     counts [G, 8, B] i32).
     """
     G, Pw, B = payload.shape
-    assert B % 128 == 0 and Pw % 32 == 0
+    assert B % 128 == 0 and Pw % 32 == 0 and G % slots == 0
     z = np.int32(0)
+    S = slots
     return pl.pallas_call(
-        partial(_decode_kernel, t_max=t_max, wide=wide),
-        grid=(G,),
+        partial(_decode_kernel, t_max=t_max, wide=wide, slots=S),
+        grid=(G // S,),
         in_specs=[
-            pl.BlockSpec((1, Pw, B), lambda g: (g, z, z),
+            pl.BlockSpec((S, Pw, B), lambda g: (g, z, z),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, B), lambda g: (g, z, z),
+            pl.BlockSpec((S, 8, B), lambda g: (g, z, z),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, lw, B), lambda g: (g, z, z),
+            pl.BlockSpec((S, lw, B), lambda g: (g, z, z),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tw, B), lambda g: (g, z, z),
+            pl.BlockSpec((S, tw, B), lambda g: (g, z, z),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, mw, B), lambda g: (g, z, z),
+            pl.BlockSpec((S, mw, B), lambda g: (g, z, z),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, B), lambda g: (g, z, z),
+            pl.BlockSpec((S, 8, B), lambda g: (g, z, z),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
@@ -1295,16 +1381,16 @@ def _decode_pallas(payload, meta, t_max: int, lw: int, tw: int,
             jax.ShapeDtypeStruct((G, 8, B), I32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((256, B), I32),   # csum byte
-            pltpu.VMEM((256, B), I32),   # csum size
-            pltpu.VMEM((32, B), I32),    # csum bits
-            pltpu.VMEM((32, B), I32),    # dist freq0
-            pltpu.VMEM((32, B), I32),    # dist freq1
-            pltpu.VMEM((96, B), U32),    # stream window
-            pltpu.VMEM((64, B), U32),    # literal ring
-            pltpu.VMEM((64, B), U32),    # token-bit ring
-            pltpu.VMEM((64, B), U32),    # match-record ring
-            pltpu.VMEM((8, B), I32),     # retirement bases + lit model
+            pltpu.VMEM((S * 256, B), I32),   # csum byte
+            pltpu.VMEM((S * 256, B), I32),   # csum size
+            pltpu.VMEM((S * 32, B), I32),    # csum bits
+            pltpu.VMEM((S * 32, B), I32),    # dist freq0
+            pltpu.VMEM((S * 32, B), I32),    # dist freq1
+            pltpu.VMEM((S * 96, B), U32),    # stream window
+            pltpu.VMEM((S * 64, B), U32),    # literal ring
+            pltpu.VMEM((S * 64, B), U32),    # token-bit ring
+            pltpu.VMEM((S * 64, B), U32),    # match-record ring
+            pltpu.VMEM((S * 8, B), I32),     # retirement bases + lit model
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
@@ -1332,12 +1418,19 @@ def assemble_tokens_numpy(tok_bits: np.ndarray, lits: bytes,
     return bytes(out)
 
 
-def decode_groups(payloads, sizes, blk_bits: int, interpret: bool = False):
+DEC_SLOTS = 4        # interleaved groups per decode-kernel instance (+8%)
+
+
+def decode_groups(payloads, sizes, blk_bits: int, interpret: bool = False,
+                  slots: int = 0):
     """payloads: list of NB payload byte strings; sizes: original lengths."""
     from sqz_tpu import native
+    if slots <= 0:
+        slots = DEC_SLOTS if not interpret else 1
     NB = len(payloads)
     bs = 1 << blk_bits
     G = -(-NB // LANES)
+    G = -(-G // slots) * slots
     cap = bs + 4096
     Pw = -(-cap // 4 + 31) // 32 * 32
     # group blocks by compressed size: the while_loop runs until the
@@ -1370,7 +1463,7 @@ def decode_groups(payloads, sizes, blk_bits: int, interpret: bool = False):
     t_max = 9 * bs + 64
     lit, tok, mrec, counts = _decode_pallas(
         jnp.asarray(buf), jnp.asarray(meta), t_max, lw, tw, mw, interpret,
-        blk_bits >= 15)
+        blk_bits >= 15, slots)
     lit = np.asarray(lit)
     tok = np.asarray(tok)
     mrec = np.asarray(mrec)
