@@ -1448,6 +1448,10 @@ def decode_groups(payloads, sizes, blk_bits: int, interpret: bool = False,
         meta[g, 1, lane] = sizes[b]
     if native.available():
         buf = native.sqz4_pack_payloads(payloads, LANES, Pw)
+        if buf.shape[0] < G:   # pad group count to the slot multiple
+            buf = np.concatenate(
+                [buf, np.zeros((G - buf.shape[0],) + buf.shape[1:],
+                               np.uint32)])
     else:
         buf = np.zeros((G, Pw, LANES), dtype=np.uint32)
         for b, p in enumerate(payloads):
