@@ -36,6 +36,8 @@ def _input_bytes(n: int) -> bytes:
     # repeated real blocks is representative at any size
     from sqz_tpu.utils import corpus
     data = b"".join(f.read_bytes() for f in corpus.available_corpus())
+    if not data:
+        data = corpus.texty(n, seed=1)
     while len(data) < n:
         data = data + data
     return data[:n]

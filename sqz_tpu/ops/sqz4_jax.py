@@ -229,15 +229,6 @@ def encode_scan_impl(m_ops, s_ops, cap: int):
 _encode_scan = partial(jax.jit, static_argnames=("cap",))(encode_scan_impl)
 
 
-def encode_scan_stats_raw_impl(start, size, total):
-    """Scan-only variant: returns the per-step (pre_low, cnt) emission record
-    ([B, T] u64 / [B, T] i8) for host-side compaction
-    (sqz_tpu.native.compact_emissions) — bulk device scatters are
-    element-serial on TPU and dominate end-to-end time otherwise."""
-    pre_lows, cnts = _stats_scan(start, size, total)
-    return jnp.swapaxes(pre_lows, 0, 1), jnp.swapaxes(cnts, 0, 1)
-
-
 def encode_scan_stats_impl(start, size, total, cap: int):
     """Lean encode scan fed by host-precomputed model statistics.
 
@@ -335,7 +326,6 @@ def _stats_scan(start, size, total):
 
 _encode_scan_stats = partial(
     jax.jit, static_argnames=("cap",))(encode_scan_stats_impl)
-_encode_scan_stats_raw = jax.jit(encode_scan_stats_raw_impl)
 
 
 def stats_for_ops(ms: np.ndarray, ss: np.ndarray):
