@@ -1,17 +1,22 @@
 """TPU compute path: block-parallel codec kernels (JAX/XLA/Pallas).
 
-Design (see FORMAT.md §3 and SURVEY.md §7): the entropy coders are serial
-*within* a block by construction — every token updates the adaptive model the
-next token is coded with — so device throughput comes from coding many
-independent blocks in lock-step. Each kernel is a batched state machine: the
-per-block coder state (range-coder registers, model frequency tables, output
-cursors) lives in arrays with a leading block axis, one `lax.scan` /
-`lax.while_loop` step advances every block by one micro-operation, and all
-per-step work (cumulative frequencies, renormalization, scatter/gather of
-stream bytes) is vectorized across blocks and the 256-symbol axis.
+Design (see FORMAT.md §3, SURVEY.md §7 and PERF.md): the entropy coders are
+serial *within* a block by construction — every token updates the adaptive
+model the next token is coded with — so device throughput comes from coding
+many independent blocks in lock-step, blocks riding the vector lanes.
 
-x64 mode is required: the wire formats are defined over exact 64-bit
-range-coder arithmetic (FORMAT.md §2.3).
+Two generations live here:
+
+* ``sqz4_pallas`` — the production kernels. The whole serial coder loop is
+  ONE Mosaic kernel per direction (u64 registers as u32 pairs, incremental
+  cumulative-frequency tables, staged ring I/O); used on real TPU backends.
+* ``sqz4_jax`` / ``squeeze_jax`` / ``huffman_jax`` — the batched XLA scan
+  formulation; bit-identical but ~100 µs/step in loop overhead (PERF.md),
+  kept as the CPU-mesh / shard_map-dryrun path and differential reference.
+
+x64 mode is required by the scan paths: the wire formats are defined over
+exact 64-bit range-coder arithmetic (FORMAT.md §2.3). The Pallas kernels
+use u32-pair emulation and pin every dtype explicitly.
 """
 
 import jax
