@@ -1426,7 +1426,9 @@ def decode_groups(payloads, sizes, blk_bits: int, interpret: bool = False,
     """payloads: list of NB payload byte strings; sizes: original lengths."""
     from sqz_tpu import native
     if slots <= 0:
-        slots = DEC_SLOTS if not interpret else 1
+        # slot interleave multiplies every VMEM buffer; 64 KiB blocks
+        # already fill the budget at one slot
+        slots = DEC_SLOTS if (not interpret and blk_bits <= 14) else 1
     NB = len(payloads)
     bs = 1 << blk_bits
     G = -(-NB // LANES)
