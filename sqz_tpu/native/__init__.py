@@ -57,11 +57,6 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.sqz_tokenize.argtypes = [u8p, u64, u32, i32, i32, i32, i32p, u64]
         lib.sqz_sqz4_model_stats.restype = i64
         lib.sqz_sqz4_model_stats.argtypes = [i32p, i32p, u64, u32p, u32p, u32p]
-        u64p = ctypes.POINTER(ctypes.c_uint64)
-        i8p = ctypes.POINTER(ctypes.c_int8)
-        lib.sqz_compact_emissions.restype = i64
-        lib.sqz_compact_emissions.argtypes = [u64p, i8p, u64, u64, i32,
-                                              u8p, u64, i64p]
         lib.sqz_blocks_compress.restype = i64
         lib.sqz_blocks_compress.argtypes = [u8p, u64, i32, i32, i32, i32, i32,
                                             u8p, u64, i64p]
@@ -208,23 +203,6 @@ def sqz4_model_stats(m_ops: np.ndarray, s_ops: np.ndarray):
         start.ctypes.data_as(u32p), size.ctypes.data_as(u32p),
         total.ctypes.data_as(u32p)))
     return start, size, total
-
-
-def compact_emissions(pre_lows: np.ndarray, cnts: np.ndarray,
-                      cap: int, nthreads: int = 0):
-    """Assemble payload bytes from (pre_low, cnt) per step, [B, T] each."""
-    lib = _load()
-    B, T = pre_lows.shape
-    pl = np.ascontiguousarray(pre_lows, dtype=np.uint64)
-    cs = np.ascontiguousarray(cnts, dtype=np.int8)
-    out = np.empty((B, cap), dtype=np.uint8)
-    sizes = np.zeros(B, dtype=np.int64)
-    _check(lib.sqz_compact_emissions(
-        pl.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
-        cs.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
-        B, T, nthreads, _u8(out), cap,
-        sizes.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))))
-    return [out[b, :sizes[b]].tobytes() for b in range(B)]
 
 
 def tokenize(data: bytes, window: int, min_len: int, max_len: int,

@@ -836,48 +836,6 @@ int64_t sqz_sqz4_model_stats(const int32_t* m_ops, const int32_t* s_ops,
     }
 }
 
-// Compact the device encoder's per-step emissions: step t of a block
-// emitted the top cnt[t] bytes of pre_low[t] (ops/sqz4_jax
-// encode_scan_stats_impl). memcpy-speed on host; threaded over blocks.
-int64_t sqz_compact_emissions(const uint64_t* pre_lows, const int8_t* cnts,
-                              uint64_t nblocks, uint64_t t, int nthreads,
-                              uint8_t* out, uint64_t out_stride,
-                              int64_t* out_sizes) {
-    if (nthreads <= 0) nthreads = static_cast<int>(std::thread::hardware_concurrency());
-    if (nthreads < 1) nthreads = 1;
-    std::vector<std::thread> pool;
-    std::atomic<uint64_t> next{0};
-    std::atomic<int64_t> fail{0};
-    auto worker = [&]() {
-        for (;;) {
-            uint64_t b = next.fetch_add(1);
-            if (b >= nblocks) return;
-            const uint64_t* lows = pre_lows + b * t;
-            const int8_t* cs = cnts + b * t;
-            uint8_t* dst = out + b * out_stride;
-            uint64_t len = 0;
-            for (uint64_t i = 0; i < t; i++) {
-                int c = cs[i];
-                if (c <= 0) continue;
-                if (len + static_cast<uint64_t>(c) > out_stride) {
-                    fail.store(-ENOBUFS);
-                    return;
-                }
-                uint64_t v = lows[i];
-                for (int k = 0; k < c; k++) {
-                    dst[len++] = k < 8
-                        ? static_cast<uint8_t>(v >> (56 - 8 * k)) : 0;
-                }
-            }
-            out_sizes[b] = static_cast<int64_t>(len);
-        }
-    };
-    for (int i = 0; i < nthreads; i++) pool.emplace_back(worker);
-    for (auto& th : pool) th.join();
-    if (fail.load() != 0) return fail.load();
-    return static_cast<int64_t>(nblocks);
-}
-
 // Greedy tokenizer (FORMAT.md §1.5 / §2.4 match policy): fills out_tokens
 // with (kind, a, b) triples — kind 0 = literal (a = byte), kind 1 = match
 // (a = length, b = distance). reject_short_far applies the sqz4 rule

@@ -239,9 +239,9 @@ def encode_scan_stats_impl(start, size, total, cap: int):
     emissions are stacked as scan outputs (sequential stores) and compacted
     with ONE bulk scatter afterwards — indexed stores inside the loop are
     ~130us/step on TPU, the dominant cost of the naive formulation. Streams
-    are byte-identical to encode_scan_impl. Inputs: [B, T] uint32 each;
-    total==0 marks a pad op, and size==0 with total!=0 marks a flush
-    emission.
+    are byte-identical to encode_scan_impl (and to the production Pallas
+    kernels). Inputs: [B, T] uint32 each; total==0 marks a pad op, and
+    size==0 with total!=0 marks a flush emission.
     """
     B, T = start.shape
     bidx = jnp.arange(B)
