@@ -101,12 +101,18 @@ def main() -> None:
         words, lens = sp._encode_full_pallas(mwd, swd, cap_words)
         return np.asarray(lens), words
 
+    import contextlib
+    prof_dir = os.environ.get("SQZ_BENCH_PROFILE")
+    prof = (jax.profiler.trace(prof_dir) if prof_dir
+            else contextlib.nullcontext())
+
     lens, words = run_encode()                       # warm-up + compile
     t_enc = float("inf")
-    for _ in range(2):
-        t0 = time.perf_counter()
-        lens, words = run_encode()                   # kernel (+ tiny lens dl)
-        t_enc = min(t_enc, time.perf_counter() - t0)
+    with prof:
+        for _ in range(2):
+            t0 = time.perf_counter()
+            lens, words = run_encode()               # kernel (+ tiny lens dl)
+            t_enc = min(t_enc, time.perf_counter() - t0)
     t0 = time.perf_counter()
     payloads = sp.unpack_group_payloads(np.asarray(words), lens, NB)
     t_enc_dl = time.perf_counter() - t0
