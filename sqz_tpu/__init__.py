@@ -20,4 +20,4 @@ from sqz_tpu.api import (  # noqa: F401
     Engine,
 )
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
