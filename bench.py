@@ -97,8 +97,11 @@ def main() -> None:
     mwd, swd = jnp.asarray(mw), jnp.asarray(sw)
     jax.block_until_ready((mwd, swd))
 
+    wide = blk_bits >= 15   # model totals exceed 2^15: exact base-2^14 divider
+
     def run_encode():
-        words, lens = sp._encode_full_pallas(mwd, swd, cap_words)
+        words, lens = sp._encode_full_pallas(mwd, swd, cap_words, sp.ENC_TC,
+                                             False, wide)
         return np.asarray(lens), words
 
     import contextlib
@@ -146,7 +149,7 @@ def main() -> None:
 
     def run_decode():
         lit, tok, mrec, counts = sp._decode_pallas(
-            bufd, metad, t_max, lw, tw, mw, False, False, slots)
+            bufd, metad, t_max, lw, tw, mw, False, wide, slots)
         return np.asarray(counts), lit, tok, mrec
 
     counts, lit, tok, mrec = run_decode()            # warm-up + compile

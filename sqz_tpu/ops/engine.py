@@ -38,11 +38,17 @@ def _tokenize(part: bytes, window: int, min_len: int, max_len: int,
 
 
 def use_pallas() -> bool:
-    """Pallas kernels on real TPU backends; XLA scans elsewhere."""
+    """Mosaic TPU kernels only on TPU backends (a GPU backend would select
+    pltpu kernels that cannot compile there); XLA scans elsewhere."""
     if os.environ.get("SQZ_NO_PALLAS"):
         return False
     import jax
-    return jax.default_backend() != "cpu"
+    backend = jax.default_backend()
+    # the sandbox's tunneled chip registers as the experimental "axon"
+    # platform but exposes TPU devices
+    return backend == "tpu" or (backend not in ("cpu", "gpu", "cuda", "rocm")
+                                and any(d.platform == "tpu"
+                                        for d in jax.devices()))
 
 
 def compress_blocks(parts: Sequence[bytes], fmt, win_bits: int,

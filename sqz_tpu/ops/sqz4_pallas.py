@@ -1496,8 +1496,13 @@ def decode_groups(payloads, sizes, blk_bits: int, interpret: bool = False,
                          f"{optr[short[0]]} of {szs_np[short[0]]}")
     outs: list = [None] * NB
     ov_idx = np.nonzero(ovf)[0]
-    for b in ov_idx:  # pathological match density: host codec fallback
-        outs[b] = native.sqz4_decompress_payload(payloads[b], sizes[b])
+    if ov_idx.size and native.available():
+        for b in ov_idx:  # pathological match density: host codec fallback
+            outs[b] = native.sqz4_decompress_payload(payloads[b], sizes[b])
+    elif ov_idx.size:
+        from sqz_tpu.oracle.sqz4 import sqz4_decode_payload
+        for b in ov_idx:
+            outs[b] = sqz4_decode_payload(payloads[b], sizes[b])
     live = np.nonzero(ovf == 0)[0]
     if live.size:
         if native.available():

@@ -81,15 +81,17 @@ def encode_blocks_sharded(token_lists: Sequence[list], blk_bits: int,
 # ----------------------------------------------- pallas kernels over a mesh
 
 def sharded_encode_pallas_fn(mesh: Mesh, cap_words: int, tc: int,
-                             interpret: bool = False):
+                             interpret: bool = False, wide: bool = False):
     """shard_map program running the self-contained Pallas encoder on each
     device's local block groups (group axis sharded; ICI all-gather of the
-    per-block lengths for the container table)."""
+    per-block lengths for the container table). ``wide`` selects the
+    base-2^14 exact divider required once model totals exceed 2^15
+    (blk_bits >= 15) — same rule as encode_data_full."""
     from sqz_tpu.ops.sqz4_pallas import _encode_full_pallas
 
     def local(m_words, s_words):
         words, lens = _encode_full_pallas.__wrapped__(
-            m_words, s_words, cap_words, tc, interpret)
+            m_words, s_words, cap_words, tc, interpret, wide)
         all_lens = jax.lax.all_gather(lens, "blocks", tiled=True)
         return words, all_lens
 
@@ -124,7 +126,8 @@ def encode_data_sharded_pallas(data: bytes, blk_bits: int, window: int,
         mw = np.concatenate([mw, pad])
         sw = np.concatenate([sw, np.zeros_like(pad)])
     cap_words = (-(-(bs + 2048 + 3) // 4) + 31) // 32 * 32
-    fn = sharded_encode_pallas_fn(mesh, cap_words, tc, interpret)
+    fn = sharded_encode_pallas_fn(mesh, cap_words, tc, interpret,
+                                  wide=blk_bits >= 15)
     words, lens = fn(jnp.asarray(np.ascontiguousarray(mw[:, :rows])),
                      jnp.asarray(np.ascontiguousarray(sw[:, :rows])))
     return unpack_group_payloads(np.asarray(words), np.asarray(lens), NB)

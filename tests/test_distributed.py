@@ -52,6 +52,31 @@ def test_dryrun_multichip_entrypoints():
     g.dryrun_multichip(min(8, len(jax.devices())))
 
 
+@pytest.mark.slow
+def test_pallas_encoder_sharded_wide_totals():
+    """blk_bits >= 15 regression: a 32 KiB literal-heavy block drives model
+    totals past 2^15, where the base-2^16 divider is inexact — the sharded
+    path must select the wide (base-2^14) divider exactly like
+    encode_data_full does. (Advisor round-1 high finding.)"""
+    from sqz_tpu import native
+    if not native.available():
+        pytest.skip("native runtime unavailable")
+    from sqz_tpu.oracle.sqz4 import sqz4_encode_payload
+    from sqz_tpu.parallel.mesh import make_mesh
+    from sqz_tpu.parallel.shard import encode_data_sharded_pallas
+
+    rng = np.random.default_rng(5)
+    # incompressible -> all literals -> pm_byte total 256 + 32768 > 2^15
+    data = bytes(rng.integers(0, 256, 33000, np.uint8))
+    mesh = make_mesh(2)
+    payloads = encode_data_sharded_pallas(data, 15, 1 << 15, mesh,
+                                          lanes=128, tc=64, interpret=True)
+    bs = 1 << 15
+    for i in range(2):
+        blk = data[i * bs:(i + 1) * bs]
+        assert payloads[i] == sqz4_encode_payload(blk, 1 << 15, lz=True)
+
+
 def test_pallas_encoder_sharded_over_mesh():
     """The Pallas coder runs per-device under shard_map (interpret mode on
     the virtual CPU mesh); payloads match the oracle."""
