@@ -109,13 +109,19 @@ def main() -> None:
     prof = (jax.profiler.trace(prof_dir) if prof_dir
             else contextlib.nullcontext())
 
+    # K async dispatches per measurement, one sync: amortizes the sandbox
+    # tunnel's ~30 ms dispatch/sync latency (a harness artifact, not chip
+    # time) out of the steady-state kernel number
+    K = int(os.environ.get("SQZ_BENCH_K", 4))
     lens, words = run_encode()                       # warm-up + compile
     t_enc = float("inf")
     with prof:
         for _ in range(2):
             t0 = time.perf_counter()
-            lens, words = run_encode()               # kernel (+ tiny lens dl)
-            t_enc = min(t_enc, time.perf_counter() - t0)
+            outs = [sp._encode_full_pallas(mwd, swd, cap_words, sp.ENC_TC,
+                                           False, wide) for _ in range(K)]
+            jax.block_until_ready(outs)
+            t_enc = min(t_enc, (time.perf_counter() - t0) / K)
     t0 = time.perf_counter()
     payloads = sp.unpack_group_payloads(np.asarray(words), lens, NB)
     t_enc_dl = time.perf_counter() - t0
@@ -124,17 +130,18 @@ def main() -> None:
     # ---- decode: payload upload untimed (device-resident input), Pallas
     # kernel + record-stream download + native assembly timed end-to-end;
     # kernel time reported separately
-    G = -(-NB // sp.LANES)
+    dec_lanes = int(os.environ.get("SQZ_BENCH_DEC_LANES", 512))
+    G = -(-NB // dec_lanes)
     Pw = -(-(bs + 4096) // 4 + 31) // 32 * 32
     # group blocks by compressed size (straggler segregation, see
     # sqz4_pallas.decode_groups)
     order = sorted(range(NB), key=lambda b: len(payloads[b]))
     dec_payloads = [payloads[b] for b in order]
     dec_sizes = [sizes[b] for b in order]
-    buf = native.sqz4_pack_payloads(dec_payloads, sp.LANES, Pw)
-    meta = np.zeros((G, 8, sp.LANES), np.int32)
+    buf = native.sqz4_pack_payloads(dec_payloads, dec_lanes, Pw)
+    meta = np.zeros((G, 8, dec_lanes), np.int32)
     for b, p in enumerate(dec_payloads):
-        g, lane = divmod(b, sp.LANES)
+        g, lane = divmod(b, dec_lanes)
         meta[g, 0, lane] = len(p)
         meta[g, 1, lane] = dec_sizes[b]
     lw = max(bs // 4, 32)
@@ -145,26 +152,45 @@ def main() -> None:
     metad = jnp.asarray(meta)
     jax.block_until_ready((bufd, metad))
 
-    slots = sp.DEC_SLOTS if G % sp.DEC_SLOTS == 0 else 1
+    # slot interleave multiplies every VMEM buffer; large blocks already
+    # fill the budget at one slot (mirror decode_groups' rule); when one
+    # group fills VMEM a multi-group grid cannot double-buffer, so chunked
+    # grid-1 dispatches keep the device saturated instead
+    slots = sp.DEC_SLOTS if blk_bits <= 14 and G % sp.DEC_SLOTS == 0 else 1
+    vmem_mb = int(os.environ.get("SQZ_DEC_VMEM_MB", "118"))
+    grp_mb = (Pw + lw + tw + mw) * 4 * dec_lanes * slots / 2**20
+    chunked = G > slots and 2 * grp_mb > vmem_mb
+
+    def dispatch_decode():
+        if chunked:
+            parts_out = [sp._decode_pallas(
+                bufd[g:g + slots], metad[g:g + slots],
+                t_max, lw, tw, mw, False, wide, slots)
+                for g in range(0, G, slots)]
+            return tuple(
+                jnp.concatenate([c[k] for c in parts_out])
+                for k in range(4))
+        return sp._decode_pallas(
+            bufd, metad, t_max, lw, tw, mw, False, wide, slots)
 
     def run_decode():
-        lit, tok, mrec, counts = sp._decode_pallas(
-            bufd, metad, t_max, lw, tw, mw, False, wide, slots)
+        lit, tok, mrec, counts = dispatch_decode()
         return np.asarray(counts), lit, tok, mrec
 
     counts, lit, tok, mrec = run_decode()            # warm-up + compile
     t_dec = float("inf")
     for _ in range(2):
         t0 = time.perf_counter()
-        counts, lit, tok, mrec = run_decode()
-        t_dec = min(t_dec, time.perf_counter() - t0)  # kernel (+ counts dl)
+        outs = [dispatch_decode() for _ in range(K)]
+        jax.block_until_ready(outs)
+        t_dec = min(t_dec, (time.perf_counter() - t0) / K)
     t0 = time.perf_counter()
     lit, tok, mrec = map(np.asarray, (lit, tok, mrec))
-    litb = np.ascontiguousarray(lit.transpose(0, 2, 1).reshape(G * sp.LANES, -1))[:NB]
+    litb = np.ascontiguousarray(lit.transpose(0, 2, 1).reshape(G * dec_lanes, -1))[:NB]
     litu8 = litb.astype(">u4").view(np.uint8).reshape(NB, -1)
-    tokb = np.ascontiguousarray(tok.transpose(0, 2, 1).reshape(G * sp.LANES, -1))[:NB]
-    mrecb = np.ascontiguousarray(mrec.transpose(0, 2, 1).reshape(G * sp.LANES, -1))[:NB]
-    cnt = counts.transpose(0, 2, 1).reshape(G * sp.LANES, 8)[:NB]
+    tokb = np.ascontiguousarray(tok.transpose(0, 2, 1).reshape(G * dec_lanes, -1))[:NB]
+    mrecb = np.ascontiguousarray(mrec.transpose(0, 2, 1).reshape(G * dec_lanes, -1))[:NB]
+    cnt = counts.transpose(0, 2, 1).reshape(G * dec_lanes, 8)[:NB]
     assert not cnt[:, 4].any(), "device decode error"
     assert not cnt[:, 6].any(), "match-record overflow"
     out = native.assemble_blocks(tokb, litu8, mrecb,

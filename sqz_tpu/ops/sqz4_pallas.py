@@ -31,6 +31,7 @@ registers (~350 vector ops per step for 128 blocks).
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -889,25 +890,46 @@ class _Slot3:
 
 def _decode_kernel(payload_all, meta_all,
                    lit_all, tok_all, mrec_all, counts_all,
-                   cb_all, cs_all, bits_all, d0_all, d1_all,
-                   s1_all, litring_all, tokring_all, mrecring_all,
-                   bases_all, *, t_max: int, wide: bool = False,
+                   *scratch, t_max: int, wide: bool = False,
                    slots: int = 1):
     """One grid step decodes LANES blocks in lock-step.
 
     Per-class cumulative-frequency tables (inclusive csum) live in VMEM and
     are updated incrementally (+1 on every slot >= decoded symbol), so the
-    hot step never recomputes a prefix sum. Stream bytes feed through a
-    4-word lookahead register (word-aligned refills from a 96-row sliding
-    window over the payload). Decoded tokens leave as three dense streams —
-    literal bytes, token-kind bits, match records (len<<16|dist) — each via
-    a 64-row VMEM ring retired in 32-row chunks; sqz_tpu.native.assemble (or
-    the numpy fallback) reconstructs the output bytes, which keeps every
-    per-step memory access position-independent.
+    hot step never recomputes a prefix sum. Table layouts trade on the
+    value range (same trick, two regimes):
+
+    * non-wide (model totals < 2^15, blocks <= 2^14): the byte and size
+      csums pack into ONE i32 table (cb | cs<<16) — one read and one
+      suffix-RMW per step instead of two of each;
+    * wide (totals < 2^17): each entry stores csum*512 + row so one masked
+      max yields symbol AND start together (csum is strictly increasing —
+      freqs start at 1 and never decrease — so row order equals value
+      order), replacing the separate popcount reduction.
+
+    The 32-row distance-bit binary models always pack (d0 | d1<<16; each
+    half <= 1 + matches < 2^16 even at 64 KiB blocks), and the bits-count
+    table always stores csum*64 + row.
+
+    Stream bytes feed through a 4-word lookahead register (word-aligned
+    refills from a 96-row sliding window over the payload). Decoded tokens
+    leave as three dense streams — literal bytes, token-kind bits, match
+    records (len<<16|dist) — each via a 64-row VMEM ring retired in 32-row
+    chunks; sqz_tpu.native.assemble (or the numpy fallback) reconstructs
+    the output bytes, which keeps every per-step memory access
+    position-independent.
 
     bases rows: 0 s1base, 1 lit, 2 tok, 3 mrec ring retirement bases.
     counts rows: 0 optr, 1 nlit, 2 ntok, 3 nmatch, 4 err, 5 steps, 6 ovf.
     """
+    packed = not wide
+    if packed:
+        (cbs_all, bits_all, d01_all, s1_all,
+         litring_all, tokring_all, mrecring_all, bases_all) = scratch
+        cb_all = cs_all = cbs_all
+    else:
+        (cb_all, cs_all, bits_all, d01_all, s1_all,
+         litring_all, tokring_all, mrecring_all, bases_all) = scratch
     Pw, B = payload_all.shape[1], payload_all.shape[2]
     LW, TW, MW = lit_all.shape[1], tok_all.shape[1], mrec_all.shape[1]
     iota64 = jax.lax.broadcasted_iota(I32, (64, B), 0)
@@ -927,8 +949,7 @@ def _decode_kernel(payload_all, meta_all,
         cb_ref = _Rows(cb_all, sl * 256, 256)
         cs_ref = _Rows(cs_all, sl * 256, 256)
         bits_ref = _Rows(bits_all, sl * 32, 32)
-        d0_ref = _Rows(d0_all, sl * 32, 32)
-        d1_ref = _Rows(d1_all, sl * 32, 32)
+        d01_ref = _Rows(d01_all, sl * 32, 32)
         s1_ref = _Rows(s1_all, sl * 96, 96)
         litring_ref = _Rows(litring_all, sl * 64, 64)
         tokring_ref = _Rows(tokring_all, sl * 64, 64)
@@ -936,11 +957,13 @@ def _decode_kernel(payload_all, meta_all,
         bases_ref = _Rows(bases_all, sl * 8, 8)
 
         # ---- init: fresh models (freq 1 -> inclusive csum = index + 1)
-        cb_ref[...] = iota256 + 1
-        cs_ref[...] = iota256 + 1
-        bits_ref[...] = iota32 + 1
-        d0_ref[...] = jnp.ones((32, B), I32)
-        d1_ref[...] = jnp.ones((32, B), I32)
+        if packed:
+            cb_ref[...] = (iota256 + 1) * 65537          # cb | cs << 16
+        else:
+            cb_ref[...] = (iota256 + 1) * 512 + iota256  # csum*512 + row
+            cs_ref[...] = (iota256 + 1) * 512 + iota256
+        bits_ref[...] = (iota32 + 1) * 64 + iota32       # csum*64 + row
+        d01_ref[...] = jnp.full((32, B), 65537, I32)     # d0 | d1 << 16
         # lit model as two scalar rows folded into bases_ref rows 4, 5
         bases_ref[...] = jnp.zeros((8, B), I32)
         bases_ref[4:5, :] = jnp.ones((1, B), I32)
@@ -1037,11 +1060,20 @@ def _decode_kernel(payload_all, meta_all,
             is256 = is_byte | is_size
 
             # ---- total of the active model (pre-update)
-            tot_b = cb_ref[255:256, :]
-            tot_s = cs_ref[255:256, :]
-            tot_bits = bits_ref[31:32, :]
-            f0 = _onehot_row(d0_ref, bitpos, 32)
-            f1 = _onehot_row(d1_ref, bitpos, 32)
+            if packed:
+                p255 = cb_ref[255:256, :]
+                tot_b = p255 & 0xFFFF
+                tot_s = jax.lax.shift_right_logical(p255, jnp.int32(16))
+            else:
+                tot_b = jax.lax.shift_right_logical(cb_ref[255:256, :],
+                                                    jnp.int32(9))
+                tot_s = jax.lax.shift_right_logical(cs_ref[255:256, :],
+                                                    jnp.int32(9))
+            tot_bits = jax.lax.shift_right_logical(bits_ref[31:32, :],
+                                                   jnp.int32(6))
+            f01 = _onehot_row(d01_ref, bitpos, 32)
+            f0 = f01 & 0xFFFF
+            f1 = jax.lax.shift_right_logical(f01, jnp.int32(16))
             lit0 = bases_ref[4:5, :]
             lit1 = bases_ref[5:6, :]
             total = jnp.where(is_byte, tot_b,
@@ -1089,21 +1121,46 @@ def _decode_kernel(payload_all, meta_all,
             bh_, bl_ = mul_small64(tot_u, rdh, rdl)
             bad_cum = active & ~lt64(dfh, dfl, bh_, bl_)
 
-            # ---- symbol + start/size from the class csum tables
-            tab256 = jnp.where(is_byte, cb_ref[...], cs_ref[...])
-            le256 = tab256 <= cum
-            sym256 = jnp.sum(jnp.where(le256, _i(1), _i(0)), axis=0,
-                             keepdims=True, dtype=I32)
-            start256 = jnp.max(jnp.where(le256, tab256, _i(0)), axis=0, keepdims=True)
-            at256 = jnp.min(jnp.where(le256, jnp.int32(0x7FFFFFFF), tab256),
-                            axis=0, keepdims=True)
-            le32 = bits_ref[...] <= cum
-            sym32 = jnp.sum(jnp.where(le32, _i(1), _i(0)), axis=0,
-                            keepdims=True, dtype=I32)
-            start32 = jnp.max(jnp.where(le32, bits_ref[...], _i(0)),
-                              axis=0, keepdims=True)
-            at32 = jnp.min(jnp.where(le32, jnp.int32(0x7FFFFFFF), bits_ref[...]),
-                           axis=0, keepdims=True)
+            # ---- symbol + start/size from the class csum tables.  The
+            # csums are strictly increasing (every freq >= 1), so with
+            # csum*K + row entries one masked max returns the last row
+            # <= cum — symbol count and start value in a single reduction.
+            if packed:
+                p = cb_ref[...]
+                tab256 = jnp.where(
+                    is_byte, p & 0xFFFF,
+                    jax.lax.shift_right_logical(p, jnp.int32(16)))
+                le256 = tab256 <= cum
+                sym256 = jnp.sum(jnp.where(le256, _i(1), _i(0)), axis=0,
+                                 keepdims=True, dtype=I32)
+                start256 = jnp.max(jnp.where(le256, tab256, _i(0)),
+                                   axis=0, keepdims=True)
+                at256 = jnp.min(jnp.where(le256, jnp.int32(0x7FFFFFFF),
+                                          tab256),
+                                axis=0, keepdims=True)
+            else:
+                tab256 = jnp.where(is_byte, cb_ref[...], cs_ref[...])
+                le256 = tab256 <= cum * 512 + 511
+                m256 = jnp.max(jnp.where(le256, tab256, _i(-1)),
+                               axis=0, keepdims=True)
+                at256 = jax.lax.shift_right_logical(
+                    jnp.min(jnp.where(le256, jnp.int32(0x7FFFFFFF), tab256),
+                            axis=0, keepdims=True), jnp.int32(9))
+                sym256 = jnp.where(m256 < 0, zi, (m256 & 511) + 1)
+                start256 = jnp.where(
+                    m256 < 0, zi,
+                    jax.lax.shift_right_logical(m256, jnp.int32(9)))
+            tabb = bits_ref[...]
+            le32 = tabb <= cum * 64 + 63
+            m32 = jnp.max(jnp.where(le32, tabb, _i(-1)),
+                          axis=0, keepdims=True)
+            at32 = jax.lax.shift_right_logical(
+                jnp.min(jnp.where(le32, jnp.int32(0x7FFFFFFF), tabb),
+                        axis=0, keepdims=True), jnp.int32(6))
+            sym32 = jnp.where(m32 < 0, zi, (m32 & 63) + 1)
+            start32 = jnp.where(
+                m32 < 0, zi,
+                jax.lax.shift_right_logical(m32, jnp.int32(6)))
             bin0 = jnp.where(is_flag, lit0, f0)
             bin1 = jnp.where(is_flag, lit1, f1)
             symb = jnp.where(cum >= bin0, _i(1), _i(0))
@@ -1126,19 +1183,25 @@ def _decode_kernel(payload_all, meta_all,
             rl = jnp.where(active, nrl_, rl)
 
             # ---- adaptive update (strictly after coding)
-            cb_ref[...] = cb_ref[...] + jnp.where(
-                is_byte & (iota256 >= sym), _i(1), _i(0))
-            cs_ref[...] = cs_ref[...] + jnp.where(
-                is_size & (iota256 >= sym), _i(1), _i(0))
+            if packed:
+                delta = jnp.where(is_byte, _i(1),
+                                  jnp.where(is_size, _i(0x10000), zi))
+                cb_ref[...] = cb_ref[...] + jnp.where(
+                    iota256 >= sym, delta, zi)
+            else:
+                cb_ref[...] = cb_ref[...] + jnp.where(
+                    is_byte & (iota256 >= sym), _i(512), _i(0))
+                cs_ref[...] = cs_ref[...] + jnp.where(
+                    is_size & (iota256 >= sym), _i(512), _i(0))
             bits_ref[...] = bits_ref[...] + jnp.where(
-                is_bits & (iota32 >= sym), _i(1), _i(0))
+                is_bits & (iota32 >= sym), _i(64), _i(0))
             bases_ref[4:5, :] = lit0 + jnp.where(is_flag & (sym == 0), _i(1), _i(0))
             bases_ref[5:6, :] = lit1 + jnp.where(is_flag & (sym == 1), _i(1), _i(0))
-            oh_bp = iota32 == bitpos
-            d0_ref[...] = d0_ref[...] + jnp.where(
-                oh_bp & is_dist & (sym == 0), _i(1), _i(0))
-            d1_ref[...] = d1_ref[...] + jnp.where(
-                oh_bp & is_dist & (sym == 1), _i(1), _i(0))
+            ddelta = jnp.where(is_dist & (sym == 0), _i(1),
+                               jnp.where(is_dist & (sym == 1), _i(0x10000),
+                                         zi))
+            d01_ref[...] = d01_ref[...] + jnp.where(
+                iota32 == bitpos, ddelta, zi)
 
             # ---- renorm consume: splice cnt leading bytes of la into code
             sh_h, sh_l = add64(lh, ll, rh, rl)
@@ -1380,12 +1443,13 @@ def _decode_pallas(payload, meta, t_max: int, lw: int, tw: int,
             jax.ShapeDtypeStruct((G, mw, B), U32),
             jax.ShapeDtypeStruct((G, 8, B), I32),
         ),
-        scratch_shapes=[
-            pltpu.VMEM((S * 256, B), I32),   # csum byte
-            pltpu.VMEM((S * 256, B), I32),   # csum size
-            pltpu.VMEM((S * 32, B), I32),    # csum bits
-            pltpu.VMEM((S * 32, B), I32),    # dist freq0
-            pltpu.VMEM((S * 32, B), I32),    # dist freq1
+        scratch_shapes=(
+            # csum byte|size packed (non-wide) / csum*512+row byte, size
+            [pltpu.VMEM((S * 256, B), I32)] if not wide else
+            [pltpu.VMEM((S * 256, B), I32), pltpu.VMEM((S * 256, B), I32)]
+        ) + [
+            pltpu.VMEM((S * 32, B), I32),    # csum*64+row bits
+            pltpu.VMEM((S * 32, B), I32),    # dist freq0|freq1 packed
             pltpu.VMEM((S * 96, B), U32),    # stream window
             pltpu.VMEM((S * 64, B), U32),    # literal ring
             pltpu.VMEM((S * 64, B), U32),    # token-bit ring
@@ -1393,7 +1457,8 @@ def _decode_pallas(payload, meta, t_max: int, lw: int, tw: int,
             pltpu.VMEM((S * 8, B), I32),     # retirement bases + lit model
         ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+            vmem_limit_bytes=int(os.environ.get(
+                "SQZ_DEC_VMEM_MB", "118")) * 1024 * 1024),
         interpret=interpret,
     )(payload, meta)
 
@@ -1418,20 +1483,28 @@ def assemble_tokens_numpy(tok_bits: np.ndarray, lits: bytes,
     return bytes(out)
 
 
-DEC_SLOTS = 4        # interleaved groups per decode-kernel instance (+8%)
+DEC_SLOTS = 2        # interleaved groups per decode-kernel instance at
+                     # <= 2^14 blocks (512 lanes x 2 slots measured best;
+                     # 4 slots at 512 lanes thrashes VMEM — PERF.md)
 
 
 def decode_groups(payloads, sizes, blk_bits: int, interpret: bool = False,
-                  slots: int = 0):
+                  slots: int = 0, lanes: int = 0):
     """payloads: list of NB payload byte strings; sizes: original lengths."""
     from sqz_tpu import native
+    if lanes <= 0:
+        # 512 lanes beat 256 at every block size once the VMEM cap allows
+        # them (v5e has 128 MB physical VMEM; the measured sweeps live in
+        # PERF.md); interpret mode keeps narrow groups for test speed
+        lanes = 128 if interpret else 512
     if slots <= 0:
-        # slot interleave multiplies every VMEM buffer; 64 KiB blocks
-        # already fill the budget at one slot
-        slots = DEC_SLOTS if (not interpret and blk_bits <= 14) else 1
+        # two interleaved slots win at 2^14 (128 blocks/slot of VMEM
+        # headroom); one slot at 2^15+, where a single 512-lane group
+        # already fills the budget
+        slots = 2 if (not interpret and blk_bits <= 14) else 1
     NB = len(payloads)
     bs = 1 << blk_bits
-    G = -(-NB // LANES)
+    G = -(-NB // lanes)
     G = -(-G // slots) * slots
     cap = bs + 4096
     Pw = -(-cap // 4 + 31) // 32 * 32
@@ -1442,22 +1515,22 @@ def decode_groups(payloads, sizes, blk_bits: int, interpret: bool = False,
     order = sorted(range(NB), key=lambda b: len(payloads[b]))
     payloads = [payloads[b] for b in order]
     sizes = [sizes[b] for b in order]
-    meta = np.zeros((G, 8, LANES), dtype=np.int32)
+    meta = np.zeros((G, 8, lanes), dtype=np.int32)
     for b, p in enumerate(payloads):
         assert len(p) <= 4 * Pw, "payload exceeds decoder buffer"
-        g, lane = divmod(b, LANES)
+        g, lane = divmod(b, lanes)
         meta[g, 0, lane] = len(p)
         meta[g, 1, lane] = sizes[b]
     if native.available():
-        buf = native.sqz4_pack_payloads(payloads, LANES, Pw)
+        buf = native.sqz4_pack_payloads(payloads, lanes, Pw)
         if buf.shape[0] < G:   # pad group count to the slot multiple
             buf = np.concatenate(
                 [buf, np.zeros((G - buf.shape[0],) + buf.shape[1:],
                                np.uint32)])
     else:
-        buf = np.zeros((G, Pw, LANES), dtype=np.uint32)
+        buf = np.zeros((G, Pw, lanes), dtype=np.uint32)
         for b, p in enumerate(payloads):
-            g, lane = divmod(b, LANES)
+            g, lane = divmod(b, lanes)
             w = np.frombuffer(p.ljust(-(-len(p) // 4) * 4, b"\0"),
                               dtype=">u4")
             buf[g, :len(w), lane] = w
@@ -1467,22 +1540,37 @@ def decode_groups(payloads, sizes, blk_bits: int, interpret: bool = False,
     tw = ceil(ceil(bs, 32) + 1, 32) * 32
     mw = max(bs // 4, 64)
     t_max = 9 * bs + 64
-    lit, tok, mrec, counts = _decode_pallas(
-        jnp.asarray(buf), jnp.asarray(meta), t_max, lw, tw, mw, interpret,
-        blk_bits >= 15, slots)
-    lit = np.asarray(lit)
-    tok = np.asarray(tok)
-    mrec = np.asarray(mrec)
-    counts = np.asarray(counts)
+    vmem_mb = int(os.environ.get("SQZ_DEC_VMEM_MB", "118"))
+    grp_mb = (Pw + lw + tw + mw) * 4 * lanes * slots / 2**20
+    if not interpret and G > slots and 2 * grp_mb > vmem_mb:
+        # one group already fills VMEM (64 KiB blocks at 512 lanes): a
+        # multi-group grid cannot double-buffer, so dispatch grid-1 calls
+        # per group chunk — async dispatch keeps the device saturated
+        chunks = [_decode_pallas(jnp.asarray(buf[g:g + slots]),
+                                 jnp.asarray(meta[g:g + slots]),
+                                 t_max, lw, tw, mw, interpret,
+                                 blk_bits >= 15, slots)
+                  for g in range(0, G, slots)]
+        lit, tok, mrec, counts = (
+            np.concatenate([np.asarray(c[k]) for c in chunks])
+            for k in range(4))
+    else:
+        lit, tok, mrec, counts = _decode_pallas(
+            jnp.asarray(buf), jnp.asarray(meta), t_max, lw, tw, mw,
+            interpret, blk_bits >= 15, slots)
+        lit = np.asarray(lit)
+        tok = np.asarray(tok)
+        mrec = np.asarray(mrec)
+        counts = np.asarray(counts)
     # [G, W, LANES] -> per-block rows [NB, W]
     litb = np.ascontiguousarray(
-        lit.transpose(0, 2, 1).reshape(G * LANES, -1))[:NB]
+        lit.transpose(0, 2, 1).reshape(G * lanes, -1))[:NB]
     litu8 = litb.astype(">u4").view(np.uint8).reshape(NB, -1)
     tokb = np.ascontiguousarray(
-        tok.transpose(0, 2, 1).reshape(G * LANES, -1))[:NB]
+        tok.transpose(0, 2, 1).reshape(G * lanes, -1))[:NB]
     mrecb = np.ascontiguousarray(
-        mrec.transpose(0, 2, 1).reshape(G * LANES, -1))[:NB]
-    cnt = counts.transpose(0, 2, 1).reshape(G * LANES, 8)[:NB]
+        mrec.transpose(0, 2, 1).reshape(G * lanes, -1))[:NB]
+    cnt = counts.transpose(0, 2, 1).reshape(G * lanes, 8)[:NB]
     optr, ntoks, err, ovf = cnt[:, 0], cnt[:, 2], cnt[:, 4], cnt[:, 6]
     szs_np = np.asarray(sizes, dtype=np.int64)
     bad = np.nonzero(err * (1 - ovf))[0]

@@ -59,7 +59,14 @@ def sharded_encode_fn(mesh: Mesh, cap: int):
 
 def encode_blocks_sharded(token_lists: Sequence[list], blk_bits: int,
                           mesh: Mesh) -> List[bytes]:
-    """Ordered-gather sqz4 block compression over the mesh."""
+    """Ordered-gather sqz4 block compression over the mesh.
+
+    Multi-host ready: payloads stay sharded; each process trims only its
+    addressable shards against the device-all-gathered (replicated) length
+    table, and process 0 assembles the ordered list (single-process: the
+    exchange is the identity). Returns None on processes other than 0 of a
+    multi-process run."""
+    from sqz_tpu.parallel import multihost
     n = mesh.devices.size
     ops = [microops_from_tokens(t) for t in token_lists]
     B = len(ops)
@@ -73,9 +80,9 @@ def encode_blocks_sharded(token_lists: Sequence[list], blk_bits: int,
     cap = (1 << blk_bits) * 2 + 4096
     fn = sharded_encode_fn(mesh, cap)
     payload, lens, _ = fn(jnp.asarray(m_ops), jnp.asarray(s_ops))
-    payload = np.asarray(payload)
-    lens = np.asarray(lens)
-    return [payload[b, :lens[b]].tobytes() for b in range(B)]
+    lens = np.asarray(lens)                          # replicated: host copy
+    local = multihost.addressable_scan_payloads(payload, lens, B)
+    return multihost.gather_payloads_to_host0(local, lens, B)
 
 
 # ----------------------------------------------- pallas kernels over a mesh
@@ -130,4 +137,9 @@ def encode_data_sharded_pallas(data: bytes, blk_bits: int, window: int,
                                   wide=blk_bits >= 15)
     words, lens = fn(jnp.asarray(np.ascontiguousarray(mw[:, :rows])),
                      jnp.asarray(np.ascontiguousarray(sw[:, :rows])))
-    return unpack_group_payloads(np.asarray(words), np.asarray(lens), NB)
+    # multi-host ready ordered gather: payloads stay sharded, every process
+    # trims its addressable shards against the replicated length table
+    from sqz_tpu.parallel import multihost
+    lens_flat = np.asarray(lens)[:, 0, :].reshape(-1)
+    local = multihost.addressable_block_payloads(words, lens_flat, NB)
+    return multihost.gather_payloads_to_host0(local, lens_flat, NB)

@@ -121,6 +121,48 @@ def test_pallas_full_encoder_and_decoder_roundtrip():
     assert outs == list(datas)
 
 
+def test_pallas_decoder_wide_tables_roundtrip():
+    """The wide-divider path also selects the csum*512+row table layout;
+    exercise it on small blocks (the wide divider is exact for any total
+    < 2^17, so tiny inputs are valid through it)."""
+    from sqz_tpu.oracle.match import greedy_tokens
+    rng = np.random.default_rng(9)
+    datas = [
+        b"tea for two and two for tea " * 8,
+        bytes(rng.integers(0, 256, 120, np.uint8)),
+    ]
+    payloads = [sqz4_encode_payload(d, 1 << 10, lz=True) for d in datas]
+    sizes = [len(d) for d in datas]
+    import jax.numpy as jnp
+    from sqz_tpu import native
+    if native.available():
+        buf = native.sqz4_pack_payloads(payloads, 128, 96)
+    else:
+        buf = np.zeros((1, 96, 128), np.uint32)
+        for b, p in enumerate(payloads):
+            w = np.frombuffer(p.ljust(-(-len(p) // 4) * 4, b"\0"), ">u4")
+            buf[0, :len(w), b] = w
+    meta = np.zeros((1, 8, 128), np.int32)
+    for b, p in enumerate(payloads):
+        meta[0, 0, b] = len(p)
+        meta[0, 1, b] = sizes[b]
+    lit, tok, mrec, counts = sp._decode_pallas(
+        jnp.asarray(buf), jnp.asarray(meta), t_max=4096, lw=96, tw=32,
+        mw=64, interpret=True, wide=True, slots=1)
+    lit, tok, mrec, counts = map(np.asarray, (lit, tok, mrec, counts))
+    for b, d in enumerate(datas):
+        assert counts[0, 4, b] == 0, f"block {b} error {counts[0, 4, b]}"
+        got = assemble_tokens_wide_helper(
+            tok[0, :, b], lit[0, :, b], mrec[0, :, b],
+            int(counts[0, 2, b]), len(d))
+        assert got == d, f"block {b} mismatch"
+
+
+def assemble_tokens_wide_helper(tokw, litw, mrecw, ntok, size):
+    lits = litw.astype(">u4").tobytes()
+    return sp.assemble_tokens_numpy(tokw, lits, mrecw, ntok, size)
+
+
 def test_pallas_decoder_rejects_corrupt():
     data = b"refrain refrain refrain!" * 4
     payload = sqz4_encode_payload(data, 1 << 10, lz=True)
