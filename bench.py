@@ -109,18 +109,21 @@ def main() -> None:
     prof = (jax.profiler.trace(prof_dir) if prof_dir
             else contextlib.nullcontext())
 
-    # K async dispatches per measurement, one sync: amortizes the sandbox
-    # tunnel's ~30 ms dispatch/sync latency (a harness artifact, not chip
-    # time) out of the steady-state kernel number
+    # K async dispatches per measurement, fenced by a small download of the
+    # LAST call's length table: kernels execute in order on the device, so
+    # the fence cannot complete early, and the tunnel's ~30 ms sync latency
+    # (a harness artifact) amortizes over K. (jax.block_until_ready is NOT
+    # a reliable fence through the tunnel — it returns immediately.)
     K = int(os.environ.get("SQZ_BENCH_K", 4))
     lens, words = run_encode()                       # warm-up + compile
     t_enc = float("inf")
     with prof:
         for _ in range(2):
             t0 = time.perf_counter()
-            outs = [sp._encode_full_pallas(mwd, swd, cap_words, sp.ENC_TC,
-                                           False, wide) for _ in range(K)]
-            jax.block_until_ready(outs)
+            for _ in range(K):
+                wd, ld = sp._encode_full_pallas(mwd, swd, cap_words,
+                                                sp.ENC_TC, False, wide)
+            np.asarray(ld)                           # fence
             t_enc = min(t_enc, (time.perf_counter() - t0) / K)
     t0 = time.perf_counter()
     payloads = sp.unpack_group_payloads(np.asarray(words), lens, NB)
@@ -181,8 +184,9 @@ def main() -> None:
     t_dec = float("inf")
     for _ in range(2):
         t0 = time.perf_counter()
-        outs = [dispatch_decode() for _ in range(K)]
-        jax.block_until_ready(outs)
+        for _ in range(K):
+            out4 = dispatch_decode()
+        np.asarray(out4[3])                          # fence (counts, small)
         t_dec = min(t_dec, (time.perf_counter() - t0) / K)
     t0 = time.perf_counter()
     lit, tok, mrec = map(np.asarray, (lit, tok, mrec))

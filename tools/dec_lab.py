@@ -79,9 +79,11 @@ for lanes in lanes_list:
         best = float("inf")
         for _ in range(reps):
             t0 = time.perf_counter()
-            rs = [sp._decode_pallas(bufd, metad, t_max, lw, tw, mw,
-                                    False, wide, slots) for _ in range(K)]
-            jax.block_until_ready(rs)
+            for _ in range(K):
+                r = sp._decode_pallas(bufd, metad, t_max, lw, tw, mw,
+                                      False, wide, slots)
+            np.asarray(r[3])     # fence: device executes calls in order;
+            #                      block_until_ready is a no-op on the tunnel
             best = min(best, (time.perf_counter() - t0) / K)
         print(f"lanes={lanes} slots={slots} G={G}: {best*1e3:8.2f} ms  "
               f"{len(data)/best/1e6:7.1f} MB/s", flush=True)
