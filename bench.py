@@ -44,8 +44,10 @@ def _input_bytes(n: int) -> bytes:
 
 
 def main() -> None:
-    n_bytes = int(os.environ.get("SQZ_BENCH_BYTES", 16 * 1024 * 1024))
-    blk_bits = int(os.environ.get("SQZ_BENCH_BLK_BITS", 14))
+    # defaults = the BASELINE.md config: 64 KiB independent blocks; 32 MiB
+    # of tiled corpus fills one 512-lane kernel group per direction
+    n_bytes = int(os.environ.get("SQZ_BENCH_BYTES", 32 * 1024 * 1024))
+    blk_bits = int(os.environ.get("SQZ_BENCH_BLK_BITS", 16))
     lz = os.environ.get("SQZ_BENCH_LZ", "1") == "1"
     window = 1 << 15
 
@@ -211,11 +213,71 @@ def main() -> None:
     print(f"# end-to-end incl. tunnel transfers + host stages: enc "
           f"{len(data)/(t_host_enc+t_enc+t_enc_dl)/1e6:.1f} MB/s, dec "
           f"{len(data)/(t_dec+t_dec_dl)/1e6:.1f} MB/s", file=sys.stderr)
+
+    # ---- compression ratio: the block-parallel container's payload bytes
+    # vs the original, and vs ONE whole-input reference-format stream (the
+    # per-block model-reset penalty, attic/map_experiment/test.c:34-37 is
+    # the reference's ratio yardstick)
+    comp_bytes = sum(len(p) for p in payloads)
+    ratio = comp_bytes / len(data)
+    t0 = time.perf_counter()
+    ref_stream = native.sqz4_compress_payload(data, window, lz=lz)
+    t_ref = time.perf_counter() - t0
+    ref_ratio = len(ref_stream) / len(data)
+    print(f"# ratio: blocks {ratio*100:.2f}% vs whole-stream reference "
+          f"{ref_ratio*100:.2f}% (delta {100*(ratio-ref_ratio):+.2f} pp; "
+          f"single stream took {t_ref:.1f}s host)", file=sys.stderr)
+
+    # ---- squeeze format: host adaptive-Huffman planning (threaded native)
+    # + device bitstream assembly; decode on the threaded native engine
+    # (measured device decode rejected — PERF.md "design decisions")
+    sq_win = min(blk_bits, 15)
+    t0 = time.perf_counter()
+    sq_base = [native.squeeze_compress_payload(p, sq_win) for p in parts]
+    t_sq_base = time.perf_counter() - t0
+    tw_cap = -(-(4 * bs + 64) // tc) * tc
+    t0 = time.perf_counter()
+    sq_words, sq_mx = native.squeeze_plan_pack(data, sq_win, blk_bits,
+                                               sp.ENC_LANES, tw_cap)
+    sq_rows = max(-(-int(sq_mx) // tc) * tc, tc)
+    sq_host = time.perf_counter() - t0
+    sq_cap_words = (-(-(bs + 4096 + 3) // 4) + 31) // 32 * 32
+    sqd = jnp.asarray(np.ascontiguousarray(sq_words[:, :sq_rows]))
+    np.asarray(sqd[0, 0, 0])                         # fence upload
+    out, lens_sq = sp._bitpack_pallas(sqd, sq_cap_words, tc, False)
+    np.asarray(lens_sq)                              # warm-up fence
+    t_sq = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        for _ in range(K):
+            out, lens_sq = sp._bitpack_pallas(sqd, sq_cap_words, tc, False)
+        np.asarray(lens_sq)                          # fence
+        t_sq = min(t_sq, (time.perf_counter() - t0) / K)
+    sq_payloads = sp.unpack_group_payloads(np.asarray(out),
+                                           np.asarray(lens_sq), NB)
+    assert sq_payloads == sq_base, "squeeze device stream != native"
+    t0 = time.perf_counter()
+    sq_out = native.blocks_decompress(sq_payloads, len(data), 0, blk_bits)
+    t_sq_dec = time.perf_counter() - t0
+    assert sq_out == data, "squeeze round-trip mismatch"
+    sq_ratio = sum(len(p) for p in sq_payloads) / len(data)
+    print(f"# squeeze: device bitpack {len(data)/t_sq/1e6:.1f} MB/s "
+          f"(host plan {len(data)/sq_host/1e6:.1f} MB/s, native 1-thread "
+          f"enc {len(data)/t_sq_base/1e6:.1f} MB/s), threaded host decode "
+          f"{len(data)/t_sq_dec/1e6:.1f} MB/s, ratio {sq_ratio*100:.2f}%",
+          file=sys.stderr)
+
     print(json.dumps({
         "metric": "sqz4_block_parallel_encode_plus_decode_GBps_per_chip",
         "value": round(gbps, 6),
         "unit": "GB/s",
         "vs_baseline": round(gbps / base_gbps, 4),
+        "blk_bits": blk_bits,
+        "ratio": round(ratio, 6),
+        "ref_whole_stream_ratio": round(ref_ratio, 6),
+        "squeeze_bitpack_MBps": round(len(data) / t_sq / 1e6, 1),
+        "squeeze_host_decode_MBps": round(len(data) / t_sq_dec / 1e6, 1),
+        "squeeze_ratio": round(sq_ratio, 6),
     }))
 
 
