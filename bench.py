@@ -228,6 +228,34 @@ def main() -> None:
           f"{ref_ratio*100:.2f}% (delta {100*(ratio-ref_ratio):+.2f} pp; "
           f"single stream took {t_ref:.1f}s host)", file=sys.stderr)
 
+    # ---- warm start (sqzt v2, FORMAT.md §3.1): model seed + shared
+    # dictionary from block 0. One full device encode + decode pass at the
+    # bench scale, verified against the threaded native warm executor.
+    t0 = time.perf_counter()
+    warm_base = native.blocks_compress(data, 1, 15, blk_bits, lz=lz,
+                                       warm=True)
+    t_warm_host = time.perf_counter() - t0
+    warm_ratio = sum(len(p) for p in warm_base) / len(data)
+    t0 = time.perf_counter()
+    warm_dev = sp.encode_data_full(data, blk_bits, window, lz,
+                                   cap=bs + 2048, warm=True)
+    t_warm_enc = time.perf_counter() - t0
+    assert warm_dev == warm_base, "device warm encode != native"
+    blk0, seed_w = native.sqz4_decompress_payload(warm_base[0],
+                                                  min(bs, len(data)),
+                                                  return_state=True)
+    t0 = time.perf_counter()
+    outs_w = sp.decode_groups(warm_base[1:], sizes[1:], blk_bits,
+                              seed=seed_w, dictionary=blk0[-window:])
+    t_warm_dec = time.perf_counter() - t0
+    assert blk0 + b"".join(outs_w) == data, "device warm round-trip mismatch"
+    print(f"# warm (sqzt v2): ratio {warm_ratio*100:.2f}% "
+          f"(cold {ratio*100:.2f}%, whole-stream {ref_ratio*100:.2f}%); "
+          f"device warm e2e enc {len(data)/t_warm_enc/1e6:.1f} MB/s, "
+          f"dec {len(data)/t_warm_dec/1e6:.1f} MB/s "
+          f"(threaded host enc {len(data)/t_warm_host/1e6:.1f} MB/s)",
+          file=sys.stderr)
+
     # ---- squeeze format: host adaptive-Huffman planning (threaded native)
     # + device bitstream assembly; decode on the threaded native engine
     # (measured device decode rejected — PERF.md "design decisions")
@@ -274,6 +302,7 @@ def main() -> None:
         "vs_baseline": round(gbps / base_gbps, 4),
         "blk_bits": blk_bits,
         "ratio": round(ratio, 6),
+        "warm_ratio": round(warm_ratio, 6),
         "ref_whole_stream_ratio": round(ref_ratio, 6),
         "squeeze_bitpack_MBps": round(len(data) / t_sq / 1e6, 1),
         "squeeze_host_decode_MBps": round(len(data) / t_sq_dec / 1e6, 1),

@@ -16,6 +16,7 @@ See FORMAT.md for the normative wire-format spec.
 from sqz_tpu.api import (  # noqa: F401
     compress,
     decompress,
+    decompress_range,
     Format,
     Engine,
 )

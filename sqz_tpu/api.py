@@ -42,14 +42,21 @@ def compress(data: bytes, fmt: Format | str = Format.SQUEEZE,
              engine: Engine | str = Engine.NATIVE,
              win_bits: int = 15, lz: bool = True,
              blocks: bool = False, blk_bits: int = 16,
-             checksum: bool = True) -> bytes:
+             checksum: bool = True, warm: bool = False) -> bytes:
+    """``warm`` (sqzt v2, FORMAT.md §3.1): blocks 1+ start from block 0's
+    final rescaled model state instead of fresh models, recovering most of
+    the per-block reset ratio penalty. Requires ``blocks=True``."""
     fmt, engine = Format(fmt), Engine(engine)
     if blocks:
         parts = sqzt.split_blocks(data, blk_bits)
-        payloads = _compress_blocks(parts, fmt, engine, win_bits, lz)
+        warm = warm and len(parts) > 1
+        payloads = _compress_blocks(parts, fmt, engine, win_bits, lz, warm)
         code = SQZT_FORMAT_SQUEEZE if fmt is Format.SQUEEZE else SQZT_FORMAT_SQZ4
         csum = sqzt.fnv1a64(data) if checksum else None
-        return sqzt.pack(code, win_bits, blk_bits, len(data), payloads, csum)
+        return sqzt.pack(code, win_bits, blk_bits, len(data), payloads, csum,
+                         warm=warm)
+    if warm:
+        raise ValueError("warm start requires blocks=True (sqzt container)")
     if engine is Engine.TPU:
         raise ValueError("tpu engine requires blocks=True (sqzt container)")
     if fmt is Format.SQUEEZE:
@@ -64,27 +71,56 @@ def compress(data: bytes, fmt: Format | str = Format.SQUEEZE,
         return _native().sqz4_compress(data, window=1 << win_bits, lz=lz)
 
 
-def _compress_blocks(parts, fmt, engine, win_bits, lz):
+def _warm_dictionary(block0: bytes, win_bits: int) -> bytes:
+    """Shared preset history for warm blocks 1+ (FORMAT.md §3.1): the last
+    min(2^win_bits, len(block 0)) bytes of block 0."""
+    return block0[-(1 << win_bits):]
+
+
+def _compress_blocks(parts, fmt, engine, win_bits, lz, warm=False):
     if engine is Engine.TPU:
         from sqz_tpu.ops import engine as tpu_engine
-        return tpu_engine.compress_blocks(parts, fmt, win_bits, lz)
+        return tpu_engine.compress_blocks(parts, fmt, win_bits, lz, warm)
+    if engine is Engine.NATIVE and warm:
+        # the native threaded executor runs the whole warm schedule itself
+        code = 0 if fmt is Format.SQUEEZE else 1
+        blk_bits = max((len(p) - 1).bit_length() for p in parts)
+        return _native().blocks_compress(b"".join(parts), code, win_bits,
+                                         blk_bits, lz=lz, warm=True)
+    seed = None
+    dictionary = b""
     out = []
-    for p in parts:
+    for i, p in enumerate(parts):
+        want_state = warm and i == 0
+        use_seed = seed if (warm and i > 0) else None
         if fmt is Format.SQUEEZE:
             if engine is Engine.ORACLE:
                 from sqz_tpu.oracle.squeeze import squeeze_encode_payload
                 from sqz_tpu.oracle.bitstream import BitWriter
                 bw = BitWriter()
-                squeeze_encode_payload(p, win_bits, bw)
+                res = squeeze_encode_payload(p, win_bits, bw, seed=use_seed,
+                                             return_state=want_state,
+                                             dictionary=dictionary)
                 out.append(bw.getvalue())
+                if want_state:
+                    seed = res
             else:
                 out.append(_native().squeeze_compress_payload(p, win_bits))
         else:
             if engine is Engine.ORACLE:
                 from sqz_tpu.oracle.sqz4 import sqz4_encode_payload
-                out.append(sqz4_encode_payload(p, 1 << win_bits, lz=lz))
+                r = sqz4_encode_payload(p, 1 << win_bits, lz=lz,
+                                        seed=use_seed,
+                                        return_state=want_state,
+                                        dictionary=dictionary)
+                if want_state:
+                    r, seed = r
+                out.append(r)
             else:
-                out.append(_native().sqz4_compress_payload(p, 1 << win_bits, lz=lz))
+                out.append(_native().sqz4_compress_payload(
+                    p, 1 << win_bits, lz=lz))
+        if want_state:
+            dictionary = _warm_dictionary(p, win_bits)
     return out
 
 
@@ -92,16 +128,33 @@ def decompress(blob: bytes, fmt: Optional[Format | str] = None,
                engine: Engine | str = Engine.NATIVE) -> bytes:
     engine = Engine(engine)
     if blob[:8] == sqzt.SQZT_MAGIC:
-        code, win_bits, blk_bits, osize, payloads, csum = sqzt.unpack(blob)
+        code, win_bits, blk_bits, osize, payloads, csum, warm = \
+            sqzt.unpack(blob)
         fmt = Format.SQUEEZE if code == SQZT_FORMAT_SQUEEZE else Format.SQZ4
         sizes = _block_sizes(osize, blk_bits, len(payloads))
         if engine is Engine.TPU:
             from sqz_tpu.ops import engine as tpu_engine
-            data = tpu_engine.decompress_blocks(payloads, sizes, fmt)
+            data = tpu_engine.decompress_blocks(payloads, sizes, fmt, warm,
+                                                win_bits)
+        elif engine is Engine.NATIVE and warm:
+            code = 0 if fmt is Format.SQUEEZE else 1
+            data = _native().blocks_decompress(list(payloads), osize, code,
+                                               blk_bits, warm=True,
+                                               win_bits=win_bits)
         else:
             out = bytearray()
-            for payload, size in zip(payloads, sizes):
-                out += _decode_one(payload, size, fmt, engine)
+            seed = None
+            dictionary = b""
+            for i, (payload, size) in enumerate(zip(payloads, sizes)):
+                want_state = warm and i == 0
+                use_seed = seed if (warm and i > 0) else None
+                r = _decode_one(payload, size, fmt, engine,
+                                seed=use_seed, return_state=want_state,
+                                dictionary=dictionary)
+                if want_state:
+                    r, seed = r
+                    dictionary = _warm_dictionary(r, win_bits)
+                out += r
             data = bytes(out)
         if csum is not None and sqzt.fnv1a64(data) != csum:
             raise ValueError("sqzt checksum mismatch (EILSEQ)")
@@ -122,6 +175,54 @@ def decompress(blob: bytes, fmt: Optional[Format | str] = None,
         return _native().sqz4_decompress(blob)
 
 
+def decompress_range(blob: bytes, start: int, length: int,
+                     engine: Engine | str = Engine.NATIVE) -> bytes:
+    """Random-access decode of ``[start, start+length)`` from an ``sqzt``
+    container — the checkpoint/resume hook the per-block length table
+    enables (FORMAT.md §3): only the covering blocks are decoded (plus
+    block 0 once for warm containers, which re-derives the shared seed).
+
+    The container checksum covers the whole payload and is NOT verified
+    here (the full data is never materialized); use decompress() for
+    verified full reads.
+    """
+    engine = Engine(engine)
+    if engine is Engine.TPU:
+        raise ValueError("decompress_range is a host feature; "
+                         "use engine='native' or 'oracle'")
+    if blob[:8] != sqzt.SQZT_MAGIC:
+        raise ValueError("decompress_range requires an sqzt container")
+    code, win_bits, blk_bits, osize, payloads, _csum, warm = sqzt.unpack(blob)
+    fmt = Format.SQUEEZE if code == SQZT_FORMAT_SQUEEZE else Format.SQZ4
+    if start < 0 or length < 0 or start + length > osize:
+        raise ValueError(f"range [{start}, {start + length}) outside "
+                         f"[0, {osize})")
+    if length == 0:
+        return b""
+    sizes = _block_sizes(osize, blk_bits, len(payloads))
+    b_lo = start >> blk_bits
+    b_hi = (start + length - 1) >> blk_bits
+    seed = None
+    dictionary = b""
+    blk0 = None
+    if warm and (b_hi > 0 or b_lo > 0):
+        r = _decode_one(payloads[0], sizes[0], fmt, engine,
+                        return_state=True)
+        blk0, seed = r
+        dictionary = _warm_dictionary(blk0, win_bits)
+    out = bytearray()
+    for b in range(b_lo, b_hi + 1):
+        if b == 0:
+            out += blk0 if blk0 is not None else _decode_one(
+                payloads[0], sizes[0], fmt, engine)
+        else:
+            out += _decode_one(payloads[b], sizes[b], fmt, engine,
+                               seed=seed if warm else None,
+                               dictionary=dictionary)
+    off = start - (b_lo << blk_bits)
+    return bytes(out[off:off + length])
+
+
 def _block_sizes(osize: int, blk_bits: int, nblocks: int):
     bs = 1 << blk_bits
     sizes = []
@@ -132,15 +233,26 @@ def _block_sizes(osize: int, blk_bits: int, nblocks: int):
     return sizes
 
 
-def _decode_one(payload: bytes, size: int, fmt: Format, engine: Engine) -> bytes:
+def _decode_one(payload: bytes, size: int, fmt: Format, engine: Engine,
+                seed=None, return_state: bool = False,
+                dictionary: bytes = b""):
     if fmt is Format.SQUEEZE:
         if engine is Engine.ORACLE:
             from sqz_tpu.oracle.bitstream import BitReader
             from sqz_tpu.oracle.squeeze import squeeze_decode_payload
-            return squeeze_decode_payload(BitReader(payload), size)
-        return _native().squeeze_decompress_payload(payload, size)
+            return squeeze_decode_payload(BitReader(payload), size,
+                                          seed=seed,
+                                          return_state=return_state,
+                                          dictionary=dictionary)
+        return _native().squeeze_decompress_payload(
+            payload, size, seed=seed, return_state=return_state,
+            dictionary=dictionary)
     else:
         if engine is Engine.ORACLE:
             from sqz_tpu.oracle.sqz4 import sqz4_decode_payload
-            return sqz4_decode_payload(payload, size)
-        return _native().sqz4_decompress_payload(payload, size)
+            return sqz4_decode_payload(payload, size, seed=seed,
+                                       return_state=return_state,
+                                       dictionary=dictionary)
+        return _native().sqz4_decompress_payload(
+            payload, size, seed=seed, return_state=return_state,
+            dictionary=dictionary)

@@ -20,6 +20,10 @@ from sqz_tpu.formats.constants import (
 )
 
 FLAG_CHECKSUM = 1
+# sqzt v2 (FORMAT.md §3.1): blocks 1+ were coded with models warm-started
+# from block 0's final (rescaled) state; block 0 itself is always fresh, so
+# the decoder re-derives the seed from block 0 — no bytes stored.
+FLAG_WARM = 2
 
 FNV_INIT = 0xCBF29CE484222325
 FNV_PRIME = 0x100000001B3
@@ -43,9 +47,10 @@ def split_blocks(data: bytes, blk_bits: int) -> List[bytes]:
 
 def pack(fmt: int, win_bits: int, blk_bits: int, original_size: int,
          block_payloads: List[bytes],
-         checksum: Optional[int] = None) -> bytes:
+         checksum: Optional[int] = None, warm: bool = False) -> bytes:
     assert fmt in (SQZT_FORMAT_SQUEEZE, SQZT_FORMAT_SQZ4)
-    flags = FLAG_CHECKSUM if checksum is not None else 0
+    flags = (FLAG_CHECKSUM if checksum is not None else 0) \
+        | (FLAG_WARM if warm else 0)
     head = struct.pack(
         "<8sBBBB4xQQ", SQZT_MAGIC, fmt, win_bits, blk_bits, flags,
         original_size, len(block_payloads))
@@ -56,8 +61,9 @@ def pack(fmt: int, win_bits: int, blk_bits: int, original_size: int,
 
 
 def unpack(blob: bytes) -> Tuple[int, int, int, int, List[bytes],
-                                 Optional[int]]:
-    """Returns (fmt, win_bits, blk_bits, original_size, payloads, checksum)."""
+                                 Optional[int], bool]:
+    """Returns (fmt, win_bits, blk_bits, original_size, payloads, checksum,
+    warm)."""
     magic, fmt, win_bits, blk_bits, flags, osize, nblocks = struct.unpack_from(
         "<8sBBBB4xQQ", blob, 0)
     if magic != SQZT_MAGIC:
@@ -79,4 +85,5 @@ def unpack(blob: bytes) -> Tuple[int, int, int, int, List[bytes],
         off += s
     if off != len(blob):
         raise ValueError(f"container size mismatch: {off} != {len(blob)}")
-    return fmt, win_bits, blk_bits, osize, payloads, checksum
+    return (fmt, win_bits, blk_bits, osize, payloads, checksum,
+            bool(flags & FLAG_WARM))

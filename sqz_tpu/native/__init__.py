@@ -56,22 +56,37 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.sqz_tokenize.restype = i64
         lib.sqz_tokenize.argtypes = [u8p, u64, u32, i32, i32, i32, i32p, u64]
         lib.sqz_sqz4_model_stats.restype = i64
-        lib.sqz_sqz4_model_stats.argtypes = [i32p, i32p, u64, u32p, u32p, u32p]
+        lib.sqz_sqz4_model_stats.argtypes = [i32p, i32p, u64, u32p,
+                                             u32p, u32p, u32p]
         lib.sqz_blocks_compress.restype = i64
         lib.sqz_blocks_compress.argtypes = [u8p, u64, i32, i32, i32, i32, i32,
-                                            u8p, u64, i64p]
+                                            i32, u8p, u64, i64p]
         lib.sqz_blocks_decompress.restype = i64
         lib.sqz_blocks_decompress.argtypes = [u8p, i64p, i64p, u64, i32, i32,
-                                              i32, u8p, u64]
+                                              i32, i32, i32, u8p, u64]
+        u32p_ = ctypes.POINTER(ctypes.c_uint32)
+        lib.sqz_sqz4_compress_s.restype = i64
+        lib.sqz_sqz4_compress_s.argtypes = [u8p, u64, u32, i32, u32p_, u32p_,
+                                            u8p, u64, u8p, u64]
+        lib.sqz_sqz4_decompress_s.restype = i64
+        lib.sqz_sqz4_decompress_s.argtypes = [u8p, u64, u64, u32p_, u32p_,
+                                              u8p, u64, u8p, u64]
+        lib.sqz_squeeze_compress_s.restype = i64
+        lib.sqz_squeeze_compress_s.argtypes = [u8p, u64, i32, i64p, i64p,
+                                               u8p, u64, u8p, u64]
+        lib.sqz_squeeze_decompress_s.restype = i64
+        lib.sqz_squeeze_decompress_s.argtypes = [u8p, u64, u64, i64p, i64p,
+                                                 u8p, u64, u8p, u64]
         lib.sqz_assemble_blocks.restype = i64
         lib.sqz_assemble_blocks.argtypes = [u32p, u64, u8p, u64, u32p, u64,
-                                            i64p, i64p, u64, i32, u8p, u64]
+                                            i64p, i64p, u64, i32, u8p, u64,
+                                            u8p, u64]
         lib.sqz4_plan_pack.restype = i64
         lib.sqz4_plan_pack.argtypes = [u8p, u64, u32, i32, i32, u64, u64,
-                                       i32, u32p, u32p, i64p]
+                                       i32, i32, u32p, u32p, u32p, i64p]
         lib.squeeze_plan_pack.restype = i64
         lib.squeeze_plan_pack.argtypes = [u8p, u64, i32, i32, u64, u64,
-                                          i32, u32p]
+                                          i32, i32, u32p]
         lib.sqz_fnv1a64.restype = u64
         lib.sqz_fnv1a64.argtypes = [u8p, u64]
         lib.sqz4_pack_payloads.restype = i64
@@ -150,45 +165,151 @@ def sqz4_decompress(blob: bytes) -> bytes:
 
 # --------------------------------------------------------- payload variants
 
-def squeeze_compress_payload(data: bytes, win_bits: int) -> bytes:
+SEED4_WORDS = 610        # sqz4 ModelSeed flat u32 words (FORMAT.md §3.1)
+TREE_SEED_WORDS = (3 + 6 * 1023) + (3 + 6 * 63)   # squeeze TreeSeed i64 words
+
+
+def _u32p(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32))
+
+
+def _i64p(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+
+
+def _seed4_in(seed):
+    """oracle ModelSeed (or flat seq / ndarray) -> u32[610] or None."""
+    if seed is None:
+        return None
+    flat = getattr(seed, "flat", seed)
+    a = np.ascontiguousarray(flat, dtype=np.uint32)
+    assert a.size == SEED4_WORDS
+    return a
+
+
+def _seed4_out(arr):
+    from sqz_tpu.oracle.sqz4 import ModelSeed
+    return ModelSeed(arr.tolist())
+
+
+def _treeseed_in(seed):
+    """oracle TreeSeed (lit+pos flat) -> i64[6522] or None."""
+    if seed is None:
+        return None
+    if hasattr(seed, "lit"):
+        flat = list(seed.lit) + list(seed.pos)
+    else:
+        flat = seed
+    a = np.ascontiguousarray(flat, dtype=np.int64)
+    assert a.size == TREE_SEED_WORDS
+    return a
+
+
+def _treeseed_out(arr):
+    from sqz_tpu.oracle.squeeze import TreeSeed
+    lit_words = 3 + 6 * 1023
+    return TreeSeed(arr[:lit_words].tolist(), arr[lit_words:].tolist())
+
+
+def _dict_in(dictionary):
+    if not dictionary:
+        return None, 0
+    d = np.frombuffer(dictionary, dtype=np.uint8)
+    return d, d.size
+
+
+def squeeze_compress_payload(data: bytes, win_bits: int, seed=None,
+                             return_state: bool = False,
+                             dictionary: bytes = b""):
     lib = _load()
     src = np.frombuffer(data, dtype=np.uint8) if data else np.zeros(1, np.uint8)
     out = np.empty(_cap_for(len(data)), dtype=np.uint8)
-    rc = _check(lib.sqz_squeeze_compress(_u8(src), len(data), win_bits, 0,
-                                         _u8(out), out.size))
-    return out[:rc].tobytes()
+    sin = _treeseed_in(seed)
+    sout = np.zeros(TREE_SEED_WORDS, dtype=np.int64) if return_state else None
+    d, dn = _dict_in(dictionary)
+    rc = _check(lib.sqz_squeeze_compress_s(
+        _u8(src), len(data), win_bits,
+        _i64p(sin) if sin is not None else None,
+        _i64p(sout) if sout is not None else None,
+        _u8(d) if d is not None else None, dn, _u8(out), out.size))
+    payload = out[:rc].tobytes()
+    if return_state:
+        return payload, _treeseed_out(sout)
+    return payload
 
 
-def squeeze_decompress_payload(payload: bytes, size: int) -> bytes:
+def squeeze_decompress_payload(payload: bytes, size: int, seed=None,
+                               return_state: bool = False,
+                               dictionary: bytes = b""):
     lib = _load()
     src = np.frombuffer(payload, dtype=np.uint8) if payload else np.zeros(1, np.uint8)
     out = np.empty(max(size, 1), dtype=np.uint8)
-    rc = _check(lib.sqz_squeeze_decompress(_u8(src), len(payload), 0, size,
-                                           _u8(out), out.size))
-    return out[:rc].tobytes()
+    sin = _treeseed_in(seed)
+    sout = np.zeros(TREE_SEED_WORDS, dtype=np.int64) if return_state else None
+    d, dn = _dict_in(dictionary)
+    rc = _check(lib.sqz_squeeze_decompress_s(
+        _u8(src), len(payload), size,
+        _i64p(sin) if sin is not None else None,
+        _i64p(sout) if sout is not None else None,
+        _u8(d) if d is not None else None, dn, _u8(out), out.size))
+    data = out[:rc].tobytes()
+    if return_state:
+        return data, _treeseed_out(sout)
+    return data
 
 
-def sqz4_compress_payload(data: bytes, window: int, lz: bool = True) -> bytes:
+def sqz4_compress_payload(data: bytes, window: int, lz: bool = True,
+                          seed=None, return_state: bool = False,
+                          dictionary: bytes = b""):
     lib = _load()
     src = np.frombuffer(data, dtype=np.uint8) if data else np.zeros(1, np.uint8)
     out = np.empty(_cap_for(len(data)), dtype=np.uint8)
-    rc = _check(lib.sqz_sqz4_compress(_u8(src), len(data), window, int(lz),
-                                      _u8(out), out.size))
-    return out[:rc].tobytes()
+    if seed is None and not return_state and not dictionary:
+        rc = _check(lib.sqz_sqz4_compress(_u8(src), len(data), window,
+                                          int(lz), _u8(out), out.size))
+        return out[:rc].tobytes()
+    sin = _seed4_in(seed)
+    sout = np.zeros(SEED4_WORDS, dtype=np.uint32) if return_state else None
+    d, dn = _dict_in(dictionary)
+    rc = _check(lib.sqz_sqz4_compress_s(
+        _u8(src), len(data), window, int(lz),
+        _u32p(sin) if sin is not None else None,
+        _u32p(sout) if sout is not None else None,
+        _u8(d) if d is not None else None, dn, _u8(out), out.size))
+    payload = out[:rc].tobytes()
+    if return_state:
+        return payload, _seed4_out(sout)
+    return payload
 
 
-def sqz4_decompress_payload(payload: bytes, size: int) -> bytes:
+def sqz4_decompress_payload(payload: bytes, size: int, seed=None,
+                            return_state: bool = False,
+                            dictionary: bytes = b""):
     lib = _load()
     src = np.frombuffer(payload, dtype=np.uint8) if payload else np.zeros(1, np.uint8)
     out = np.empty(max(size, 1), dtype=np.uint8)
-    rc = _check(lib.sqz_sqz4_decompress(_u8(src), len(payload), size,
-                                        _u8(out), out.size))
-    return out[:rc].tobytes()
+    if seed is None and not return_state and not dictionary:
+        rc = _check(lib.sqz_sqz4_decompress(_u8(src), len(payload), size,
+                                            _u8(out), out.size))
+        return out[:rc].tobytes()
+    sin = _seed4_in(seed)
+    sout = np.zeros(SEED4_WORDS, dtype=np.uint32) if return_state else None
+    d, dn = _dict_in(dictionary)
+    rc = _check(lib.sqz_sqz4_decompress_s(
+        _u8(src), len(payload), size,
+        _u32p(sin) if sin is not None else None,
+        _u32p(sout) if sout is not None else None,
+        _u8(d) if d is not None else None, dn, _u8(out), out.size))
+    data = out[:rc].tobytes()
+    if return_state:
+        return data, _seed4_out(sout)
+    return data
 
 
-def sqz4_model_stats(m_ops: np.ndarray, s_ops: np.ndarray):
+def sqz4_model_stats(m_ops: np.ndarray, s_ops: np.ndarray, seed=None):
     """Per-op (start, size, total) of the 36 adaptive sqz4 models, values
-    taken before each op's update (one block's op stream)."""
+    taken before each op's update (one block's op stream). ``seed``
+    warm-starts the models (FORMAT.md §3.1)."""
     lib = _load()
     t = len(m_ops)
     m = np.ascontiguousarray(m_ops, dtype=np.int32)
@@ -196,10 +317,12 @@ def sqz4_model_stats(m_ops: np.ndarray, s_ops: np.ndarray):
     start = np.empty(t, dtype=np.uint32)
     size = np.empty(t, dtype=np.uint32)
     total = np.empty(t, dtype=np.uint32)
+    sin = _seed4_in(seed)
     i32p = ctypes.POINTER(ctypes.c_int32)
     u32p = ctypes.POINTER(ctypes.c_uint32)
     _check(lib.sqz_sqz4_model_stats(
         m.ctypes.data_as(i32p), s.ctypes.data_as(i32p), t,
+        _u32p(sin) if sin is not None else None,
         start.ctypes.data_as(u32p), size.ctypes.data_as(u32p),
         total.ctypes.data_as(u32p)))
     return start, size, total
@@ -220,8 +343,11 @@ def tokenize(data: bytes, window: int, min_len: int, max_len: int,
 # ------------------------------------------------------- threaded block API
 
 def blocks_compress(data: bytes, fmt: int, win_bits: int, blk_bits: int,
-                    lz: bool = True, nthreads: int = 0) -> List[bytes]:
-    """Compress independent 2^blk_bits blocks in parallel; returns payloads."""
+                    lz: bool = True, nthreads: int = 0,
+                    warm: bool = False) -> List[bytes]:
+    """Compress independent 2^blk_bits blocks in parallel; returns payloads.
+    ``warm``: sqzt v2 — block 0 fresh, blocks 1+ seeded from its final
+    state (FORMAT.md §3.1)."""
     lib = _load()
     n = len(data)
     bs = 1 << blk_bits
@@ -231,7 +357,7 @@ def blocks_compress(data: bytes, fmt: int, win_bits: int, blk_bits: int,
     out = np.empty(nblocks * stride, dtype=np.uint8)
     sizes = np.zeros(nblocks, dtype=np.int64)
     rc = _check(lib.sqz_blocks_compress(
-        _u8(src), n, fmt, win_bits, blk_bits, int(lz), nthreads,
+        _u8(src), n, fmt, win_bits, blk_bits, int(lz), nthreads, int(warm),
         _u8(out), stride, sizes.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))))
     assert rc == nblocks
     return [out[b * stride:b * stride + int(sizes[b])].tobytes()
@@ -239,7 +365,10 @@ def blocks_compress(data: bytes, fmt: int, win_bits: int, blk_bits: int,
 
 
 def blocks_decompress(payloads: List[bytes], total_size: int, fmt: int,
-                      blk_bits: int, nthreads: int = 0) -> bytes:
+                      blk_bits: int, nthreads: int = 0,
+                      warm: bool = False, win_bits: int = 15) -> bytes:
+    """``win_bits`` sizes the warm shared dictionary (FORMAT.md §3.1); it is
+    only read when ``warm`` — pass the container's win_bits then."""
     lib = _load()
     flat = b"".join(payloads)
     offsets = np.zeros(len(payloads), dtype=np.int64)
@@ -250,16 +379,19 @@ def blocks_decompress(payloads: List[bytes], total_size: int, fmt: int,
     i64p = ctypes.POINTER(ctypes.c_int64)
     rc = _check(lib.sqz_blocks_decompress(
         _u8(src), offsets.ctypes.data_as(i64p), sizes.ctypes.data_as(i64p),
-        len(payloads), fmt, blk_bits, nthreads, _u8(out), total_size))
+        len(payloads), fmt, blk_bits, win_bits, nthreads, int(warm),
+        _u8(out), total_size))
     assert rc == total_size
     return out[:total_size].tobytes()
 
 
 def assemble_blocks(tok: np.ndarray, lit: np.ndarray, mrec: np.ndarray,
                     ntok: np.ndarray, sizes: np.ndarray, out_stride: int,
-                    nthreads: int = 0) -> np.ndarray:
+                    nthreads: int = 0, dictionary: bytes = b"") -> np.ndarray:
     """Reconstruct decode-kernel record streams: [B, *] row-major arrays
-    (tok u32 words, lit u8 bytes, mrec u32 records) -> [B, out_stride] u8."""
+    (tok u32 words, lit u8 bytes, mrec u32 records) -> [B, out_stride] u8.
+    ``dictionary``: shared warm preset history match records may reach
+    into (FORMAT.md §3.1)."""
     lib = _load()
     B = tok.shape[0]
     tok = np.ascontiguousarray(tok, dtype=np.uint32)
@@ -268,6 +400,7 @@ def assemble_blocks(tok: np.ndarray, lit: np.ndarray, mrec: np.ndarray,
     nt = np.ascontiguousarray(ntok, dtype=np.int64)
     sz = np.ascontiguousarray(sizes, dtype=np.int64)
     out = np.zeros((B, out_stride), dtype=np.uint8)
+    d, dn = _dict_in(dictionary)
     i64p = ctypes.POINTER(ctypes.c_int64)
     u32p = ctypes.POINTER(ctypes.c_uint32)
     _check(lib.sqz_assemble_blocks(
@@ -275,15 +408,20 @@ def assemble_blocks(tok: np.ndarray, lit: np.ndarray, mrec: np.ndarray,
         _u8(lit), lit.shape[1],
         mrec.ctypes.data_as(u32p), mrec.shape[1],
         nt.ctypes.data_as(i64p), sz.ctypes.data_as(i64p),
-        B, nthreads, _u8(out), out_stride))
+        B, nthreads, _u8(d) if d is not None else None, dn,
+        _u8(out), out_stride))
     return out
 
 
 def sqz4_plan_pack(data: bytes, window: int, blk_bits: int, lz: bool,
-                   lanes: int, tp_cap: int, nthreads: int = 0):
+                   lanes: int, tp_cap: int, nthreads: int = 0,
+                   warm: bool = False):
     """Tokenize + expand + pack the encoder op streams in one threaded pass.
 
-    Returns (m_words, s_words [G, tp_cap//4, lanes] u32, max_ops)."""
+    Returns (m_words, s_words [G, tp_cap//4, lanes] u32, max_ops[, seed]).
+    With ``warm`` (sqzt v2): blocks 1+ tokenize against block 0's tail
+    dictionary and the returned seed (oracle ModelSeed) holds block 0's
+    final rescaled model state for the device tables."""
     lib = _load()
     n = len(data)
     bs = 1 << blk_bits
@@ -294,12 +432,16 @@ def sqz4_plan_pack(data: bytes, window: int, blk_bits: int, lz: bool,
     m_words = np.full((G, tp_rows, lanes), 0xFFFFFFFF, dtype=np.uint32)
     s_words = np.zeros((G, tp_rows, lanes), dtype=np.uint32)
     counts = np.zeros(nblocks, dtype=np.int64)
+    seed_out = np.zeros(SEED4_WORDS, dtype=np.uint32) if warm else None
     u32p = ctypes.POINTER(ctypes.c_uint32)
     i64p = ctypes.POINTER(ctypes.c_int64)
     mx = _check(lib.sqz4_plan_pack(
         _u8(src), n, window, blk_bits, int(lz), lanes, tp_cap, nthreads,
+        int(warm), _u32p(seed_out) if seed_out is not None else None,
         m_words.ctypes.data_as(u32p), s_words.ctypes.data_as(u32p),
         counts.ctypes.data_as(i64p)))
+    if warm:
+        return m_words, s_words, mx, _seed4_out(seed_out)
     return m_words, s_words, mx
 
 
@@ -330,10 +472,12 @@ def fnv1a64(data: bytes) -> int:
 
 
 def squeeze_plan_pack(data: bytes, win_bits: int, blk_bits: int,
-                      lanes: int, tw_cap: int, nthreads: int = 0):
+                      lanes: int, tw_cap: int, nthreads: int = 0,
+                      warm: bool = False):
     """Adaptive-Huffman encode per block recording bitstream writes in the
     TPU packer's [G, tw_cap, lanes] u32 layout (0 = pad). Returns
-    (words, max_writes)."""
+    (words, max_writes). ``warm``: sqzt v2 tree seeding + shared
+    dictionary for blocks 1+ (FORMAT.md §3.1)."""
     lib = _load()
     n = len(data)
     bs = 1 << blk_bits
@@ -342,6 +486,6 @@ def squeeze_plan_pack(data: bytes, win_bits: int, blk_bits: int,
     src = np.frombuffer(data, dtype=np.uint8) if data else np.zeros(1, np.uint8)
     words = np.zeros((G, tw_cap, lanes), dtype=np.uint32)
     mx = _check(lib.squeeze_plan_pack(
-        _u8(src), n, win_bits, blk_bits, lanes, tw_cap, nthreads,
+        _u8(src), n, win_bits, blk_bits, lanes, tw_cap, nthreads, int(warm),
         words.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32))))
     return words, mx

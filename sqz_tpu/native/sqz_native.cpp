@@ -204,6 +204,37 @@ class HuffTree {
         }
     }
 
+    // sqzt v2 warm start (FORMAT.md §3.1): flat i64 state, layout shared
+    // with the Python oracle — [next, depth, complete] + freq + path +
+    // bits + pix + lix + rix (m entries each) = 3 + 6m words.
+    int seed_words() const { return 3 + 6 * m_; }
+
+    void dump_state(int64_t* s) const {
+        s[0] = next_;
+        s[1] = depth_;
+        s[2] = complete_ ? 1 : 0;
+        int64_t* p = s + 3;
+        for (int i = 0; i < m_; i++) *p++ = static_cast<int64_t>(freq_[i]);
+        for (int i = 0; i < m_; i++) *p++ = static_cast<int64_t>(path_[i]);
+        for (int i = 0; i < m_; i++) *p++ = bits_[i];
+        for (int i = 0; i < m_; i++) *p++ = pix_[i];
+        for (int i = 0; i < m_; i++) *p++ = lix_[i];
+        for (int i = 0; i < m_; i++) *p++ = rix_[i];
+    }
+
+    void load_state(const int64_t* s) {
+        next_ = static_cast<int>(s[0]);
+        depth_ = static_cast<int>(s[1]);
+        complete_ = s[2] != 0;
+        const int64_t* p = s + 3;
+        for (int i = 0; i < m_; i++) freq_[i] = static_cast<uint64_t>(*p++);
+        for (int i = 0; i < m_; i++) path_[i] = static_cast<uint64_t>(*p++);
+        for (int i = 0; i < m_; i++) bits_[i] = static_cast<int>(*p++);
+        for (int i = 0; i < m_; i++) pix_[i] = static_cast<int>(*p++);
+        for (int i = 0; i < m_; i++) lix_[i] = static_cast<int>(*p++);
+        for (int i = 0; i < m_; i++) rix_[i] = static_cast<int>(*p++);
+    }
+
   private:
     void update_paths(int i) {
         if (i == m_ - 1) depth_ = 0;
@@ -430,15 +461,40 @@ void squeeze_encode_pos(W& bw, HuffTree& pos, int code) {
     }
 }
 
+// Combined lit+pos tree-seed length (sqzt v2, FORMAT.md §3.1): lit first.
+constexpr int kTreeSeedWords = (3 + 6 * 1023) + (3 + 6 * 63);
+
 template <typename W>
 void squeeze_encode_payload(const uint8_t* data, uint64_t n, int win_bits,
-                            W& bw) {
+                            W& bw, const int64_t* seed = nullptr,
+                            int64_t* state_out = nullptr,
+                            const uint8_t* dict = nullptr,
+                            uint64_t dlen = 0) {
     HuffTree lit(512), pos(32);
-    lit.insert(kLitNyt);
-    pos.insert(kPosNyt);
-    MatchFinder mf(data, n, 1u << win_bits, kSqueezeLenMin, kSqueezeLenMax);
-    uint64_t i = 0;
-    while (i < n) {
+    if (seed != nullptr) {
+        lit.load_state(seed);
+        pos.load_state(seed + lit.seed_words());
+    } else {
+        lit.insert(kLitNyt);
+        pos.insert(kPosNyt);
+    }
+    // preset history (sqzt v2, FORMAT.md §3.1) — as in sqz4_encode_payload
+    const uint8_t* base = data;
+    uint64_t total = n, start = 0;
+    std::vector<uint8_t> buf;
+    if (dlen > 0) {
+        buf.reserve(dlen + n);
+        buf.insert(buf.end(), dict, dict + dlen);
+        buf.insert(buf.end(), data, data + n);
+        base = buf.data();
+        total = dlen + n;
+        start = dlen;
+    }
+    MatchFinder mf(base, total, 1u << win_bits, kSqueezeLenMin,
+                   kSqueezeLenMax);
+    for (uint64_t k = 0; k < start; k++) mf.insert(k);
+    uint64_t i = start;
+    while (i < total) {
         uint32_t len, dist;
         mf.find(i, &len, &dist);
         if (len >= kSqueezeLenMin) {
@@ -451,12 +507,16 @@ void squeeze_encode_payload(const uint8_t* data, uint64_t n, int win_bits,
             for (uint32_t k = 0; k < len; k++) mf.insert(i + k);
             i += len;
         } else {
-            squeeze_encode_lit(bw, lit, data[i]);
+            squeeze_encode_lit(bw, lit, base[i]);
             mf.insert(i);
             i++;
         }
     }
     bw.flush();
+    if (state_out != nullptr) {
+        lit.dump_state(state_out);
+        pos.dump_state(state_out + lit.seed_words());
+    }
 }
 
 uint64_t squeeze_read_sym(BitReader& br, HuffTree& t) {
@@ -472,10 +532,26 @@ uint64_t squeeze_read_sym(BitReader& br, HuffTree& t) {
     return static_cast<uint64_t>(i);
 }
 
-uint64_t squeeze_decode_payload(BitReader& br, uint8_t* out, uint64_t size) {
+uint64_t squeeze_decode_payload(BitReader& br, uint8_t* out, uint64_t size,
+                                const int64_t* seed = nullptr,
+                                int64_t* state_out = nullptr,
+                                const uint8_t* dict = nullptr,
+                                uint64_t dlen = 0) {
     HuffTree lit(512), pos(32);
-    lit.insert(kLitNyt);
-    pos.insert(kPosNyt);
+    if (seed != nullptr) {
+        lit.load_state(seed);
+        pos.load_state(seed + lit.seed_words());
+    } else {
+        lit.insert(kLitNyt);
+        pos.insert(kPosNyt);
+    }
+    std::vector<uint8_t> histbuf;
+    uint8_t* o = out;
+    if (dlen > 0) {
+        histbuf.resize(dlen + size);
+        std::memcpy(histbuf.data(), dict, dlen);
+        o = histbuf.data() + dlen;
+    }
     uint64_t i = 0;
     while (i < size) {
         uint64_t sym = squeeze_read_sym(br, lit);
@@ -484,7 +560,7 @@ uint64_t squeeze_decode_payload(BitReader& br, uint8_t* out, uint64_t size) {
             if (sym >= 512 || !lit.insert(static_cast<int>(sym))) fail(EILSEQ);
         }
         if (sym <= 0xFF) {
-            out[i++] = static_cast<uint8_t>(sym);
+            o[i++] = static_cast<uint8_t>(sym);
         } else {
             if (sym < kSymMin || sym >= kLitNyt) fail(EILSEQ);
             int li = static_cast<int>(sym) - kSymMin;
@@ -498,9 +574,14 @@ uint64_t squeeze_decode_payload(BitReader& br, uint8_t* out, uint64_t size) {
             if (pi >= 30) fail(EILSEQ);
             uint32_t dist = kPosBase[pi];
             if (kPosXb[pi]) dist += static_cast<uint32_t>(br.read_bits(kPosXb[pi]));
-            if (dist == 0 || dist > i || i + len > size) fail(ERANGE);
-            for (uint32_t k = 0; k < len; k++, i++) out[i] = out[i - dist];
+            if (dist == 0 || dist > i + dlen || i + len > size) fail(ERANGE);
+            for (uint32_t k = 0; k < len; k++, i++) o[i] = o[i - dist];
         }
+    }
+    if (dlen > 0) std::memcpy(out, o, i);
+    if (state_out != nullptr) {
+        lit.dump_state(state_out);
+        pos.dump_state(state_out + lit.seed_words());
     }
     return i;
 }
@@ -514,15 +595,19 @@ class ProbModel {
   public:
     explicit ProbModel(int n) {
         std::memset(freq_, 0, sizeof(freq_));
-        std::memset(tree_, 0, sizeof(tree_));
         for (int i = 0; i < n; i++) freq_[i] = 1;
-        for (int i = 0; i < 256; i++) tree_[i] = freq_[i];
-        for (int i = 1; i <= 256; i++) {
-            int parent = i + (i & -i);
-            if (parent <= 256) tree_[parent - 1] += tree_[i - 1];
-        }
-        total_ = 0;
-        for (int i = 0; i < 256; i++) total_ += freq_[i];
+        rebuild();
+    }
+
+    // sqzt v2 warm start (FORMAT.md §3.1): restore / snapshot raw freqs.
+    void load_freqs(const uint32_t* f, int n) {
+        std::memset(freq_, 0, sizeof(freq_));
+        for (int i = 0; i < n; i++) freq_[i] = f[i];
+        rebuild();
+    }
+
+    void dump_freqs(uint32_t* f, int n) const {
+        for (int i = 0; i < n; i++) f[i] = static_cast<uint32_t>(freq_[i]);
     }
 
     uint64_t total() const { return total_; }
@@ -559,6 +644,17 @@ class ProbModel {
     }
 
   private:
+    void rebuild() {
+        std::memset(tree_, 0, sizeof(tree_));
+        for (int i = 0; i < 256; i++) tree_[i] = freq_[i];
+        for (int i = 1; i <= 256; i++) {
+            int parent = i + (i & -i);
+            if (parent <= 256) tree_[parent - 1] += tree_[i - 1];
+        }
+        total_ = 0;
+        for (int i = 0; i < 256; i++) total_ += freq_[i];
+    }
+
     uint64_t freq_[256];
     uint64_t tree_[256];
     uint64_t total_;
@@ -569,6 +665,54 @@ struct Sqz4Models {
     std::vector<ProbModel> dist;
     Sqz4Models() : dist(32, ProbModel(2)) {}
 };
+
+// sqzt v2 model seed (FORMAT.md §3.1): flat u32[610] =
+// literal[2] + size[256] + byte[256] + bits[32] + dist0[32] + dist1[32].
+constexpr int kSeed4Words = 610;
+
+void seed4_load(Sqz4Models& pm, const uint32_t* s) {
+    pm.literal.load_freqs(s, 2);
+    pm.size.load_freqs(s + 2, 256);
+    pm.byte.load_freqs(s + 258, 256);
+    pm.bits.load_freqs(s + 514, 32);
+    for (int b = 0; b < 32; b++) {
+        uint32_t f[2] = {s[546 + b], s[578 + b]};
+        pm.dist[b].load_freqs(f, 2);
+    }
+}
+
+// Normative capture rescale: per model, while total > 2^14, every nonzero
+// freq becomes (freq+1)>>1 — bounds warm-block totals below 2^17, the
+// device kernels' wide-divider exactness range.
+void seed4_rescale(uint32_t* f, int n) {
+    uint64_t tot = 0;
+    for (int i = 0; i < n; i++) tot += f[i];
+    while (tot > (1u << 14)) {
+        tot = 0;
+        for (int i = 0; i < n; i++) {
+            if (f[i]) f[i] = (f[i] + 1) >> 1;
+            tot += f[i];
+        }
+    }
+}
+
+void seed4_capture(const Sqz4Models& pm, uint32_t* s) {
+    pm.literal.dump_freqs(s, 2);
+    seed4_rescale(s, 2);
+    pm.size.dump_freqs(s + 2, 256);
+    seed4_rescale(s + 2, 256);
+    pm.byte.dump_freqs(s + 258, 256);
+    seed4_rescale(s + 258, 256);
+    pm.bits.dump_freqs(s + 514, 32);
+    seed4_rescale(s + 514, 32);
+    for (int b = 0; b < 32; b++) {
+        uint32_t f[2];
+        pm.dist[b].dump_freqs(f, 2);
+        seed4_rescale(f, 2);
+        s[546 + b] = f[0];
+        s[578 + b] = f[1];
+    }
+}
 
 class RangeEncoder {
   public:
@@ -661,13 +805,32 @@ class RangeDecoder {
 constexpr int kSqz4MinLen = 2, kSqz4MaxLen = 254, kSqz4Eos = 0xFF;
 
 uint64_t sqz4_encode_payload(const uint8_t* data, uint64_t n, uint32_t window,
-                             int lz, uint8_t* out, uint64_t cap) {
+                             int lz, uint8_t* out, uint64_t cap,
+                             const uint32_t* seed = nullptr,
+                             uint32_t* state_out = nullptr,
+                             const uint8_t* dict = nullptr,
+                             uint64_t dlen = 0) {
     Sqz4Models pm;
+    if (seed != nullptr) seed4_load(pm, seed);
     RangeEncoder enc(out, cap);
     if (lz) {
-        MatchFinder mf(data, n, window, kSqz4MinLen, kSqz4MaxLen);
-        uint64_t i = 0;
-        while (i < n) {
+        // preset history (sqzt v2, FORMAT.md §3.1): match over dict + data,
+        // tokenize from the first data byte; dist may reach into the dict.
+        const uint8_t* base = data;
+        uint64_t total = n, start = 0;
+        std::vector<uint8_t> buf;
+        if (dlen > 0) {
+            buf.reserve(dlen + n);
+            buf.insert(buf.end(), dict, dict + dlen);
+            buf.insert(buf.end(), data, data + n);
+            base = buf.data();
+            total = dlen + n;
+            start = dlen;
+        }
+        MatchFinder mf(base, total, window, kSqz4MinLen, kSqz4MaxLen);
+        for (uint64_t k = 0; k < start; k++) mf.insert(k);
+        uint64_t i = start;
+        while (i < total) {
             uint32_t len, dist;
             mf.find(i, &len, &dist);
             uint32_t nbits = 0;
@@ -687,7 +850,7 @@ uint64_t sqz4_encode_payload(const uint8_t* data, uint64_t n, uint32_t window,
                 i += len;
             } else {
                 enc.encode(pm.literal, 1);
-                enc.encode(pm.byte, data[i]);
+                enc.encode(pm.byte, base[i]);
                 mf.insert(i);
                 i++;
             }
@@ -701,19 +864,34 @@ uint64_t sqz4_encode_payload(const uint8_t* data, uint64_t n, uint32_t window,
     enc.encode(pm.literal, 0);
     enc.encode(pm.size, kSqz4Eos);
     enc.flush();
+    if (state_out != nullptr) seed4_capture(pm, state_out);
     return enc.bytes();
 }
 
 uint64_t sqz4_decode_payload(const uint8_t* payload, uint64_t n,
-                             uint8_t* out, uint64_t size) {
+                             uint8_t* out, uint64_t size,
+                             const uint32_t* seed = nullptr,
+                             uint32_t* state_out = nullptr,
+                             const uint8_t* dict = nullptr,
+                             uint64_t dlen = 0) {
     Sqz4Models pm;
+    if (seed != nullptr) seed4_load(pm, seed);
     RangeDecoder dec(payload, n);
+    // preset history (sqzt v2): decode into a dict-prefixed scratch so
+    // matches can copy from the dictionary; result is copied back to out.
+    std::vector<uint8_t> histbuf;
+    uint8_t* o = out;
+    if (dlen > 0) {
+        histbuf.resize(dlen + size);
+        std::memcpy(histbuf.data(), dict, dlen);
+        o = histbuf.data() + dlen;
+    }
     uint64_t i = 0;
     for (;;) {
         int flag = dec.decode(pm.literal);
         if (flag) {
             if (i >= size) fail(ENOBUFS);
-            out[i++] = static_cast<uint8_t>(dec.decode(pm.byte));
+            o[i++] = static_cast<uint8_t>(dec.decode(pm.byte));
         } else {
             int len = dec.decode(pm.size);
             if (len == kSqz4Eos) break;
@@ -725,11 +903,13 @@ uint64_t sqz4_decode_payload(const uint8_t* payload, uint64_t n,
             }
             // implicit MSB at nbits-1 (FORMAT.md §2.4; fixes src/sqz.c:821)
             if (nbits > 0) dist |= 1u << (nbits - 1);
-            if (dist == 0 || dist > i) fail(ERANGE);
+            if (dist == 0 || dist > i + dlen) fail(ERANGE);
             if (i + static_cast<uint64_t>(len) > size) fail(ENOBUFS);
-            for (int k = 0; k < len; k++, i++) out[i] = out[i - dist];
+            for (int k = 0; k < len; k++, i++) o[i] = o[i - dist];
         }
     }
+    if (dlen > 0) std::memcpy(out, o, i);
+    if (state_out != nullptr) seed4_capture(pm, state_out);
     return i;
 }
 
@@ -794,6 +974,69 @@ int64_t sqz_sqz4_decompress(const uint8_t* payload, uint64_t n, uint64_t size,
     }
 }
 
+// ---- seeded payload variants (sqzt v2 warm start, FORMAT.md §3.1).
+// seed/state_out may be null; sqz4 seeds are u32[610], squeeze tree seeds
+// are i64[6522] (lit flat state then pos flat state).
+
+int64_t sqz_sqz4_compress_s(const uint8_t* data, uint64_t n, uint32_t window,
+                            int lz, const uint32_t* seed, uint32_t* state_out,
+                            const uint8_t* dict, uint64_t dlen,
+                            uint8_t* out, uint64_t cap) {
+    try {
+        return static_cast<int64_t>(
+            sqz4_encode_payload(data, n, window, lz, out, cap, seed,
+                                state_out, dict, dlen));
+    } catch (const CodecError& e) {
+        return -e.err;
+    }
+}
+
+int64_t sqz_sqz4_decompress_s(const uint8_t* payload, uint64_t n,
+                              uint64_t size, const uint32_t* seed,
+                              uint32_t* state_out,
+                              const uint8_t* dict, uint64_t dlen,
+                              uint8_t* out, uint64_t cap) {
+    try {
+        if (size > cap) return -ENOBUFS;
+        return static_cast<int64_t>(
+            sqz4_decode_payload(payload, n, out, size, seed, state_out,
+                                dict, dlen));
+    } catch (const CodecError& e) {
+        return -e.err;
+    }
+}
+
+int64_t sqz_squeeze_compress_s(const uint8_t* data, uint64_t n, int win_bits,
+                               const int64_t* seed, int64_t* state_out,
+                               const uint8_t* dict, uint64_t dlen,
+                               uint8_t* out, uint64_t cap) {
+    try {
+        if (win_bits < 10 || win_bits > 15) return -EINVAL;
+        BitWriter bw(out, cap);
+        squeeze_encode_payload(data, n, win_bits, bw, seed, state_out,
+                               dict, dlen);
+        return static_cast<int64_t>(bw.bytes());
+    } catch (const CodecError& e) {
+        return -e.err;
+    }
+}
+
+int64_t sqz_squeeze_decompress_s(const uint8_t* payload, uint64_t n,
+                                 uint64_t size, const int64_t* seed,
+                                 int64_t* state_out,
+                                 const uint8_t* dict, uint64_t dlen,
+                                 uint8_t* out, uint64_t cap) {
+    try {
+        if (size > cap) return -ENOBUFS;
+        BitReader br(payload, n);
+        return static_cast<int64_t>(
+            squeeze_decode_payload(br, out, size, seed, state_out,
+                                   dict, dlen));
+    } catch (const CodecError& e) {
+        return -e.err;
+    }
+}
+
 // Encoder-side model-statistics precompute: given the sqz4 micro-op stream
 // (model id, symbol) — model ids per FORMAT.md §2.2, -1 = pad, 36 = flush —
 // simulate the 36 adaptive models and record each op's (start, size, total)
@@ -801,10 +1044,12 @@ int64_t sqz_sqz4_decompress(const uint8_t* payload, uint64_t n, uint64_t size,
 // registers (ops/sqz4_jax.encode_scan_stats_impl). Values fit u32 for any
 // block < 4 GiB (totals grow by 1 per op).
 int64_t sqz_sqz4_model_stats(const int32_t* m_ops, const int32_t* s_ops,
-                             uint64_t t, uint32_t* out_start,
+                             uint64_t t, const uint32_t* seed,
+                             uint32_t* out_start,
                              uint32_t* out_size, uint32_t* out_total) {
     try {
         Sqz4Models pm;
+        if (seed != nullptr) seed4_load(pm, seed);
         ProbModel* models[36] = {
             &pm.literal, &pm.size, &pm.byte, &pm.bits,
             &pm.dist[0], &pm.dist[1], &pm.dist[2], &pm.dist[3],
@@ -882,14 +1127,46 @@ int64_t sqz_tokenize(const uint8_t* data, uint64_t n, uint32_t window,
 // out + block_index * out_stride. Returns the block count or -errno.
 int64_t sqz_blocks_compress(const uint8_t* data, uint64_t n, int fmt,
                             int win_bits, int blk_bits, int lz, int nthreads,
+                            int warm,
                             uint8_t* out, uint64_t out_stride,
                             int64_t* out_sizes) {
     const uint64_t bs = 1ull << blk_bits;
     const uint64_t nblocks = n == 0 ? 1 : (n + bs - 1) / bs;
     if (nthreads <= 0) nthreads = static_cast<int>(std::thread::hardware_concurrency());
     if (nthreads < 1) nthreads = 1;
+    // warm (sqzt v2): block 0 fresh first, capturing the seed every other
+    // block starts from, plus block 0's tail as the shared preset
+    // dictionary; the pool then runs blocks 1+ in parallel.
+    std::vector<uint32_t> seed4(kSeed4Words);
+    std::vector<int64_t> seedt(kTreeSeedWords);
+    const uint8_t* dict = nullptr;
+    uint64_t dlen = 0;
+    uint64_t first = 0;
+    if (warm && nblocks > 1) {
+        uint64_t len0 = n < bs ? n : bs;
+        if (fmt == 0) {
+            try {
+                BitWriter bw(out, out_stride);
+                squeeze_encode_payload(data, len0, win_bits, bw, nullptr,
+                                       seedt.data());
+                out_sizes[0] = static_cast<int64_t>(bw.bytes());
+            } catch (const CodecError& e) {
+                return -e.err;
+            }
+        } else {
+            out_sizes[0] = sqz_sqz4_compress_s(data, len0, 1u << win_bits, lz,
+                                               nullptr, seed4.data(),
+                                               nullptr, 0, out, out_stride);
+            if (out_sizes[0] < 0) return out_sizes[0];
+        }
+        dlen = len0 < (1ull << win_bits) ? len0 : (1ull << win_bits);
+        dict = data + (len0 - dlen);
+        first = 1;
+    } else {
+        warm = 0;
+    }
     std::vector<std::thread> pool;
-    std::atomic<uint64_t> next{0};
+    std::atomic<uint64_t> next{first};
     auto worker = [&]() {
         for (;;) {
             uint64_t b = next.fetch_add(1);
@@ -898,11 +1175,14 @@ int64_t sqz_blocks_compress(const uint8_t* data, uint64_t n, int fmt,
             uint64_t len = n - b * bs < bs ? n - b * bs : bs;
             uint8_t* dst = out + b * out_stride;
             if (fmt == 0) {
-                out_sizes[b] = sqz_squeeze_compress(p, len, win_bits, 0,
-                                                    dst, out_stride);
+                out_sizes[b] = sqz_squeeze_compress_s(
+                    p, len, win_bits, warm ? seedt.data() : nullptr, nullptr,
+                    dict, dlen, dst, out_stride);
             } else {
-                out_sizes[b] = sqz_sqz4_compress(p, len, 1u << win_bits, lz,
-                                                 dst, out_stride);
+                out_sizes[b] = sqz_sqz4_compress_s(
+                    p, len, 1u << win_bits, lz,
+                    warm ? seed4.data() : nullptr, nullptr, dict, dlen,
+                    dst, out_stride);
             }
         }
     };
@@ -917,14 +1197,46 @@ int64_t sqz_blocks_compress(const uint8_t* data, uint64_t n, int fmt,
 // Mirror: parallel decode of independent blocks into a contiguous buffer.
 int64_t sqz_blocks_decompress(const uint8_t* payloads, const int64_t* offsets,
                               const int64_t* sizes, uint64_t nblocks, int fmt,
-                              int blk_bits, int nthreads,
+                              int blk_bits, int win_bits, int nthreads,
+                              int warm,
                               uint8_t* out, uint64_t total_size) {
     const uint64_t bs = 1ull << blk_bits;
     if (nthreads <= 0) nthreads = static_cast<int>(std::thread::hardware_concurrency());
     if (nthreads < 1) nthreads = 1;
     std::vector<std::thread> pool;
-    std::atomic<uint64_t> next{0};
     std::vector<int64_t> results(nblocks, 0);
+    // warm (sqzt v2): block 0 decodes fresh first, re-deriving the seed and
+    // the shared dictionary the encoder used for blocks 1+ (FORMAT.md §3.1 —
+    // nothing is stored in the container).
+    std::vector<uint32_t> seed4(kSeed4Words);
+    std::vector<int64_t> seedt(kTreeSeedWords);
+    const uint8_t* dict = nullptr;
+    uint64_t dlen = 0;
+    uint64_t first = 0;
+    if (warm && nblocks > 1) {
+        uint64_t len0 = total_size < bs ? total_size : bs;
+        if (fmt == 0) {
+            try {
+                BitReader br(payloads + offsets[0],
+                             static_cast<uint64_t>(sizes[0]));
+                results[0] = static_cast<int64_t>(squeeze_decode_payload(
+                    br, out, len0, nullptr, seedt.data()));
+            } catch (const CodecError& e) {
+                return -e.err;
+            }
+        } else {
+            results[0] = sqz_sqz4_decompress_s(
+                payloads + offsets[0], static_cast<uint64_t>(sizes[0]), len0,
+                nullptr, seed4.data(), nullptr, 0, out, len0);
+            if (results[0] < 0) return results[0];
+        }
+        dlen = len0 < (1ull << win_bits) ? len0 : (1ull << win_bits);
+        dict = out + (len0 - dlen);
+        first = 1;
+    } else {
+        warm = 0;
+    }
+    std::atomic<uint64_t> next{first};
     auto worker = [&]() {
         for (;;) {
             uint64_t b = next.fetch_add(1);
@@ -932,13 +1244,15 @@ int64_t sqz_blocks_decompress(const uint8_t* payloads, const int64_t* offsets,
             uint64_t off = b * bs;
             uint64_t len = total_size - off < bs ? total_size - off : bs;
             if (fmt == 0) {
-                results[b] = sqz_squeeze_decompress(
-                    payloads + offsets[b], static_cast<uint64_t>(sizes[b]), 0,
-                    len, out + off, len);
-            } else {
-                results[b] = sqz_sqz4_decompress(
+                results[b] = sqz_squeeze_decompress_s(
                     payloads + offsets[b], static_cast<uint64_t>(sizes[b]),
-                    len, out + off, len);
+                    len, warm ? seedt.data() : nullptr, nullptr,
+                    dict, dlen, out + off, len);
+            } else {
+                results[b] = sqz_sqz4_decompress_s(
+                    payloads + offsets[b], static_cast<uint64_t>(sizes[b]),
+                    len, warm ? seed4.data() : nullptr, nullptr,
+                    dict, dlen, out + off, len);
             }
         }
     };
@@ -960,6 +1274,7 @@ int64_t sqz_assemble_blocks(const uint32_t* tok, uint64_t tok_stride,
                             const uint32_t* mrec, uint64_t mrec_stride,
                             const int64_t* ntok, const int64_t* sizes,
                             uint64_t nblocks, int nthreads,
+                            const uint8_t* dict, uint64_t dlen,
                             uint8_t* out, uint64_t out_stride) {
     if (nthreads <= 0) nthreads = static_cast<int>(std::thread::hardware_concurrency());
     if (nthreads < 1) nthreads = 1;
@@ -982,12 +1297,16 @@ int64_t sqz_assemble_blocks(const uint32_t* tok, uint64_t tok_stride,
                 if ((tk[t >> 5] >> (t & 31)) & 1u) {
                     uint32_t rec = mr[mi++];
                     uint32_t len = rec >> 16, dist = rec & 0xFFFF;
-                    if (dist == 0 || dist > pos || pos + len > limit) {
+                    if (dist == 0 || dist > pos + dlen || pos + len > limit) {
                         fail.store(-EILSEQ);
                         return;
                     }
                     for (uint32_t k = 0; k < len; k++, pos++) {
-                        dst[pos] = dst[pos - dist];
+                        // dist may reach into the shared warm dictionary
+                        // (FORMAT.md §3.1) for the first bytes of a block
+                        dst[pos] = pos >= dist
+                                       ? dst[pos - dist]
+                                       : dict[dlen - dist + pos];
                     }
                 } else {
                     if (pos >= limit) { fail.store(-ENOBUFS); return; }
@@ -1012,18 +1331,30 @@ int64_t sqz_assemble_blocks(const uint32_t* tok, uint64_t tok_stride,
 // (m: 0xFFFFFFFF pad pattern, s: 0). Returns max ops per block or -errno.
 int64_t sqz4_plan_pack(const uint8_t* data, uint64_t n, uint32_t window,
                        int blk_bits, int lz, uint64_t lanes, uint64_t tp_cap,
-                       int nthreads, uint32_t* m_words, uint32_t* s_words,
+                       int nthreads, int warm, uint32_t* seed_out,
+                       uint32_t* m_words, uint32_t* s_words,
                        int64_t* op_counts) {
     const uint64_t bs = 1ull << blk_bits;
     const uint64_t nblocks = n == 0 ? 1 : (n + bs - 1) / bs;
     const uint64_t tp_rows = tp_cap / 4;
     if (nthreads <= 0) nthreads = static_cast<int>(std::thread::hardware_concurrency());
     if (nthreads < 1) nthreads = 1;
+    // warm (sqzt v2): blocks 1+ tokenize against block 0's tail dictionary.
+    // The op stream does not depend on the model seed, so planning stays
+    // fully parallel; the seed for the device tables is derived afterwards
+    // from block 0's op histogram (seed_out, kSeed4Words).
+    const uint8_t* dict = nullptr;
+    uint64_t dlen = 0;
+    if (warm && nblocks > 1 && lz) {
+        uint64_t len0 = n < bs ? n : bs;
+        dlen = len0 < window ? len0 : window;
+        dict = data + (len0 - dlen);
+    }
     std::vector<std::thread> pool;
     std::atomic<uint64_t> next{0};
     std::atomic<int64_t> fail{0};
     auto worker = [&]() {
-        std::vector<uint8_t> ms, ss;
+        std::vector<uint8_t> ms, ss, buf;
         ms.reserve(2 * bs + 16);
         ss.reserve(2 * bs + 16);
         for (;;) {
@@ -1035,9 +1366,20 @@ int64_t sqz4_plan_pack(const uint8_t* data, uint64_t n, uint32_t window,
             ss.clear();
             try {
                 if (lz) {
-                    MatchFinder mf(blk, len, window, 2, 254);
-                    uint64_t i = 0;
-                    while (i < len) {
+                    const uint8_t* base = blk;
+                    uint64_t total = len, start = 0;
+                    if (b > 0 && dlen > 0) {
+                        buf.clear();
+                        buf.insert(buf.end(), dict, dict + dlen);
+                        buf.insert(buf.end(), blk, blk + len);
+                        base = buf.data();
+                        total = dlen + len;
+                        start = dlen;
+                    }
+                    MatchFinder mf(base, total, window, 2, 254);
+                    for (uint64_t k = 0; k < start; k++) mf.insert(k);
+                    uint64_t i = start;
+                    while (i < total) {
                         uint32_t mlen, dist;
                         mf.find(i, &mlen, &dist);
                         uint32_t nbits = 0;
@@ -1059,7 +1401,7 @@ int64_t sqz4_plan_pack(const uint8_t* data, uint64_t n, uint32_t window,
                             i += mlen;
                         } else {
                             ms.push_back(0); ss.push_back(1);
-                            ms.push_back(2); ss.push_back(blk[i]);
+                            ms.push_back(2); ss.push_back(base[i]);
                             mf.insert(i);
                             i++;
                         }
@@ -1067,7 +1409,7 @@ int64_t sqz4_plan_pack(const uint8_t* data, uint64_t n, uint32_t window,
                 } else {
                     for (uint64_t i = 0; i < len; i++) {
                         ms.push_back(0); ss.push_back(1);
-                        ms.push_back(2); ss.push_back(blk[i]);
+                        ms.push_back(2); ss.push_back(data[b * bs + i]);
                     }
                 }
             } catch (const CodecError& e) {
@@ -1080,6 +1422,36 @@ int64_t sqz4_plan_pack(const uint8_t* data, uint64_t n, uint32_t window,
             for (int k = 0; k < 8; k++) { ms.push_back(254); ss.push_back(0); }
             if (ms.size() > tp_cap) { fail.store(-ENOBUFS); return; }
             op_counts[b] = static_cast<int64_t>(ms.size());
+            if (warm && b == 0 && seed_out != nullptr) {
+                // model seed = fresh freqs + block 0's op histogram, then
+                // the normative rescale — identical to seed4_capture after
+                // an actual block 0 encode (updates are +1 per op).
+                uint32_t* s = seed_out;
+                for (int k = 0; k < kSeed4Words; k++) s[k] = 0;
+                s[0] = s[1] = 1;                      // literal
+                for (int k = 0; k < 256; k++) s[2 + k] = 1;      // size
+                for (int k = 0; k < 256; k++) s[258 + k] = 1;    // byte
+                for (int k = 0; k < 32; k++) s[514 + k] = 1;     // bits
+                for (int k = 0; k < 64; k++) s[546 + k] = 1;     // dist
+                for (size_t t = 0; t < ms.size(); t++) {
+                    int m = ms[t], sy = ss[t];
+                    if (m == 0) s[sy]++;
+                    else if (m == 1) s[2 + sy]++;
+                    else if (m == 2) s[258 + sy]++;
+                    else if (m == 3) s[514 + sy]++;
+                    else if (m >= 4 && m < 36) s[546 + 32 * sy + (m - 4)]++;
+                }
+                seed4_rescale(s, 2);
+                seed4_rescale(s + 2, 256);
+                seed4_rescale(s + 258, 256);
+                seed4_rescale(s + 514, 32);
+                for (int bb = 0; bb < 32; bb++) {
+                    uint32_t f[2] = {s[546 + bb], s[578 + bb]};
+                    seed4_rescale(f, 2);
+                    s[546 + bb] = f[0];
+                    s[578 + bb] = f[1];
+                }
+            }
             const uint64_t g = b / lanes, lane = b % lanes;
             uint32_t* mw = m_words + g * tp_rows * lanes;
             uint32_t* sw = s_words + g * tp_rows * lanes;
@@ -1154,15 +1526,40 @@ uint64_t sqz_fnv1a64(const uint8_t* data, uint64_t n) {
 // [G, Tw, lanes] layout (0 = pad). Returns max writes per block or -errno.
 int64_t squeeze_plan_pack(const uint8_t* data, uint64_t n, int win_bits,
                           int blk_bits, uint64_t lanes, uint64_t tw_cap,
-                          int nthreads, uint32_t* words) {
+                          int nthreads, int warm, uint32_t* words) {
     const uint64_t bs = 1ull << blk_bits;
     const uint64_t nblocks = n == 0 ? 1 : (n + bs - 1) / bs;
     if (nthreads <= 0) nthreads = static_cast<int>(std::thread::hardware_concurrency());
     if (nthreads < 1) nthreads = 1;
     std::vector<std::thread> pool;
-    std::atomic<uint64_t> next{0};
     std::atomic<int64_t> fail_{0};
     std::vector<int64_t> counts(nblocks, 0);
+    // warm (sqzt v2, FORMAT.md §3.1): block 0 plans first, capturing the
+    // tree seed + tail dictionary every other block starts from.
+    std::vector<int64_t> seedt(kTreeSeedWords);
+    const uint8_t* dict = nullptr;
+    uint64_t dlen = 0;
+    uint64_t first = 0;
+    if (warm && nblocks > 1) {
+        uint64_t len0 = n < bs ? n : bs;
+        std::vector<uint32_t> ws;
+        try {
+            WriteRecorder rec(ws);
+            squeeze_encode_payload(data, len0, win_bits, rec, nullptr,
+                                   seedt.data());
+        } catch (const CodecError& e) {
+            return -e.err;
+        }
+        if (ws.size() > tw_cap) return -ENOBUFS;
+        counts[0] = static_cast<int64_t>(ws.size());
+        for (uint64_t t = 0; t < ws.size(); t++) words[t * lanes] = ws[t];
+        dlen = len0 < (1ull << win_bits) ? len0 : (1ull << win_bits);
+        dict = data + (len0 - dlen);
+        first = 1;
+    } else {
+        warm = 0;
+    }
+    std::atomic<uint64_t> next{first};
     auto worker = [&]() {
         std::vector<uint32_t> ws;
         for (;;) {
@@ -1173,7 +1570,9 @@ int64_t squeeze_plan_pack(const uint8_t* data, uint64_t n, int win_bits,
             ws.clear();
             try {
                 WriteRecorder rec(ws);
-                squeeze_encode_payload(blk, len, win_bits, rec);
+                squeeze_encode_payload(blk, len, win_bits, rec,
+                                       warm ? seedt.data() : nullptr,
+                                       nullptr, dict, dlen);
             } catch (const CodecError& e) {
                 fail_.store(-e.err);
                 return;

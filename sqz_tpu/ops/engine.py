@@ -19,11 +19,11 @@ from sqz_tpu.formats.constants import SQUEEZE_LEN_MIN, SQUEEZE_LEN_MAX
 
 
 def _tokenize(part: bytes, window: int, min_len: int, max_len: int,
-              reject: bool, lz: bool) -> list:
+              reject: bool, lz: bool, dictionary: bytes = b"") -> list:
     if not lz:
         return [("lit", b) for b in part]
     from sqz_tpu import native
-    if native.available():
+    if native.available() and not dictionary:
         toks = native.tokenize(part, window, min_len, max_len,
                                reject_short_far=reject)
         out = []
@@ -33,8 +33,10 @@ def _tokenize(part: bytes, window: int, min_len: int, max_len: int,
     from sqz_tpu.oracle.match import greedy_tokens
     if reject:
         rej = lambda length, dist: length <= 3 and dist.bit_length() > 3
-        return greedy_tokens(part, window, min_len, max_len, reject=rej)
-    return greedy_tokens(part, window, min_len, max_len)
+        return greedy_tokens(part, window, min_len, max_len, reject=rej,
+                             dictionary=dictionary)
+    return greedy_tokens(part, window, min_len, max_len,
+                         dictionary=dictionary)
 
 
 def use_pallas() -> bool:
@@ -52,9 +54,11 @@ def use_pallas() -> bool:
 
 
 def compress_blocks(parts: Sequence[bytes], fmt, win_bits: int,
-                    lz: bool) -> List[bytes]:
-    from sqz_tpu.api import Format
+                    lz: bool, warm: bool = False) -> List[bytes]:
+    from sqz_tpu.api import Format, _warm_dictionary
     blk_bits = max((len(p) - 1).bit_length() for p in parts) if any(parts) else 10
+    warm = warm and len(parts) > 1
+    dictionary = _warm_dictionary(parts[0], win_bits) if (warm and lz) else b""
     if fmt is Format.SQZ4:
         from sqz_tpu.ops import sqz4_jax
         from sqz_tpu import native
@@ -64,36 +68,66 @@ def compress_blocks(parts: Sequence[bytes], fmt, win_bits: int,
             assert all(len(p) == 1 << blk_bits for p in parts[:-1])
             return sqz4_pallas.encode_data_full(
                 data, blk_bits, 1 << win_bits, lz,
-                cap=(1 << blk_bits) + 2048)
+                cap=(1 << blk_bits) + 2048, warm=warm)
         tokens = [_tokenize(p, 1 << win_bits, SQZ4_MIN_LEN, SQZ4_MAX_LEN,
-                            reject=True, lz=lz) for p in parts]
-        return sqz4_jax.encode_blocks(tokens, blk_bits)
+                            reject=True, lz=lz,
+                            dictionary=dictionary if i else b"")
+                  for i, p in enumerate(parts)]
+        seeds = None
+        if warm:
+            seed = sqz4_jax.seed_from_tokens(tokens[0])
+            seeds = [None] + [seed] * (len(parts) - 1)
+        return sqz4_jax.encode_blocks(tokens, blk_bits, seeds=seeds)
     else:
         from sqz_tpu import native
         if use_pallas() and native.available():
             from sqz_tpu.ops import sqz4_pallas
             data = b"".join(parts)
             return sqz4_pallas.squeeze_encode_data(
-                data, blk_bits, win_bits, cap=(1 << blk_bits) + 4096)
+                data, blk_bits, win_bits, cap=(1 << blk_bits) + 4096,
+                warm=warm)
         from sqz_tpu.ops import squeeze_jax
         tokens = [_tokenize(p, 1 << win_bits, SQUEEZE_LEN_MIN, SQUEEZE_LEN_MAX,
-                            reject=False, lz=True) for p in parts]
-        return squeeze_jax.encode_blocks(tokens, blk_bits)
+                            reject=False, lz=True,
+                            dictionary=dictionary if i else b"")
+                  for i, p in enumerate(parts)]
+        return squeeze_jax.encode_blocks(tokens, blk_bits,
+                                         warm_from_first=warm)
 
 
 def decompress_blocks(payloads: Sequence[bytes], sizes: Sequence[int],
-                      fmt) -> bytes:
-    from sqz_tpu.api import Format
+                      fmt, warm: bool = False, win_bits: int = 15) -> bytes:
+    from sqz_tpu.api import Format, _warm_dictionary
+    from sqz_tpu import native
     blk_bits = max(max(s - 1 for s in sizes), 1).bit_length()
+    warm = warm and len(payloads) > 1
     if fmt is Format.SQZ4:
+        seed, dictionary, head = None, b"", []
+        if warm:
+            # block 0 decodes fresh on the host, re-deriving the seed and
+            # shared dictionary for the device decode of blocks 1+
+            # (FORMAT.md §3.1)
+            if native.available():
+                blk0, seed = native.sqz4_decompress_payload(
+                    payloads[0], sizes[0], return_state=True)
+            else:
+                from sqz_tpu.oracle.sqz4 import sqz4_decode_payload
+                blk0, seed = sqz4_decode_payload(payloads[0], sizes[0],
+                                                 return_state=True)
+            dictionary = _warm_dictionary(blk0, win_bits)
+            head = [blk0]
+            payloads, sizes = payloads[1:], sizes[1:]
         if use_pallas():
             from sqz_tpu.ops import sqz4_pallas
-            blocks = sqz4_pallas.decode_groups(payloads, list(sizes), blk_bits)
+            blocks = sqz4_pallas.decode_groups(payloads, list(sizes),
+                                               blk_bits, seed=seed,
+                                               dictionary=dictionary)
         else:
             from sqz_tpu.ops import sqz4_jax
-            blocks = sqz4_jax.decode_blocks(payloads, list(sizes), blk_bits)
+            blocks = sqz4_jax.decode_blocks(payloads, list(sizes), blk_bits,
+                                            seed=seed, dictionary=dictionary)
+        return b"".join(head + list(blocks))
     else:
-        from sqz_tpu import native
         if use_pallas() and native.available():
             # Adaptive-Huffman decode is pointer-chasing with data-dependent
             # restructure cascades — measured at microseconds/symbol when
@@ -101,7 +135,18 @@ def decompress_blocks(payloads: Sequence[bytes], sizes: Sequence[int],
             # the tpu engine runs the threaded native decoder for squeeze
             # payloads and keeps the device scan for CPU meshes.
             return native.blocks_decompress(
-                list(payloads), sum(sizes), 0, blk_bits)
+                list(payloads), sum(sizes), 0, blk_bits, warm=warm,
+                win_bits=win_bits)
         from sqz_tpu.ops import squeeze_jax
-        blocks = squeeze_jax.decode_blocks(payloads, list(sizes), blk_bits)
-    return b"".join(blocks)
+        seed, dictionary, head = None, b"", []
+        if warm:
+            from sqz_tpu.oracle.bitstream import BitReader
+            from sqz_tpu.oracle.squeeze import squeeze_decode_payload
+            blk0, seed = squeeze_decode_payload(BitReader(payloads[0]),
+                                                sizes[0], return_state=True)
+            dictionary = _warm_dictionary(blk0, win_bits)
+            head = [blk0]
+            payloads, sizes = payloads[1:], sizes[1:]
+        blocks = squeeze_jax.decode_blocks(payloads, list(sizes), blk_bits,
+                                           seed=seed, dictionary=dictionary)
+        return b"".join(head + list(blocks))

@@ -44,13 +44,24 @@ WRITE_W = 64  # max bits per bitstream write
 
 # --------------------------------------------------------------- host plan
 
-def plan_ops(tokens) -> np.ndarray:
+def plan_ops(tokens, seed=None) -> np.ndarray:
     """Expand tokens into (kind, tree, sym, raw_v, raw_n) micro-ops.
 
     Tracks first occurrences so the device never needs data-dependent
-    seen-ness checks (it is deterministic from the history)."""
+    seen-ness checks (it is deterministic from the history). ``seed``
+    (TreeSeed): warm blocks start with block 0's symbols already seen
+    (a symbol is in the tree iff its pix != -1, FORMAT.md §3.1)."""
     seen_lit = np.zeros(SQUEEZE_LIT_TERMINALS, dtype=bool)
     seen_pos = np.zeros(SQUEEZE_POS_TERMINALS, dtype=bool)
+    if seed is not None:
+        m_lit = 2 * SQUEEZE_LIT_TERMINALS - 1
+        m_pos = 2 * SQUEEZE_POS_TERMINALS - 1
+        pix_lit = seed.lit[3 + 3 * m_lit:3 + 4 * m_lit]
+        pix_pos = seed.pos[3 + 3 * m_pos:3 + 4 * m_pos]
+        seen_lit[:] = np.asarray(
+            pix_lit[:SQUEEZE_LIT_TERMINALS]) != -1
+        seen_pos[:] = np.asarray(
+            pix_pos[:SQUEEZE_POS_TERMINALS]) != -1
     ops: list = []
 
     def emit_lit(sym: int):
@@ -133,17 +144,50 @@ def _read_bits(payload, plens, bp, n, max_n, active, bidx):
 
 # ----------------------------------------------------------------- encoder
 
+def _tree_arrays_from_seeds(terminals: int, flats) -> "hj.Tree":
+    """Batched hj.Tree from per-block flat oracle snapshots (None = fresh
+    NYT-seeded) — sqzt v2 warm start (FORMAT.md §3.1)."""
+    from sqz_tpu.oracle.huffman import AdaptiveHuffman
+    m = 2 * terminals - 1
+    # fresh-with-NYT state via the oracle (identical by the state tests)
+    fresh = AdaptiveHuffman(terminals)
+    fresh.insert(SQUEEZE_LIT_NYT if terminals == 512 else SQUEEZE_POS_NYT)
+    fresh_flat = fresh.snapshot()
+    B = len(flats)
+    freq = np.zeros((B, m), np.uint32)
+    pix = np.zeros((B, m), np.int32)
+    lix = np.zeros((B, m), np.int32)
+    rix = np.zeros((B, m), np.int32)
+    nxt = np.zeros((B,), np.int32)
+    for b, flat in enumerate(flats):
+        f = fresh_flat if flat is None else flat
+        nxt[b] = f[0]
+        a = np.asarray(f[3:], np.int64)
+        freq[b] = a[0:m].astype(np.uint32)
+        pix[b] = a[3 * m:4 * m].astype(np.int32)
+        lix[b] = a[4 * m:5 * m].astype(np.int32)
+        rix[b] = a[5 * m:6 * m].astype(np.int32)
+    return hj.Tree(freq=jnp.asarray(freq), pix=jnp.asarray(pix),
+                   lix=jnp.asarray(lix), rix=jnp.asarray(rix),
+                   nxt=jnp.asarray(nxt))
+
+
 @partial(jax.jit, static_argnames=("cap",))
-def _encode_scan(ops, cap: int):
-    """ops: [B, T, 5] int32. Returns (buf [B, cap] u8, bit lengths [B])."""
+def _encode_scan(ops, cap: int, trees0=None):
+    """ops: [B, T, 5] int32. Returns (buf [B, cap] u8, bit lengths [B]).
+    ``trees0``: warm-start (lit, pos) hj.Tree pair."""
     B, T, _ = ops.shape
     bidx = jnp.arange(B)
-    lit = hj.new_tree(B, SQUEEZE_LIT_TERMINALS)
-    pos = hj.new_tree(B, SQUEEZE_POS_TERMINALS)
-    allb = jnp.ones((B,), bool)
-    # both sides seed the NYT leaves before the first token (squeeze.h:333-334)
-    lit = hj.insert(lit, jnp.full((B,), SQUEEZE_LIT_NYT, jnp.int32), allb)
-    pos = hj.insert(pos, jnp.full((B,), SQUEEZE_POS_NYT, jnp.int32), allb)
+    if trees0 is not None:
+        lit, pos = trees0
+    else:
+        lit = hj.new_tree(B, SQUEEZE_LIT_TERMINALS)
+        pos = hj.new_tree(B, SQUEEZE_POS_TERMINALS)
+        allb = jnp.ones((B,), bool)
+        # both sides seed the NYT leaves before the first token
+        # (squeeze.h:333-334)
+        lit = hj.insert(lit, jnp.full((B,), SQUEEZE_LIT_NYT, jnp.int32), allb)
+        pos = hj.insert(pos, jnp.full((B,), SQUEEZE_POS_NYT, jnp.int32), allb)
 
     def step(carry, op):
         lit, pos, buf, bitpos = carry
@@ -178,15 +222,28 @@ def _encode_scan(ops, cap: int):
     return buf, bitpos
 
 
-def encode_blocks(token_lists: Sequence[list], blk_bits: int) -> List[bytes]:
-    plans = [plan_ops(toks) for toks in token_lists]
-    B = len(plans)
+def encode_blocks(token_lists: Sequence[list], blk_bits: int,
+                  warm_from_first: bool = False) -> List[bytes]:
+    """``warm_from_first`` (sqzt v2, FORMAT.md §3.1): blocks 1+ start from
+    block 0's final tree state (derived by replaying its tokens)."""
+    B = len(token_lists)
+    trees0 = None
+    seed = None
+    if warm_from_first and B > 1:
+        from sqz_tpu.oracle.squeeze import tree_seed_from_tokens
+        seed = tree_seed_from_tokens(token_lists[0])
+        flats_lit = [None] + [seed.lit] * (B - 1)
+        flats_pos = [None] + [seed.pos] * (B - 1)
+        trees0 = (_tree_arrays_from_seeds(SQUEEZE_LIT_TERMINALS, flats_lit),
+                  _tree_arrays_from_seeds(SQUEEZE_POS_TERMINALS, flats_pos))
+    plans = [plan_ops(toks, seed=seed if b else None)
+             for b, toks in enumerate(token_lists)]
     T = max((p.shape[0] for p in plans), default=1) or 1
     ops = np.zeros((B, T, 5), dtype=np.int32)
     for b, p in enumerate(plans):
         ops[b, :p.shape[0]] = p
     cap = (1 << blk_bits) * 2 + 4096
-    buf, bitpos = _encode_scan(jnp.asarray(ops), cap)
+    buf, bitpos = _encode_scan(jnp.asarray(ops), cap, trees0)
     buf = np.asarray(buf)
     bitpos = np.asarray(bitpos)
     out = []
@@ -203,14 +260,21 @@ ST_LIT, ST_POS, ST_DONE, ST_ERR = 0, 1, 2, 3
 
 
 @partial(jax.jit, static_argnames=("out_cap", "t_max", "m_max"))
-def _decode_scan(payloads, plens, sizes, out_cap: int, t_max: int, m_max: int):
+def _decode_scan(payloads, plens, sizes, out_cap: int, t_max: int,
+                 m_max: int, trees0=None, dict_arr=None):
+    """``trees0``/``dict_arr``: warm start — seeded trees and a shared
+    dictionary the output buffer is prefixed with (FORMAT.md §3.1)."""
     B, P = payloads.shape
     bidx = jnp.arange(B)
-    allb = jnp.ones((B,), bool)
-    lit = hj.new_tree(B, SQUEEZE_LIT_TERMINALS)
-    pos = hj.new_tree(B, SQUEEZE_POS_TERMINALS)
-    lit = hj.insert(lit, jnp.full((B,), SQUEEZE_LIT_NYT, jnp.int32), allb)
-    pos = hj.insert(pos, jnp.full((B,), SQUEEZE_POS_NYT, jnp.int32), allb)
+    dlen = 0 if dict_arr is None else dict_arr.shape[0]
+    if trees0 is not None:
+        lit, pos = trees0
+    else:
+        allb = jnp.ones((B,), bool)
+        lit = hj.new_tree(B, SQUEEZE_LIT_TERMINALS)
+        pos = hj.new_tree(B, SQUEEZE_POS_TERMINALS)
+        lit = hj.insert(lit, jnp.full((B,), SQUEEZE_LIT_NYT, jnp.int32), allb)
+        pos = hj.insert(pos, jnp.full((B,), SQUEEZE_POS_NYT, jnp.int32), allb)
 
     len_base = jnp.asarray(LEN_BASE)
     len_xb = jnp.asarray(LEN_XB)
@@ -292,37 +356,44 @@ def _decode_scan(payloads, plens, sizes, out_cap: int, t_max: int, m_max: int):
         mptr = mptr + emit_ok.astype(mptr.dtype)
         optr = optr + jnp.where(emit_ok, psize, 0)
 
-        overrun = (optr > sizes) | (bp > P * 8 + 64)
+        overrun = (optr > sizes + dlen) | (bp > P * 8 + 64)
         err = bad_sym | bad_pos | bad_dist | overrun
 
         nstate = state
         nstate = jnp.where(is_len, ST_POS, nstate)
         nstate = jnp.where(is_byte, ST_LIT, nstate)
         nstate = jnp.where(emit_ok, ST_LIT, nstate)
-        nstate = jnp.where(optr >= sizes, ST_DONE, nstate)
+        nstate = jnp.where(optr >= sizes + dlen, ST_DONE, nstate)
         nstate = jnp.where(err, ST_ERR, nstate)
 
         i32 = jnp.int32
         return (t + 1, lit, pos, nstate.astype(i32), bp.astype(i32), out,
                 optr.astype(i32), matches, mptr.astype(i32), psize.astype(i32))
 
+    out0 = jnp.zeros((B, dlen + out_cap + SQUEEZE_LEN_MAX + 1), jnp.uint8)
+    if dlen:
+        out0 = out0.at[:, :dlen].set(
+            jnp.broadcast_to(dict_arr[None, :], (B, dlen)))
     st0 = (
         jnp.zeros((), jnp.int32), lit, pos,
         jnp.where(sizes > 0, ST_LIT, ST_DONE).astype(jnp.int32),
         jnp.zeros((B,), jnp.int32),
-        jnp.zeros((B, out_cap + SQUEEZE_LEN_MAX + 1), jnp.uint8),
-        jnp.zeros((B,), jnp.int32),
+        out0,
+        jnp.full((B,), dlen, jnp.int32),
         jnp.zeros((B, m_max + 1, 3), jnp.int32),
         jnp.zeros((B,), jnp.int32),
         jnp.zeros((B,), jnp.int32),
     )
     st = jax.lax.while_loop(cond, step, st0)
     state, out, optr, matches, mptr = st[3], st[5], st[6], st[7], st[8]
-    return out, optr, matches, mptr, state == ST_ERR
+    return out, optr - dlen, matches, mptr, state == ST_ERR
 
 
 def decode_blocks(payloads: Sequence[bytes], sizes: Sequence[int],
-                  blk_bits: int) -> List[bytes]:
+                  blk_bits: int, seed=None,
+                  dictionary: bytes = b"") -> List[bytes]:
+    """``seed``/``dictionary``: warm start shared by ALL blocks here (the
+    warm container's block 0 is decoded separately first)."""
     from sqz_tpu.ops.lz_apply import apply_matches
     B = len(payloads)
     P = max(max((len(p) for p in payloads), default=1), 8)
@@ -333,10 +404,19 @@ def decode_blocks(payloads: Sequence[bytes], sizes: Sequence[int],
     out_cap = 1 << blk_bits
     t_max = 2 * out_cap + 64
     m_max = out_cap // 3 + 1
+    trees0 = None
+    if seed is not None:
+        trees0 = (_tree_arrays_from_seeds(SQUEEZE_LIT_TERMINALS,
+                                          [seed.lit] * B),
+                  _tree_arrays_from_seeds(SQUEEZE_POS_TERMINALS,
+                                          [seed.pos] * B))
+    dict_arr = (jnp.asarray(np.frombuffer(dictionary, dtype=np.uint8))
+                if dictionary else None)
+    dlen = len(dictionary)
     out, optr, matches, mptr, err = _decode_scan(
         jnp.asarray(buf), jnp.asarray(plens),
         jnp.asarray(np.asarray(sizes, dtype=np.int32)),
-        out_cap, t_max, m_max)
+        out_cap, t_max, m_max, trees0, dict_arr)
     if bool(jnp.any(err)):
         raise ValueError(
             f"corrupt squeeze block(s): {np.nonzero(np.asarray(err))[0]}")
@@ -350,4 +430,4 @@ def decode_blocks(payloads: Sequence[bytes], sizes: Sequence[int],
     for b, s in enumerate(sizes):
         if optr[b] != s:
             raise ValueError(f"block {b}: produced {optr[b]} of {s} bytes")
-    return [out[b, :sizes[b]].tobytes() for b in range(B)]
+    return [out[b, dlen:dlen + sizes[b]].tobytes() for b in range(B)]

@@ -116,15 +116,50 @@ def microops_from_token_array(toks: np.ndarray
     return ms, ss
 
 
-def init_model_state(nblocks: int):
-    """Fresh per-block model tables: freq[B, 36, 256] and totals[B, 36]."""
-    freq = np.zeros((PM_ROWS, 256), dtype=np.uint32)
+def init_model_state(nblocks: int, seeds=None):
+    """Fresh per-block model tables: freq[B, 36, 256] and totals[B, 36].
+    ``seeds``: per-block oracle ModelSeed (or None for fresh) — sqzt v2
+    warm start, FORMAT.md §3.1."""
+    freq = np.zeros((nblocks, PM_ROWS, 256), dtype=np.uint32)
     for m, n in enumerate(PM_SYMS):
-        freq[m, :n] = 1
-    F = jnp.asarray(np.broadcast_to(freq, (nblocks, PM_ROWS, 256)))
-    totals = jnp.asarray(
-        np.broadcast_to(PM_SYMS.astype(np.uint64), (nblocks, PM_ROWS)))
-    return F, totals
+        freq[:, m, :n] = 1
+    if seeds is not None:
+        for b, seed in enumerate(seeds):
+            if seed is None:
+                continue
+            f = np.asarray(seed.flat, dtype=np.uint32)
+            freq[b, 0, :2] = f[0:2]
+            freq[b, 1, :256] = f[2:258]
+            freq[b, 2, :256] = f[258:514]
+            freq[b, 3, :32] = f[514:546]
+            for d in range(32):
+                freq[b, 4 + d, 0] = f[546 + d]
+                freq[b, 4 + d, 1] = f[578 + d]
+    totals = freq.sum(axis=2, dtype=np.uint64)
+    return jnp.asarray(freq), jnp.asarray(totals)
+
+
+def seed_from_tokens(tokens) -> "object":
+    """Block 0's final (rescaled) model seed derived from its token stream
+    without running the coder — model updates are +1 per micro-op, so the
+    seed is fresh-freqs + the op histogram (FORMAT.md §3.1)."""
+    from sqz_tpu.oracle.sqz4 import ModelSeed
+    ms, ss = microops_from_tokens(tokens)
+    ms = np.asarray(ms, np.int64)
+    ss = np.asarray(ss, np.int64)
+    flat = np.ones(ModelSeed.WORDS, dtype=np.int64)
+    valid = (ms >= 0) & (ms < 36)
+    idx = np.where(ms == 0, ss,
+          np.where(ms == 1, 2 + ss,
+          np.where(ms == 2, 258 + ss,
+          np.where(ms == 3, 514 + ss, 546 + 32 * ss + (ms - 4)))))
+    np.add.at(flat, idx[valid], 1)
+    r = ModelSeed._rescale
+    out = (r(flat[0:2]) + r(flat[2:258]) + r(flat[258:514])
+           + r(flat[514:546]))
+    dist = [r([flat[546 + b], flat[578 + b]]) for b in range(32)]
+    out += [d[0] for d in dist] + [d[1] for d in dist]
+    return ModelSeed(out)
 
 
 # ----------------------------------------------------------------- encoder
@@ -140,13 +175,14 @@ def _emit_one(do, low, rng, cnt, slots):
     return low, rng, cnt, slots
 
 
-def encode_scan_impl(m_ops, s_ops, cap: int):
+def encode_scan_impl(m_ops, s_ops, cap: int, model_state=None):
     """m_ops/s_ops: [B, T] int32. Returns (payload [B, cap] u8, lens [B]).
 
     Pure (unjitted) so parallel.shard / __graft_entry__ can wrap it in
-    shard_map / jit directly."""
+    shard_map / jit directly. ``model_state``: optional (freq, totals)
+    warm-start tables from init_model_state(seeds=...)."""
     B, T = m_ops.shape
-    F, totals = init_model_state(B)
+    F, totals = init_model_state(B) if model_state is None else model_state
     bidx = jnp.arange(B)
     viota = jnp.arange(256, dtype=jnp.uint32)
 
@@ -328,11 +364,12 @@ _encode_scan_stats = partial(
     jax.jit, static_argnames=("cap",))(encode_scan_stats_impl)
 
 
-def stats_for_ops(ms: np.ndarray, ss: np.ndarray):
+def stats_for_ops(ms: np.ndarray, ss: np.ndarray, seed=None):
     """Host model-stats for one block's op stream, flush ops marked as
-    (0, 0, 1) so the device sees total!=0, size==0."""
+    (0, 0, 1) so the device sees total!=0, size==0. ``seed`` warm-starts
+    the simulated models (FORMAT.md §3.1)."""
     from sqz_tpu import native
-    start, size, total = native.sqz4_model_stats(ms, ss)
+    start, size, total = native.sqz4_model_stats(ms, ss, seed=seed)
     is_flush = ms == OP_FLUSH
     start = np.where(is_flush, 0, start).astype(np.uint32)
     size = np.where(is_flush, 0, size).astype(np.uint32)
@@ -340,8 +377,10 @@ def stats_for_ops(ms: np.ndarray, ss: np.ndarray):
     return start, size, total
 
 
-def encode_blocks(token_lists: Sequence[list], blk_bits: int) -> List[bytes]:
-    """Encode pre-tokenized blocks in lock-step on the device."""
+def encode_blocks(token_lists: Sequence[list], blk_bits: int,
+                  seeds=None) -> List[bytes]:
+    """Encode pre-tokenized blocks in lock-step on the device.
+    ``seeds``: per-block ModelSeed/None (sqzt v2 warm start)."""
     ops = [microops_from_tokens(toks) for toks in token_lists]
     T = max(len(m) for m, _ in ops)
     B = len(ops)
@@ -356,7 +395,9 @@ def encode_blocks(token_lists: Sequence[list], blk_bits: int) -> List[bytes]:
         # fast path: host model stats + lean device scan + device compaction
         # (one bulk scatter; shipping the raw emission record to the host
         # costs ~18 bytes per input byte over the host link)
-        stats = [stats_for_ops(m_ops[b], s_ops[b]) for b in range(B)]
+        stats = [stats_for_ops(m_ops[b], s_ops[b],
+                               seed=seeds[b] if seeds else None)
+                 for b in range(B)]
         payload, lens = _encode_scan_stats(
             jnp.asarray(np.stack([x[0] for x in stats])),
             jnp.asarray(np.stack([x[1] for x in stats])),
@@ -364,7 +405,9 @@ def encode_blocks(token_lists: Sequence[list], blk_bits: int) -> List[bytes]:
         payload = np.asarray(payload)
         lens = np.asarray(lens)
         return [payload[b, :lens[b]].tobytes() for b in range(B)]
-    payload, lens = _encode_scan(jnp.asarray(m_ops), jnp.asarray(s_ops), cap)
+    state = init_model_state(B, seeds) if seeds else None
+    payload, lens = _encode_scan(jnp.asarray(m_ops), jnp.asarray(s_ops), cap,
+                                 state)
     payload = np.asarray(payload)
     lens = np.asarray(lens)
     return [payload[b, :lens[b]].tobytes() for b in range(B)]
@@ -373,27 +416,35 @@ def encode_blocks(token_lists: Sequence[list], blk_bits: int) -> List[bytes]:
 # ----------------------------------------------------------------- decoder
 
 @partial(jax.jit, static_argnames=("out_cap", "t_max", "m_max"))
-def _decode_scan(payloads, plens, sizes, out_cap: int, t_max: int, m_max: int):
+def _decode_scan(payloads, plens, sizes, out_cap: int, t_max: int,
+                 m_max: int, models0=None, dict_arr=None):
     """payloads: [B, P] u8 (padded); plens/sizes: [B].
 
-    Returns (out [B, out_cap+pad] u8, out_lens, matches [B, m_max, 3], mlens,
-    err [B]).
+    Returns (out [B, dlen+out_cap+pad] u8, out_lens, matches [B, m_max, 3],
+    mlens, err [B]). ``models0``: warm model tables (Flit, Fsize, Fbyte,
+    Fbits, Fdist); ``dict_arr`` [dlen] u8: warm shared dictionary — the
+    output buffer is dict-prefixed so distance checks and match
+    application need no other change (FORMAT.md §3.1).
     """
     B, P = payloads.shape
     bidx = jnp.arange(B)
     WIN = 16  # stream-byte window per step (max consumes: 2 underflow + renorm)
     iota256 = jnp.arange(256, dtype=jnp.int32)
     iota32 = jnp.arange(32, dtype=jnp.int32)
+    dlen = 0 if dict_arr is None else dict_arr.shape[0]
 
     # class-split model tables — dense (gather-free) per-step math; TPU
     # gathers/scatters are element-serial, so the padded [B,36,256] layout
     # cost ~ms per step. Initial freqs per reference sqz_init
     # (src/sqz.c:550-565).
-    Flit0 = jnp.ones((B, 2), jnp.uint32)
-    Fsize0 = jnp.ones((B, 256), jnp.uint32)
-    Fbyte0 = jnp.ones((B, 256), jnp.uint32)
-    Fbits0 = jnp.ones((B, 32), jnp.uint32)
-    Fdist0 = jnp.ones((B, 32, 2), jnp.uint32)
+    if models0 is not None:
+        Flit0, Fsize0, Fbyte0, Fbits0, Fdist0 = models0
+    else:
+        Flit0 = jnp.ones((B, 2), jnp.uint32)
+        Fsize0 = jnp.ones((B, 256), jnp.uint32)
+        Fbyte0 = jnp.ones((B, 256), jnp.uint32)
+        Fbits0 = jnp.ones((B, 32), jnp.uint32)
+        Fdist0 = jnp.ones((B, 32, 2), jnp.uint32)
 
     def cond(st):
         t = st[0]
@@ -546,7 +597,7 @@ def _decode_scan(payloads, plens, sizes, out_cap: int, t_max: int, m_max: int):
         mptr = mptr + emit_ok.astype(mptr.dtype)
         optr = optr + jnp.where(emit_ok, psize, 0)
 
-        overrun = active & (optr > sizes)
+        overrun = active & (optr > sizes + dlen)
         err = bad | bad_size | bad_bits | bad_dist | overrun
         nstate = jnp.where(err, ST_ERR, nstate)
 
@@ -569,20 +620,24 @@ def _decode_scan(payloads, plens, sizes, out_cap: int, t_max: int, m_max: int):
         code = (code << np.uint64(8)) + byte
     rptr = rptr + 8
 
+    out0 = jnp.zeros((B, dlen + out_cap + 257), jnp.uint8)
+    if dlen:
+        out0 = out0.at[:, :dlen].set(
+            jnp.broadcast_to(dict_arr[None, :], (B, dlen)))
     st0 = (
         jnp.zeros((), jnp.int32), low, rng, code, rptr,
         (Flit0, Fsize0, Fbyte0, Fbits0, Fdist0),
         jnp.full((B,), ST_FLAG, jnp.int32),
         jnp.zeros((B,), jnp.int32), jnp.zeros((B,), jnp.int32),
         jnp.zeros((B,), jnp.int32), jnp.zeros((B,), jnp.int32),
-        jnp.zeros((B, out_cap + 257), jnp.uint8),
-        jnp.zeros((B,), jnp.int32),
+        out0,
+        jnp.full((B,), dlen, jnp.int32),
         jnp.zeros((B, m_max + 1, 3), jnp.int32),
         jnp.zeros((B,), jnp.int32),
     )
     st = jax.lax.while_loop(cond, step, st0)
     state, out, optr, matches, mptr = st[6], st[11], st[12], st[13], st[14]
-    return out, optr, matches, mptr, state == ST_ERR
+    return out, optr - dlen, matches, mptr, state == ST_ERR
 
 
 def _apply_matches(out, matches, mlens, m_max: int):
@@ -591,7 +646,10 @@ def _apply_matches(out, matches, mlens, m_max: int):
 
 
 def decode_blocks(payloads: Sequence[bytes], sizes: Sequence[int],
-                  blk_bits: int) -> List[bytes]:
+                  blk_bits: int, seed=None,
+                  dictionary: bytes = b"") -> List[bytes]:
+    """``seed``/``dictionary``: warm start shared by ALL blocks in this
+    call (the warm container's block 0 is decoded separately first)."""
     B = len(payloads)
     P = max(max(len(p) for p in payloads), 8)
     buf = np.zeros((B, P), dtype=np.uint8)
@@ -601,10 +659,20 @@ def decode_blocks(payloads: Sequence[bytes], sizes: Sequence[int],
     out_cap = 1 << blk_bits
     t_max = 17 * out_cap // 4 + 64
     m_max = out_cap // 2 + 1
+    models0 = None
+    if seed is not None:
+        F, _ = init_model_state(B, [seed] * B)
+        F = np.asarray(F)
+        models0 = (jnp.asarray(F[:, 0, :2]), jnp.asarray(F[:, 1, :256]),
+                   jnp.asarray(F[:, 2, :256]), jnp.asarray(F[:, 3, :32]),
+                   jnp.asarray(np.ascontiguousarray(F[:, 4:36, :2])))
+    dict_arr = (jnp.asarray(np.frombuffer(dictionary, dtype=np.uint8))
+                if dictionary else None)
+    dlen = len(dictionary)
     out, optr, matches, mptr, err = _decode_scan(
         jnp.asarray(buf), jnp.asarray(plens),
         jnp.asarray(np.asarray(sizes, dtype=np.int32)),
-        out_cap, t_max, m_max)
+        out_cap, t_max, m_max, models0, dict_arr)
     if bool(jnp.any(err)):
         raise ValueError(f"corrupt sqz4 block(s): {np.nonzero(np.asarray(err))[0]}")
     # apply only the occupied match slots (padded to a power of two so the
@@ -618,4 +686,4 @@ def decode_blocks(payloads: Sequence[bytes], sizes: Sequence[int],
     for b, s in enumerate(sizes):
         if optr[b] != s:
             raise ValueError(f"block {b}: produced {optr[b]} of {s} bytes")
-    return [out[b, :sizes[b]].tobytes() for b in range(B)]
+    return [out[b, dlen:dlen + sizes[b]].tobytes() for b in range(B)]

@@ -436,9 +436,8 @@ MOP_FLUSH = 254   # u8 op-stream marker for one flush emission
 MOP_PAD = 255
 
 
-def _encode_full_kernel(m_ref, s_ref, out_ref, lens_ref,
-                        regs_ref, stage_ref, cb_ref, cs_ref, bits_ref,
-                        d0_ref, d1_ref, *, wide: bool = False):
+def _encode_full_kernel(m_ref, s_ref, *refs, wide: bool = False,
+                        seeded: bool = False):
     """Self-contained encoder: model tables live on the device, the input is
     the packed (model, symbol) micro-op stream (1 byte each) — no
     host-precomputed statistics. Grid (G, NT) streams T-chunks; tables and
@@ -448,7 +447,18 @@ def _encode_full_kernel(m_ref, s_ref, out_ref, lens_ref,
                6 s2base, 7..9 obuf words. bits_ref rows 0:32 hold the
                pm_bits cumulative table; rows 32:34 hold the binary
                pm_literal frequencies.
+
+    ``seeded`` (sqzt v2 warm start, FORMAT.md §3.1): a per-lane model-seed
+    table input follows the op streams — rows 0:256 byte csum, 256:512
+    size csum, 512:544 bits csum, 544:546 literal freqs, 546:578 dist
+    freq0, 578:610 dist freq1 (cold lanes carry the fresh-model values).
     """
+    if seeded:
+        (seed_ref, out_ref, lens_ref, regs_ref, stage_ref,
+         cb_ref, cs_ref, bits_ref, d0_ref, d1_ref) = refs
+    else:
+        (out_ref, lens_ref, regs_ref, stage_ref,
+         cb_ref, cs_ref, bits_ref, d0_ref, d1_ref) = refs
     tc = pl.program_id(1)
     nt = pl.num_programs(1)
     TCW, B = m_ref.shape[1], m_ref.shape[2]
@@ -463,12 +473,20 @@ def _encode_full_kernel(m_ref, s_ref, out_ref, lens_ref,
         regs_ref[...] = jnp.zeros((10, B), U32)
         regs_ref[2:4, :] = jnp.full((2, B), MASK32, U32)
         out_ref[0] = jnp.zeros((CW, B), U32)
-        cb_ref[...] = iota256 + 1
-        cs_ref[...] = iota256 + 1
-        bits_ref[0:32, :] = iota32 + 1
-        bits_ref[32:34, :] = jnp.ones((2, B), I32)   # lit-model freq0/freq1
-        d0_ref[...] = jnp.ones((32, B), I32)
-        d1_ref[...] = jnp.ones((32, B), I32)
+        if seeded:
+            cb_ref[...] = seed_ref[0, 0:256, :]
+            cs_ref[...] = seed_ref[0, 256:512, :]
+            bits_ref[0:32, :] = seed_ref[0, 512:544, :]
+            bits_ref[32:34, :] = seed_ref[0, 544:546, :]
+            d0_ref[...] = seed_ref[0, 546:578, :]
+            d1_ref[...] = seed_ref[0, 578:610, :]
+        else:
+            cb_ref[...] = iota256 + 1
+            cs_ref[...] = iota256 + 1
+            bits_ref[0:32, :] = iota32 + 1
+            bits_ref[32:34, :] = jnp.ones((2, B), I32)  # lit freq0/freq1
+            d0_ref[...] = jnp.ones((32, B), I32)
+            d1_ref[...] = jnp.ones((32, B), I32)
 
     def flush_rounds(wpos, force):
         s2base = u2i(regs_ref[6:7, :])
@@ -586,20 +604,29 @@ def _encode_full_kernel(m_ref, s_ref, out_ref, lens_ref,
             flush_rounds(wfin, force=True)
 
 
-@partial(jax.jit, static_argnames=("cap_words", "tc", "interpret", "wide"))
-def _encode_full_pallas(m_ops, s_ops, cap_words: int, tc: int = ENC_TC,
-                        interpret: bool = False, wide: bool = False):
-    """m_ops/s_ops: [G, T/4, B] u32 (4 big-endian-packed u8 ops per word)."""
+SEED_ROWS = 640          # 610 used rows (FORMAT.md §3.1 layout), 8-aligned
+
+
+def _encode_full_pallas_call(m_ops, s_ops, seed_tab, cap_words: int, tc: int,
+                             interpret: bool, wide: bool):
     G, TW, B = m_ops.shape
     T = TW * 4
+    seeded = seed_tab is not None
     assert B % 128 == 0 and T % tc == 0 and cap_words % 32 == 0
     z = np.int32(0)
     spec_in = pl.BlockSpec((1, tc // 4, B), lambda g, t: (g, t, z),
                            memory_space=pltpu.VMEM)
+    in_specs = [spec_in, spec_in]
+    operands = [m_ops, s_ops]
+    if seeded:
+        in_specs.append(pl.BlockSpec((1, SEED_ROWS, B),
+                                     lambda g, t: (g, z, z),
+                                     memory_space=pltpu.VMEM))
+        operands.append(seed_tab)
     return pl.pallas_call(
-        partial(_encode_full_kernel, wide=wide),
+        partial(_encode_full_kernel, wide=wide, seeded=seeded),
         grid=(G, T // tc),
-        in_specs=[spec_in, spec_in],
+        in_specs=in_specs,
         out_specs=(
             pl.BlockSpec((1, cap_words, B), lambda g, t: (g, z, z),
                          memory_space=pltpu.VMEM),
@@ -622,7 +649,46 @@ def _encode_full_pallas(m_ops, s_ops, cap_words: int, tc: int = ENC_TC,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(m_ops, s_ops)
+    )(*operands)
+
+
+@partial(jax.jit, static_argnames=("cap_words", "tc", "interpret", "wide"))
+def _encode_full_pallas(m_ops, s_ops, cap_words: int, tc: int = ENC_TC,
+                        interpret: bool = False, wide: bool = False):
+    """m_ops/s_ops: [G, T/4, B] u32 (4 big-endian-packed u8 ops per word)."""
+    return _encode_full_pallas_call(m_ops, s_ops, None, cap_words, tc,
+                                    interpret, wide)
+
+
+@partial(jax.jit, static_argnames=("cap_words", "tc", "interpret"))
+def _encode_full_pallas_seeded(m_ops, s_ops, seed_tab, cap_words: int,
+                               tc: int = ENC_TC, interpret: bool = False):
+    """Seeded (warm) variant; always uses the wide divider — warm model
+    totals reach seed(<=2^14) + block updates, past the 2^15 narrow bound."""
+    return _encode_full_pallas_call(m_ops, s_ops, seed_tab, cap_words, tc,
+                                    interpret, True)
+
+
+def _enc_seed_table(seed, G: int, B: int, fresh_lane0: bool) -> np.ndarray:
+    """[G, SEED_ROWS, B] i32 encoder-table seed columns (csum forms).
+    ``fresh_lane0``: block 0 (group 0, lane 0) keeps the cold init."""
+    f = np.asarray(seed.flat, dtype=np.int64)
+    col = np.zeros(SEED_ROWS, np.int32)
+    col[0:256] = np.cumsum(f[258:514])     # pm_byte inclusive csum
+    col[256:512] = np.cumsum(f[2:258])     # pm_size inclusive csum
+    col[512:544] = np.cumsum(f[514:546])   # pm_bits inclusive csum
+    col[544], col[545] = f[0], f[1]        # pm_literal freqs
+    col[546:578] = f[546:578]              # dist freq0
+    col[578:610] = f[578:610]              # dist freq1
+    tab = np.broadcast_to(col[None, :, None], (G, SEED_ROWS, B)).copy()
+    if fresh_lane0:
+        fresh = np.zeros(SEED_ROWS, np.int32)
+        fresh[0:256] = np.arange(1, 257)
+        fresh[256:512] = np.arange(1, 257)
+        fresh[512:544] = np.arange(1, 33)
+        fresh[544:610] = 1
+        tab[0, :, 0] = fresh
+    return tab
 
 
 def encode_groups_full(m_ops: np.ndarray, s_ops: np.ndarray, cap: int,
@@ -657,20 +723,35 @@ def encode_groups_full(m_ops: np.ndarray, s_ops: np.ndarray, cap: int,
 
 
 def encode_data_full(data: bytes, blk_bits: int, window: int, lz: bool,
-                     cap: int, tc: int = ENC_TC, lanes: int = ENC_LANES):
+                     cap: int, tc: int = ENC_TC, lanes: int = ENC_LANES,
+                     warm: bool = False, interpret: bool = False):
     """Whole-buffer encode: native threaded plan+pack straight into the
-    kernel's word layout, then the self-contained device coder."""
+    kernel's word layout, then the self-contained device coder. ``warm``
+    (sqzt v2, FORMAT.md §3.1): blocks 1+ match into block 0's tail and
+    start from its rescaled model state via the seeded kernel."""
     from sqz_tpu import native
     bs = 1 << blk_bits
     NB = max(1, -(-len(data) // bs))
+    warm = warm and NB > 1
     tp_cap = -(-(5 * bs // 2 + 16) // (4 * tc)) * 4 * tc
-    mw, sw, mx = native.sqz4_plan_pack(data, window, blk_bits, lz,
-                                       lanes, tp_cap)
+    if warm:
+        mw, sw, mx, seed = native.sqz4_plan_pack(data, window, blk_bits, lz,
+                                                 lanes, tp_cap, warm=True)
+    else:
+        mw, sw, mx = native.sqz4_plan_pack(data, window, blk_bits, lz,
+                                           lanes, tp_cap)
     rows = -(-int(mx) // (4 * tc)) * tc        # used word rows, tc-aligned
     cap_words = (-(-(cap + 3) // 4) + 31) // 32 * 32
-    words, lens = _encode_full_pallas(jnp.asarray(mw[:, :rows]),
-                                      jnp.asarray(sw[:, :rows]), cap_words,
-                                      tc, False, blk_bits >= 15)
+    if warm:
+        seed_tab = _enc_seed_table(seed, mw.shape[0], lanes, fresh_lane0=True)
+        words, lens = _encode_full_pallas_seeded(
+            jnp.asarray(mw[:, :rows]), jnp.asarray(sw[:, :rows]),
+            jnp.asarray(seed_tab), cap_words, tc, interpret)
+    else:
+        words, lens = _encode_full_pallas(jnp.asarray(mw[:, :rows]),
+                                          jnp.asarray(sw[:, :rows]),
+                                          cap_words, tc, interpret,
+                                          blk_bits >= 15)
     lens = np.asarray(lens)
     if int(lens[:, 0].max(initial=0)) > cap_words * 4:
         raise ValueError("compressed block exceeded the output capacity")
@@ -807,9 +888,10 @@ def _bitpack_pallas(ops, cap_words: int, tc: int = ENC_TC,
 
 def squeeze_encode_data(data: bytes, blk_bits: int, win_bits: int, cap: int,
                         tc: int = ENC_TC, lanes: int = ENC_LANES,
-                        interpret: bool = False):
+                        interpret: bool = False, warm: bool = False):
     """squeeze whole-buffer encode: host adaptive-Huffman planning (native,
-    threaded) + device bitstream assembly."""
+    threaded) + device bitstream assembly. ``warm``: sqzt v2 (the planning
+    stage handles seeding; the bit packer is state-free)."""
     from sqz_tpu import native
     bs = 1 << blk_bits
     NB = max(1, -(-len(data) // bs))
@@ -817,7 +899,7 @@ def squeeze_encode_data(data: bytes, blk_bits: int, win_bits: int, cap: int,
     # raw) and a few per match; 4 per byte + EOS margin is generous
     tw_cap = -(-(4 * bs + 64) // tc) * tc
     words, mx = native.squeeze_plan_pack(data, win_bits, blk_bits,
-                                         lanes, tw_cap)
+                                         lanes, tw_cap, warm=warm)
     rows = max(-(-int(mx) // tc) * tc, tc)
     cap_words = (-(-(cap + 3) // 4) + 31) // 32 * 32
     out, lens = _bitpack_pallas(jnp.asarray(np.ascontiguousarray(
@@ -888,10 +970,9 @@ class _Slot3:
         self.ref[self._m(idx)] = v
 
 
-def _decode_kernel(payload_all, meta_all,
-                   lit_all, tok_all, mrec_all, counts_all,
-                   *scratch, t_max: int, wide: bool = False,
-                   slots: int = 1):
+def _decode_kernel(payload_all, meta_all, *rest, t_max: int,
+                   wide: bool = False, slots: int = 1,
+                   seeded: bool = False):
     """One grid step decodes LANES blocks in lock-step.
 
     Per-class cumulative-frequency tables (inclusive csum) live in VMEM and
@@ -921,7 +1002,20 @@ def _decode_kernel(payload_all, meta_all,
 
     bases rows: 0 s1base, 1 lit, 2 tok, 3 mrec ring retirement bases.
     counts rows: 0 optr, 1 nlit, 2 ntok, 3 nmatch, 4 err, 5 steps, 6 ovf.
+
+    ``seeded`` (sqzt v2 warm start, FORMAT.md §3.1): a model-seed table
+    input follows meta, holding the packed wide-mode table forms — rows
+    0:256 byte csum*512+row, 256:512 size csum*512+row, 512:544 bits
+    csum*64+row, 544:576 d0|d1<<16, 576/577 literal freqs — and meta row 2
+    carries the shared-dictionary length per lane (distance validation
+    allows dist <= produced + dlen; the host assembler resolves the
+    dictionary bytes).
     """
+    if seeded:
+        assert wide, "warm model totals need the wide divider"
+        seed_all, rest = rest[0], rest[1:]
+    lit_all, tok_all, mrec_all, counts_all = rest[:4]
+    scratch = rest[4:]
     packed = not wide
     if packed:
         (cbs_all, bits_all, d01_all, s1_all,
@@ -956,20 +1050,32 @@ def _decode_kernel(payload_all, meta_all,
         mrecring_ref = _Rows(mrecring_all, sl * 64, 64)
         bases_ref = _Rows(bases_all, sl * 8, 8)
 
-        # ---- init: fresh models (freq 1 -> inclusive csum = index + 1)
-        if packed:
-            cb_ref[...] = (iota256 + 1) * 65537          # cb | cs << 16
+        # ---- init: fresh models (freq 1 -> inclusive csum = index + 1),
+        # or the warm seed table (packed forms precomputed on the host)
+        if seeded:
+            seed_ref = _Slot3(seed_all, sl)
+            cb_ref[...] = seed_ref[0, 0:256, :]
+            cs_ref[...] = seed_ref[0, 256:512, :]
+            bits_ref[...] = seed_ref[0, 512:544, :]
+            d01_ref[...] = seed_ref[0, 544:576, :]
+            bases_ref[...] = jnp.zeros((8, B), I32)
+            bases_ref[4:5, :] = seed_ref[0, 576:577, :]
+            bases_ref[5:6, :] = seed_ref[0, 577:578, :]
         else:
-            cb_ref[...] = (iota256 + 1) * 512 + iota256  # csum*512 + row
-            cs_ref[...] = (iota256 + 1) * 512 + iota256
-        bits_ref[...] = (iota32 + 1) * 64 + iota32       # csum*64 + row
-        d01_ref[...] = jnp.full((32, B), 65537, I32)     # d0 | d1 << 16
-        # lit model as two scalar rows folded into bases_ref rows 4, 5
-        bases_ref[...] = jnp.zeros((8, B), I32)
-        bases_ref[4:5, :] = jnp.ones((1, B), I32)
-        bases_ref[5:6, :] = jnp.ones((1, B), I32)
+            if packed:
+                cb_ref[...] = (iota256 + 1) * 65537          # cb | cs << 16
+            else:
+                cb_ref[...] = (iota256 + 1) * 512 + iota256  # csum*512 + row
+                cs_ref[...] = (iota256 + 1) * 512 + iota256
+            bits_ref[...] = (iota32 + 1) * 64 + iota32       # csum*64 + row
+            d01_ref[...] = jnp.full((32, B), 65537, I32)     # d0 | d1 << 16
+            # lit model as two scalar rows folded into bases_ref rows 4, 5
+            bases_ref[...] = jnp.zeros((8, B), I32)
+            bases_ref[4:5, :] = jnp.ones((1, B), I32)
+            bases_ref[5:6, :] = jnp.ones((1, B), I32)
         s1_ref[...] = payload_ref[0, 0:96, :]
         sizes = meta_ref[0, 1:2, :] + zi
+        dlen = meta_ref[0, 2:3, :] + zi    # warm shared-dictionary length
 
         def retire(ring_ref, base_row: int, out_ref, ow: int, wpos, force):
             base = bases_ref[base_row:base_row + 1, :]
@@ -1262,7 +1368,7 @@ def _decode_kernel(payload_all, meta_all,
             emit = done_now | dist_done
             dist = pdist | jnp.where(
                 emit, jnp.int32(1) << jnp.where(pbits > 0, pbits - 1, zi), zi)
-            bad_dist = emit & (dist > optr)
+            bad_dist = emit & (dist > optr + dlen)
             over = emit & (optr + psize > sizes)
             emit_ok = emit & ~bad_dist & ~over
 
@@ -1405,28 +1511,38 @@ def _decode_kernel(payload_all, meta_all,
                                    "wide", "slots"))
 def _decode_pallas(payload, meta, t_max: int, lw: int, tw: int,
                    mw: int, interpret: bool = False, wide: bool = False,
-                   slots: int = 1):
+                   slots: int = 1, seed_tab=None):
     """payload: [G, Pw, B] u32 words (big-endian bytes); meta [G, 8, B] i32
-    (row 0 payload lengths, row 1 original sizes). G must be a multiple of
-    `slots`; each kernel instance interleaves `slots` groups so their
-    independent dependence chains overlap in the scheduler.
+    (row 0 payload lengths, row 1 original sizes, row 2 warm dict length).
+    G must be a multiple of `slots`; each kernel instance interleaves
+    `slots` groups so their independent dependence chains overlap in the
+    scheduler. ``seed_tab`` [G, SEED_ROWS, B] i32: warm model seed
+    (packed decode-table forms, _dec_seed_table).
 
     Returns (lit [G, LW, B] u32, tok [G, TW, B] u32, mrec [G, MW, B] u32,
     counts [G, 8, B] i32).
     """
     G, Pw, B = payload.shape
+    seeded = seed_tab is not None
     assert B % 128 == 0 and Pw % 32 == 0 and G % slots == 0
     z = np.int32(0)
     S = slots
+    in_specs = [
+        pl.BlockSpec((S, Pw, B), lambda g: (g, z, z),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((S, 8, B), lambda g: (g, z, z),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = [payload, meta]
+    if seeded:
+        in_specs.append(pl.BlockSpec((S, SEED_ROWS, B), lambda g: (g, z, z),
+                                     memory_space=pltpu.VMEM))
+        operands.append(seed_tab)
     return pl.pallas_call(
-        partial(_decode_kernel, t_max=t_max, wide=wide, slots=S),
+        partial(_decode_kernel, t_max=t_max, wide=wide, slots=S,
+                seeded=seeded),
         grid=(G // S,),
-        in_specs=[
-            pl.BlockSpec((S, Pw, B), lambda g: (g, z, z),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((S, 8, B), lambda g: (g, z, z),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=(
             pl.BlockSpec((S, lw, B), lambda g: (g, z, z),
                          memory_space=pltpu.VMEM),
@@ -1460,13 +1576,29 @@ def _decode_pallas(payload, meta, t_max: int, lw: int, tw: int,
             vmem_limit_bytes=int(os.environ.get(
                 "SQZ_DEC_VMEM_MB", "118")) * 1024 * 1024),
         interpret=interpret,
-    )(payload, meta)
+    )(*operands)
+
+
+def _dec_seed_table(seed, G: int, B: int) -> np.ndarray:
+    """[G, SEED_ROWS, B] i32 decoder-table seed (packed wide-mode forms)."""
+    f = np.asarray(seed.flat, dtype=np.int64)
+    col = np.zeros(SEED_ROWS, np.int64)
+    col[0:256] = np.cumsum(f[258:514]) * 512 + np.arange(256)
+    col[256:512] = np.cumsum(f[2:258]) * 512 + np.arange(256)
+    col[512:544] = np.cumsum(f[514:546]) * 64 + np.arange(32)
+    col[544:576] = f[546:578] | (f[578:610] << 16)
+    col[576], col[577] = f[0], f[1]
+    return np.broadcast_to(col.astype(np.int32)[None, :, None],
+                           (G, SEED_ROWS, B)).copy()
 
 
 def assemble_tokens_numpy(tok_bits: np.ndarray, lits: bytes,
-                          mrecs: np.ndarray, ntok: int, size: int) -> bytes:
-    """Reference reconstruction of the decode-kernel record streams."""
-    out = bytearray()
+                          mrecs: np.ndarray, ntok: int, size: int,
+                          dictionary: bytes = b"") -> bytes:
+    """Reference reconstruction of the decode-kernel record streams.
+    ``dictionary``: warm shared preset history (FORMAT.md §3.1)."""
+    out = bytearray(dictionary)
+    dlen = len(out)
     li = 0
     mi = 0
     for tix in range(ntok):
@@ -1479,8 +1611,8 @@ def assemble_tokens_numpy(tok_bits: np.ndarray, lits: bytes,
         else:
             out.append(lits[li])
             li += 1
-    assert len(out) == size, (len(out), size)
-    return bytes(out)
+    assert len(out) - dlen == size, (len(out) - dlen, size)
+    return bytes(out[dlen:])
 
 
 DEC_SLOTS = 2        # interleaved groups per decode-kernel instance at
@@ -1489,9 +1621,16 @@ DEC_SLOTS = 2        # interleaved groups per decode-kernel instance at
 
 
 def decode_groups(payloads, sizes, blk_bits: int, interpret: bool = False,
-                  slots: int = 0, lanes: int = 0):
-    """payloads: list of NB payload byte strings; sizes: original lengths."""
+                  slots: int = 0, lanes: int = 0,
+                  seed=None, dictionary: bytes = b""):
+    """payloads: list of NB payload byte strings; sizes: original lengths.
+
+    ``seed``/``dictionary`` (sqzt v2 warm start, FORMAT.md §3.1): the model
+    seed and shared preset history ALL blocks in this call were coded with
+    (the warm container's block 0 is decoded on the host first and is not
+    part of this call)."""
     from sqz_tpu import native
+    warm = seed is not None
     if lanes <= 0:
         # 512 lanes beat 256 at every block size once the VMEM cap allows
         # them (v5e has 128 MB physical VMEM; the measured sweeps live in
@@ -1521,6 +1660,7 @@ def decode_groups(payloads, sizes, blk_bits: int, interpret: bool = False,
         g, lane = divmod(b, lanes)
         meta[g, 0, lane] = len(p)
         meta[g, 1, lane] = sizes[b]
+        meta[g, 2, lane] = len(dictionary)
     if native.available():
         buf = native.sqz4_pack_payloads(payloads, lanes, Pw)
         if buf.shape[0] < G:   # pad group count to the slot multiple
@@ -1542,6 +1682,8 @@ def decode_groups(payloads, sizes, blk_bits: int, interpret: bool = False,
     t_max = 9 * bs + 64
     vmem_mb = int(os.environ.get("SQZ_DEC_VMEM_MB", "118"))
     grp_mb = (Pw + lw + tw + mw) * 4 * lanes * slots / 2**20
+    wide = warm or blk_bits >= 15
+    seed_tab = _dec_seed_table(seed, G, lanes) if warm else None
     if not interpret and G > slots and 2 * grp_mb > vmem_mb:
         # one group already fills VMEM (64 KiB blocks at 512 lanes): a
         # multi-group grid cannot double-buffer, so dispatch grid-1 calls
@@ -1549,7 +1691,9 @@ def decode_groups(payloads, sizes, blk_bits: int, interpret: bool = False,
         chunks = [_decode_pallas(jnp.asarray(buf[g:g + slots]),
                                  jnp.asarray(meta[g:g + slots]),
                                  t_max, lw, tw, mw, interpret,
-                                 blk_bits >= 15, slots)
+                                 wide, slots,
+                                 jnp.asarray(seed_tab[g:g + slots])
+                                 if warm else None)
                   for g in range(0, G, slots)]
         lit, tok, mrec, counts = (
             np.concatenate([np.asarray(c[k]) for c in chunks])
@@ -1557,7 +1701,8 @@ def decode_groups(payloads, sizes, blk_bits: int, interpret: bool = False,
     else:
         lit, tok, mrec, counts = _decode_pallas(
             jnp.asarray(buf), jnp.asarray(meta), t_max, lw, tw, mw,
-            interpret, blk_bits >= 15, slots)
+            interpret, wide, slots,
+            jnp.asarray(seed_tab) if warm else None)
         lit = np.asarray(lit)
         tok = np.asarray(tok)
         mrec = np.asarray(mrec)
@@ -1586,24 +1731,27 @@ def decode_groups(payloads, sizes, blk_bits: int, interpret: bool = False,
     ov_idx = np.nonzero(ovf)[0]
     if ov_idx.size and native.available():
         for b in ov_idx:  # pathological match density: host codec fallback
-            outs[b] = native.sqz4_decompress_payload(payloads[b], sizes[b])
+            outs[b] = native.sqz4_decompress_payload(
+                payloads[b], sizes[b], seed=seed, dictionary=dictionary)
     elif ov_idx.size:
         from sqz_tpu.oracle.sqz4 import sqz4_decode_payload
         for b in ov_idx:
-            outs[b] = sqz4_decode_payload(payloads[b], sizes[b])
+            outs[b] = sqz4_decode_payload(payloads[b], sizes[b], seed=seed,
+                                          dictionary=dictionary)
     live = np.nonzero(ovf == 0)[0]
     if live.size:
         if native.available():
             asm = native.assemble_blocks(
                 tokb[live], litu8[live], mrecb[live],
-                ntoks[live].astype(np.int64), szs_np[live], bs)
+                ntoks[live].astype(np.int64), szs_np[live], bs,
+                dictionary=dictionary)
             for i, b in enumerate(live):
                 outs[b] = asm[i, :sizes[b]].tobytes()
         else:
             for b in live:
                 outs[b] = assemble_tokens_numpy(
                     tokb[b], litu8[b].tobytes(), mrecb[b],
-                    int(ntoks[b]), sizes[b])
+                    int(ntoks[b]), sizes[b], dictionary=dictionary)
     unsorted = [None] * NB
     for pos, b in enumerate(order):
         unsorted[b] = outs[pos]

@@ -163,6 +163,25 @@ class AdaptiveHuffman:
         self._update_paths(ipx)
         return done
 
+    # -- state snapshot (sqzt v2 warm start, FORMAT.md §3.1) -----------------
+
+    def snapshot(self) -> list:
+        """Flat i64 state: [next, depth, complete] + freq + path + bits +
+        pix + lix + rix (m entries each) — the engine-portable tree seed."""
+        return ([self.next, self.depth, int(self.complete)]
+                + self.freq + self.path + self.bits
+                + self.pix + self.lix + self.rix)
+
+    def load(self, flat) -> None:
+        m = self.m
+        assert len(flat) == 3 + 6 * m
+        self.next, self.depth = int(flat[0]), int(flat[1])
+        self.complete = bool(flat[2])
+        f = [int(v) for v in flat[3:]]
+        (self.freq, self.path, self.bits, self.pix, self.lix, self.rix) = (
+            f[0:m], f[m:2 * m], f[2 * m:3 * m],
+            f[3 * m:4 * m], f[4 * m:5 * m], f[5 * m:6 * m])
+
     def inc_frequency(self, i: int) -> None:
         """Count one more occurrence of terminal ``i`` (huffman.h:218-235)."""
         if self.pix[i] == -1:

@@ -66,16 +66,21 @@ class MatchFinder:
 
 
 def greedy_tokens(data: bytes, window: int, min_len: int, max_len: int,
-                  reject=None) -> list:
+                  reject=None, dictionary: bytes = b"") -> list:
     """Greedy parse into tokens: ('lit', byte) | ('match', length, dist).
 
     ``reject(length, dist) -> bool`` optionally demotes a candidate match to a
     literal (the sqz4 short-far rejection rule, src/sqz.c:678-685).
+
+    ``dictionary``: preset history (sqzt v2 warm start, FORMAT.md §3.1) —
+    matches may reach back into it (dist > position-in-data), still capped
+    by the window. The parse starts at the first data byte.
     """
-    mf = MatchFinder(data, window, min_len, max_len)
+    buf = dictionary + data if dictionary else data
+    mf = MatchFinder(buf, window, min_len, max_len)
     tokens = []
-    i = 0
-    while i < len(data):
+    i = len(dictionary)
+    while i < len(buf):
         length, dist = mf.find(i)
         if length >= min_len and reject is not None and reject(length, dist):
             length = 0
@@ -83,6 +88,6 @@ def greedy_tokens(data: bytes, window: int, min_len: int, max_len: int,
             tokens.append(("match", length, dist))
             i += length
         else:
-            tokens.append(("lit", data[i]))
+            tokens.append(("lit", buf[i]))
             i += 1
     return tokens

@@ -20,6 +20,11 @@ class ProbModel:
     def __init__(self, n: int) -> None:
         self.freq = [1 if i < n else 0 for i in range(256)]
 
+    def set_freqs(self, freqs) -> None:
+        """Warm-start from a frequency snapshot (sqzt v2, FORMAT.md §3)."""
+        n = len(freqs)
+        self.freq = [int(freqs[i]) if i < n else 0 for i in range(256)]
+
     def total(self) -> int:
         return sum(self.freq)
 

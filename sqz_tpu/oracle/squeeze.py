@@ -23,13 +23,59 @@ _LEN_INDEX = build_len_index()
 _POS_INDEX = build_pos_index()
 
 
-def _new_trees():
+def _new_trees(seed=None):
+    """Fresh NYT-seeded trees, or trees restored from a ``TreeSeed``
+    (sqzt v2 warm start, FORMAT.md §3.1)."""
     lit = AdaptiveHuffman(SQUEEZE_LIT_TERMINALS)
     pos = AdaptiveHuffman(SQUEEZE_POS_TERMINALS)
+    if seed is not None:
+        lit.load(seed.lit)
+        pos.load(seed.pos)
+        return lit, pos
     # both sides seed the NYT leaves before the first token (squeeze.h:333-334)
     lit.insert(SQUEEZE_LIT_NYT)
     pos.insert(SQUEEZE_POS_NYT)
     return lit, pos
+
+
+class TreeSeed:
+    """Engine-portable snapshot of the two adaptive-Huffman trees (the
+    squeeze analog of sqz4's ModelSeed). Unlike sqz4 there is no rescale:
+    the host tree walkers have no numeric range constraint, and the device
+    squeeze encoder consumes host-planned bit words."""
+
+    def __init__(self, lit, pos) -> None:
+        self.lit = list(map(int, lit))
+        self.pos = list(map(int, pos))
+
+    @classmethod
+    def capture(cls, lit: AdaptiveHuffman, pos: AdaptiveHuffman) -> "TreeSeed":
+        return cls(lit.snapshot(), pos.snapshot())
+
+
+def tree_seed_from_tokens(tokens) -> TreeSeed:
+    """Replay a token stream's tree updates without writing bits — block 0's
+    final tree state for warm blocks 1+ (sqzt v2, FORMAT.md §3.1). Update
+    order matches the encoder exactly: known symbol -> inc_frequency(sym);
+    unseen -> inc_frequency(NYT) then insert(sym) (squeeze.h:239-246,
+    278-315)."""
+    lit, pos = _new_trees()
+
+    def bump(tree, nyt, sym):
+        if tree.pix[sym] == -1:
+            tree.inc_frequency(nyt)
+            tree.insert(sym)
+        else:
+            tree.inc_frequency(sym)
+
+    for tok in tokens:
+        if tok[0] == "lit":
+            bump(lit, SQUEEZE_LIT_NYT, tok[1])
+        else:
+            _, length, dist = tok
+            bump(lit, SQUEEZE_LIT_NYT, SQUEEZE_SYM_MIN + int(_LEN_INDEX[length]))
+            bump(pos, SQUEEZE_POS_NYT, int(_POS_INDEX[dist]))
+    return TreeSeed.capture(lit, pos)
 
 
 def _write_huffman(bw: BitWriter, tree: AdaptiveHuffman, sym: int) -> None:
@@ -56,10 +102,16 @@ def _encode_pos_symbol(bw: BitWriter, pos: AdaptiveHuffman, code: int) -> None:
         _write_huffman(bw, pos, code)
 
 
-def squeeze_encode_payload(data: bytes, win_bits: int, bw: BitWriter) -> None:
-    """Token payload only (no header) — shared with the sqzt container."""
-    lit, pos = _new_trees()
-    tokens = greedy_tokens(data, 1 << win_bits, SQUEEZE_LEN_MIN, SQUEEZE_LEN_MAX)
+def squeeze_encode_payload(data: bytes, win_bits: int, bw: BitWriter,
+                           seed: "TreeSeed | None" = None,
+                           return_state: bool = False,
+                           dictionary: bytes = b""):
+    """Token payload only (no header) — shared with the sqzt container.
+    ``seed``/``return_state``/``dictionary``: sqzt v2 warm start
+    (FORMAT.md §3.1)."""
+    lit, pos = _new_trees(seed)
+    tokens = greedy_tokens(data, 1 << win_bits, SQUEEZE_LEN_MIN,
+                           SQUEEZE_LEN_MAX, dictionary=dictionary)
     for tok in tokens:
         if tok[0] == "lit":
             _encode_lit_symbol(bw, lit, tok[1])
@@ -74,6 +126,9 @@ def squeeze_encode_payload(data: bytes, win_bits: int, bw: BitWriter) -> None:
             if POS_XB[pi]:
                 bw.write_bits(dist - int(POS_BASE[pi]), int(POS_XB[pi]))
     bw.flush()
+    if return_state:
+        return TreeSeed.capture(lit, pos)
+    return None
 
 
 def squeeze_compress(data: bytes, win_bits: int = 15) -> bytes:
@@ -98,9 +153,14 @@ def _read_huffman(br: BitReader, tree: AdaptiveHuffman) -> int:
     return i
 
 
-def squeeze_decode_payload(br: BitReader, size: int) -> bytes:
-    lit, pos = _new_trees()
-    out = bytearray()
+def squeeze_decode_payload(br: BitReader, size: int,
+                           seed: "TreeSeed | None" = None,
+                           return_state: bool = False,
+                           dictionary: bytes = b""):
+    lit, pos = _new_trees(seed)
+    out = bytearray(dictionary)
+    dlen = len(out)
+    size += dlen  # produce past the preset-history prefix
     while len(out) < size:
         sym = _read_huffman(br, lit)
         if sym == SQUEEZE_LIT_NYT:
@@ -131,7 +191,9 @@ def squeeze_decode_payload(br: BitReader, size: int) -> bytes:
             # overlapped copy is byte-serial by definition (squeeze.h:535-539)
             for _ in range(length):
                 out.append(out[-dist])
-    return bytes(out)
+    if return_state:
+        return bytes(out[dlen:]), TreeSeed.capture(lit, pos)
+    return bytes(out[dlen:])
 
 
 def squeeze_decompress(blob: bytes) -> bytes:
