@@ -122,6 +122,14 @@ def main(argv=None) -> int:
                 tokens = [("lit", int(a)) if k == 0 else ("match", int(a), int(b))
                           for k, a, b in toks]
                 print(analyze_tokens(tokens).report())
+                if args.format == "sqz4":
+                    # full SQUEEZE_MAP_STATS breadth (src/sqz.c:744-790):
+                    # per-model entropies + the short-far rejection counter
+                    from sqz_tpu.utils.stats import (count_rejections,
+                                                     sqz4_model_report)
+                    print(sqz4_model_report(tokens))
+                    print(f"rejections: "
+                          f"{count_rejections(data, 1 << args.win_bits)}")
     return rc
 
 

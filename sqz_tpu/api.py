@@ -50,11 +50,12 @@ def compress(data: bytes, fmt: Format | str = Format.SQUEEZE,
     if blocks:
         parts = sqzt.split_blocks(data, blk_bits)
         warm = warm and len(parts) > 1
-        payloads = _compress_blocks(parts, fmt, engine, win_bits, lz, warm)
+        res = _compress_blocks(parts, fmt, engine, win_bits, lz, warm)
+        payloads, fresh_mask = res if warm else (res, None)
         code = SQZT_FORMAT_SQUEEZE if fmt is Format.SQUEEZE else SQZT_FORMAT_SQZ4
         csum = sqzt.fnv1a64(data) if checksum else None
         return sqzt.pack(code, win_bits, blk_bits, len(data), payloads, csum,
-                         warm=warm)
+                         warm=warm, fresh_mask=fresh_mask)
     if warm:
         raise ValueError("warm start requires blocks=True (sqzt container)")
     if engine is Engine.TPU:
@@ -78,6 +79,10 @@ def _warm_dictionary(block0: bytes, win_bits: int) -> bytes:
 
 
 def _compress_blocks(parts, fmt, engine, win_bits, lz, warm=False):
+    """Cold: returns payloads. Warm: returns (payloads, fresh_mask) — per
+    block the encoder codes BOTH fresh and seeded and keeps the smaller
+    (FORMAT.md §3.1), so warm never loses to cold beyond the bitmap byte
+    per 8 blocks."""
     if engine is Engine.TPU:
         from sqz_tpu.ops import engine as tpu_engine
         return tpu_engine.compress_blocks(parts, fmt, win_bits, lz, warm)
@@ -90,37 +95,46 @@ def _compress_blocks(parts, fmt, engine, win_bits, lz, warm=False):
     seed = None
     dictionary = b""
     out = []
-    for i, p in enumerate(parts):
-        want_state = warm and i == 0
-        use_seed = seed if (warm and i > 0) else None
+    fresh_mask = [True] + [False] * (len(parts) - 1)
+
+    def encode_one(p, use_seed, use_dict, want_state):
         if fmt is Format.SQUEEZE:
             if engine is Engine.ORACLE:
                 from sqz_tpu.oracle.squeeze import squeeze_encode_payload
                 from sqz_tpu.oracle.bitstream import BitWriter
                 bw = BitWriter()
-                res = squeeze_encode_payload(p, win_bits, bw, seed=use_seed,
-                                             return_state=want_state,
-                                             dictionary=dictionary)
-                out.append(bw.getvalue())
-                if want_state:
-                    seed = res
-            else:
-                out.append(_native().squeeze_compress_payload(p, win_bits))
-        else:
-            if engine is Engine.ORACLE:
-                from sqz_tpu.oracle.sqz4 import sqz4_encode_payload
-                r = sqz4_encode_payload(p, 1 << win_bits, lz=lz,
-                                        seed=use_seed,
-                                        return_state=want_state,
-                                        dictionary=dictionary)
-                if want_state:
-                    r, seed = r
-                out.append(r)
-            else:
-                out.append(_native().sqz4_compress_payload(
-                    p, 1 << win_bits, lz=lz))
+                st = squeeze_encode_payload(p, win_bits, bw, seed=use_seed,
+                                            return_state=want_state,
+                                            dictionary=use_dict)
+                return (bw.getvalue(), st) if want_state else bw.getvalue()
+            return _native().squeeze_compress_payload(
+                p, win_bits, seed=use_seed, return_state=want_state,
+                dictionary=use_dict)
+        if engine is Engine.ORACLE:
+            from sqz_tpu.oracle.sqz4 import sqz4_encode_payload
+            return sqz4_encode_payload(p, 1 << win_bits, lz=lz,
+                                       seed=use_seed,
+                                       return_state=want_state,
+                                       dictionary=use_dict)
+        return _native().sqz4_compress_payload(
+            p, 1 << win_bits, lz=lz, seed=use_seed,
+            return_state=want_state, dictionary=use_dict)
+
+    for i, p in enumerate(parts):
+        want_state = warm and i == 0
+        r = encode_one(p, None, b"", want_state)
         if want_state:
+            r, seed = r
             dictionary = _warm_dictionary(p, win_bits)
+        if warm and i > 0:
+            w = encode_one(p, seed, dictionary, False)
+            if len(w) < len(r):
+                r = w
+            else:
+                fresh_mask[i] = True
+        out.append(r)
+    if warm:
+        return out, fresh_mask
     return out
 
 
@@ -128,18 +142,19 @@ def decompress(blob: bytes, fmt: Optional[Format | str] = None,
                engine: Engine | str = Engine.NATIVE) -> bytes:
     engine = Engine(engine)
     if blob[:8] == sqzt.SQZT_MAGIC:
-        code, win_bits, blk_bits, osize, payloads, csum, warm = \
+        code, win_bits, blk_bits, osize, payloads, csum, fresh = \
             sqzt.unpack(blob)
+        warm = fresh is not None
         fmt = Format.SQUEEZE if code == SQZT_FORMAT_SQUEEZE else Format.SQZ4
         sizes = _block_sizes(osize, blk_bits, len(payloads))
         if engine is Engine.TPU:
             from sqz_tpu.ops import engine as tpu_engine
-            data = tpu_engine.decompress_blocks(payloads, sizes, fmt, warm,
+            data = tpu_engine.decompress_blocks(payloads, sizes, fmt, fresh,
                                                 win_bits)
         elif engine is Engine.NATIVE and warm:
             code = 0 if fmt is Format.SQUEEZE else 1
             data = _native().blocks_decompress(list(payloads), osize, code,
-                                               blk_bits, warm=True,
+                                               blk_bits, fresh_mask=fresh,
                                                win_bits=win_bits)
         else:
             out = bytearray()
@@ -147,10 +162,12 @@ def decompress(blob: bytes, fmt: Optional[Format | str] = None,
             dictionary = b""
             for i, (payload, size) in enumerate(zip(payloads, sizes)):
                 want_state = warm and i == 0
-                use_seed = seed if (warm and i > 0) else None
+                use_seed = (seed if (warm and i > 0 and not fresh[i])
+                            else None)
+                use_dict = dictionary if use_seed is not None else b""
                 r = _decode_one(payload, size, fmt, engine,
                                 seed=use_seed, return_state=want_state,
-                                dictionary=dictionary)
+                                dictionary=use_dict)
                 if want_state:
                     r, seed = r
                     dictionary = _warm_dictionary(r, win_bits)
@@ -192,7 +209,9 @@ def decompress_range(blob: bytes, start: int, length: int,
                          "use engine='native' or 'oracle'")
     if blob[:8] != sqzt.SQZT_MAGIC:
         raise ValueError("decompress_range requires an sqzt container")
-    code, win_bits, blk_bits, osize, payloads, _csum, warm = sqzt.unpack(blob)
+    code, win_bits, blk_bits, osize, payloads, _csum, fresh = \
+        sqzt.unpack(blob)
+    warm = fresh is not None
     fmt = Format.SQUEEZE if code == SQZT_FORMAT_SQUEEZE else Format.SQZ4
     if start < 0 or length < 0 or start + length > osize:
         raise ValueError(f"range [{start}, {start + length}) outside "
@@ -202,10 +221,12 @@ def decompress_range(blob: bytes, start: int, length: int,
     sizes = _block_sizes(osize, blk_bits, len(payloads))
     b_lo = start >> blk_bits
     b_hi = (start + length - 1) >> blk_bits
+    need_seed = warm and any(not fresh[b]
+                             for b in range(max(b_lo, 1), b_hi + 1))
     seed = None
     dictionary = b""
     blk0 = None
-    if warm and (b_hi > 0 or b_lo > 0):
+    if need_seed:
         r = _decode_one(payloads[0], sizes[0], fmt, engine,
                         return_state=True)
         blk0, seed = r
@@ -216,9 +237,10 @@ def decompress_range(blob: bytes, start: int, length: int,
             out += blk0 if blk0 is not None else _decode_one(
                 payloads[0], sizes[0], fmt, engine)
         else:
+            seeded = warm and not fresh[b]
             out += _decode_one(payloads[b], sizes[b], fmt, engine,
-                               seed=seed if warm else None,
-                               dictionary=dictionary)
+                               seed=seed if seeded else None,
+                               dictionary=dictionary if seeded else b"")
     off = start - (b_lo << blk_bits)
     return bytes(out[off:off + length])
 

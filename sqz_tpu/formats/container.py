@@ -47,7 +47,11 @@ def split_blocks(data: bytes, blk_bits: int) -> List[bytes]:
 
 def pack(fmt: int, win_bits: int, blk_bits: int, original_size: int,
          block_payloads: List[bytes],
-         checksum: Optional[int] = None, warm: bool = False) -> bytes:
+         checksum: Optional[int] = None, warm: bool = False,
+         fresh_mask: Optional[List[bool]] = None) -> bytes:
+    """``warm`` containers carry a fresh-bitmap after the checksum:
+    bit b set = block b was coded FRESH (the encoder picks per block
+    whichever of fresh/warm coded smaller; block 0 is always fresh)."""
     assert fmt in (SQZT_FORMAT_SQUEEZE, SQZT_FORMAT_SQZ4)
     flags = (FLAG_CHECKSUM if checksum is not None else 0) \
         | (FLAG_WARM if warm else 0)
@@ -57,13 +61,24 @@ def pack(fmt: int, win_bits: int, blk_bits: int, original_size: int,
     assert len(head) == SQZT_HEADER_BYTES
     table = b"".join(struct.pack("<Q", len(p)) for p in block_payloads)
     tail = struct.pack("<Q", checksum) if checksum is not None else b""
+    if warm:
+        n = len(block_payloads)
+        if fresh_mask is None:
+            fresh_mask = [True] + [False] * (n - 1)
+        assert len(fresh_mask) == n and fresh_mask[0]
+        bm = bytearray((n + 7) // 8)
+        for b, fresh in enumerate(fresh_mask):
+            if fresh:
+                bm[b >> 3] |= 1 << (b & 7)
+        tail += bytes(bm)
     return head + table + tail + b"".join(block_payloads)
 
 
 def unpack(blob: bytes) -> Tuple[int, int, int, int, List[bytes],
-                                 Optional[int], bool]:
+                                 Optional[int], "Optional[List[bool]]"]:
     """Returns (fmt, win_bits, blk_bits, original_size, payloads, checksum,
-    warm)."""
+    fresh_mask). fresh_mask is None for cold containers; for warm (v2)
+    containers it lists, per block, whether it was coded fresh."""
     magic, fmt, win_bits, blk_bits, flags, osize, nblocks = struct.unpack_from(
         "<8sBBBB4xQQ", blob, 0)
     if magic != SQZT_MAGIC:
@@ -77,6 +92,16 @@ def unpack(blob: bytes) -> Tuple[int, int, int, int, List[bytes],
     if flags & FLAG_CHECKSUM:
         checksum = struct.unpack_from("<Q", blob, off)[0]
         off += 8
+    fresh_mask = None
+    if flags & FLAG_WARM:
+        nbm = (nblocks + 7) // 8
+        if off + nbm > len(blob):
+            raise ValueError("truncated sqzt fresh bitmap")
+        bm = blob[off:off + nbm]
+        off += nbm
+        fresh_mask = [bool(bm[b >> 3] >> (b & 7) & 1) for b in range(nblocks)]
+        if not fresh_mask or not fresh_mask[0]:
+            raise ValueError("warm container: block 0 must be fresh")
     payloads = []
     for s in sizes:
         if off + s > len(blob):
@@ -85,5 +110,4 @@ def unpack(blob: bytes) -> Tuple[int, int, int, int, List[bytes],
         off += s
     if off != len(blob):
         raise ValueError(f"container size mismatch: {off} != {len(blob)}")
-    return (fmt, win_bits, blk_bits, osize, payloads, checksum,
-            bool(flags & FLAG_WARM))
+    return (fmt, win_bits, blk_bits, osize, payloads, checksum, fresh_mask)

@@ -60,10 +60,10 @@ def _load() -> Optional[ctypes.CDLL]:
                                              u32p, u32p, u32p]
         lib.sqz_blocks_compress.restype = i64
         lib.sqz_blocks_compress.argtypes = [u8p, u64, i32, i32, i32, i32, i32,
-                                            i32, u8p, u64, i64p]
+                                            i32, u8p, u64, i64p, u8p]
         lib.sqz_blocks_decompress.restype = i64
         lib.sqz_blocks_decompress.argtypes = [u8p, i64p, i64p, u64, i32, i32,
-                                              i32, i32, i32, u8p, u64]
+                                              i32, i32, i32, u8p, u8p, u64]
         u32p_ = ctypes.POINTER(ctypes.c_uint32)
         lib.sqz_sqz4_compress_s.restype = i64
         lib.sqz_sqz4_compress_s.argtypes = [u8p, u64, u32, i32, u32p_, u32p_,
@@ -344,10 +344,11 @@ def tokenize(data: bytes, window: int, min_len: int, max_len: int,
 
 def blocks_compress(data: bytes, fmt: int, win_bits: int, blk_bits: int,
                     lz: bool = True, nthreads: int = 0,
-                    warm: bool = False) -> List[bytes]:
-    """Compress independent 2^blk_bits blocks in parallel; returns payloads.
-    ``warm``: sqzt v2 — block 0 fresh, blocks 1+ seeded from its final
-    state (FORMAT.md §3.1)."""
+                    warm: bool = False):
+    """Compress independent 2^blk_bits blocks in parallel; returns payloads
+    (cold) or (payloads, fresh_mask) (warm). Warm (sqzt v2, FORMAT.md
+    §3.1): each block 1+ is coded both fresh and seeded from block 0's
+    final state; the smaller wins and the mask records the choice."""
     lib = _load()
     n = len(data)
     bs = 1 << blk_bits
@@ -356,30 +357,39 @@ def blocks_compress(data: bytes, fmt: int, win_bits: int, blk_bits: int,
     src = np.frombuffer(data, dtype=np.uint8) if data else np.zeros(1, np.uint8)
     out = np.empty(nblocks * stride, dtype=np.uint8)
     sizes = np.zeros(nblocks, dtype=np.int64)
+    flags = np.ones(nblocks, dtype=np.uint8)
     rc = _check(lib.sqz_blocks_compress(
         _u8(src), n, fmt, win_bits, blk_bits, int(lz), nthreads, int(warm),
-        _u8(out), stride, sizes.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))))
+        _u8(out), stride, sizes.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        _u8(flags)))
     assert rc == nblocks
-    return [out[b * stride:b * stride + int(sizes[b])].tobytes()
-            for b in range(nblocks)]
+    payloads = [out[b * stride:b * stride + int(sizes[b])].tobytes()
+                for b in range(nblocks)]
+    if warm:
+        return payloads, [bool(f) for f in flags]
+    return payloads
 
 
 def blocks_decompress(payloads: List[bytes], total_size: int, fmt: int,
                       blk_bits: int, nthreads: int = 0,
-                      warm: bool = False, win_bits: int = 15) -> bytes:
-    """``win_bits`` sizes the warm shared dictionary (FORMAT.md §3.1); it is
-    only read when ``warm`` — pass the container's win_bits then."""
+                      fresh_mask=None, win_bits: int = 15) -> bytes:
+    """``fresh_mask`` (list of bool, sqzt v2): per-block fresh/warm choice;
+    None = cold container. ``win_bits`` sizes the warm shared dictionary."""
     lib = _load()
+    warm = fresh_mask is not None
     flat = b"".join(payloads)
     offsets = np.zeros(len(payloads), dtype=np.int64)
     sizes = np.array([len(p) for p in payloads], dtype=np.int64)
     np.cumsum(sizes[:-1], out=offsets[1:]) if len(payloads) > 1 else None
     src = np.frombuffer(flat, dtype=np.uint8) if flat else np.zeros(1, np.uint8)
     out = np.empty(max(total_size, 1), dtype=np.uint8)
+    fl = (np.asarray([1 if f else 0 for f in fresh_mask], dtype=np.uint8)
+          if warm else None)
     i64p = ctypes.POINTER(ctypes.c_int64)
     rc = _check(lib.sqz_blocks_decompress(
         _u8(src), offsets.ctypes.data_as(i64p), sizes.ctypes.data_as(i64p),
         len(payloads), fmt, blk_bits, win_bits, nthreads, int(warm),
+        _u8(fl) if fl is not None else None,
         _u8(out), total_size))
     assert rc == total_size
     return out[:total_size].tobytes()

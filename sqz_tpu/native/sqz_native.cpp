@@ -1129,19 +1129,23 @@ int64_t sqz_blocks_compress(const uint8_t* data, uint64_t n, int fmt,
                             int win_bits, int blk_bits, int lz, int nthreads,
                             int warm,
                             uint8_t* out, uint64_t out_stride,
-                            int64_t* out_sizes) {
+                            int64_t* out_sizes, uint8_t* fresh_flags) {
     const uint64_t bs = 1ull << blk_bits;
     const uint64_t nblocks = n == 0 ? 1 : (n + bs - 1) / bs;
     if (nthreads <= 0) nthreads = static_cast<int>(std::thread::hardware_concurrency());
     if (nthreads < 1) nthreads = 1;
-    // warm (sqzt v2): block 0 fresh first, capturing the seed every other
-    // block starts from, plus block 0's tail as the shared preset
-    // dictionary; the pool then runs blocks 1+ in parallel.
+    // warm (sqzt v2): block 0 fresh first, capturing the seed + tail
+    // dictionary; the pool then codes every other block BOTH fresh and
+    // seeded and keeps the smaller, recording the choice in fresh_flags
+    // (FORMAT.md §3.1 — warm never loses to cold per block).
     std::vector<uint32_t> seed4(kSeed4Words);
     std::vector<int64_t> seedt(kTreeSeedWords);
     const uint8_t* dict = nullptr;
     uint64_t dlen = 0;
     uint64_t first = 0;
+    if (fresh_flags != nullptr) {
+        for (uint64_t b = 0; b < nblocks; b++) fresh_flags[b] = 1;
+    }
     if (warm && nblocks > 1) {
         uint64_t len0 = n < bs ? n : bs;
         if (fmt == 0) {
@@ -1168,6 +1172,7 @@ int64_t sqz_blocks_compress(const uint8_t* data, uint64_t n, int fmt,
     std::vector<std::thread> pool;
     std::atomic<uint64_t> next{first};
     auto worker = [&]() {
+        std::vector<uint8_t> alt(warm ? out_stride : 0);
         for (;;) {
             uint64_t b = next.fetch_add(1);
             if (b >= nblocks) return;
@@ -1176,13 +1181,34 @@ int64_t sqz_blocks_compress(const uint8_t* data, uint64_t n, int fmt,
             uint8_t* dst = out + b * out_stride;
             if (fmt == 0) {
                 out_sizes[b] = sqz_squeeze_compress_s(
-                    p, len, win_bits, warm ? seedt.data() : nullptr, nullptr,
-                    dict, dlen, dst, out_stride);
+                    p, len, win_bits, nullptr, nullptr,
+                    nullptr, 0, dst, out_stride);
+                if (warm && out_sizes[b] >= 0) {
+                    int64_t ws = sqz_squeeze_compress_s(
+                        p, len, win_bits, seedt.data(), nullptr,
+                        dict, dlen, alt.data(), out_stride);
+                    if (ws >= 0 && ws < out_sizes[b]) {
+                        std::memcpy(dst, alt.data(),
+                                    static_cast<size_t>(ws));
+                        out_sizes[b] = ws;
+                        if (fresh_flags != nullptr) fresh_flags[b] = 0;
+                    }
+                }
             } else {
                 out_sizes[b] = sqz_sqz4_compress_s(
-                    p, len, 1u << win_bits, lz,
-                    warm ? seed4.data() : nullptr, nullptr, dict, dlen,
-                    dst, out_stride);
+                    p, len, 1u << win_bits, lz, nullptr, nullptr,
+                    nullptr, 0, dst, out_stride);
+                if (warm && out_sizes[b] >= 0) {
+                    int64_t ws = sqz_sqz4_compress_s(
+                        p, len, 1u << win_bits, lz, seed4.data(), nullptr,
+                        dict, dlen, alt.data(), out_stride);
+                    if (ws >= 0 && ws < out_sizes[b]) {
+                        std::memcpy(dst, alt.data(),
+                                    static_cast<size_t>(ws));
+                        out_sizes[b] = ws;
+                        if (fresh_flags != nullptr) fresh_flags[b] = 0;
+                    }
+                }
             }
         }
     };
@@ -1198,7 +1224,7 @@ int64_t sqz_blocks_compress(const uint8_t* data, uint64_t n, int fmt,
 int64_t sqz_blocks_decompress(const uint8_t* payloads, const int64_t* offsets,
                               const int64_t* sizes, uint64_t nblocks, int fmt,
                               int blk_bits, int win_bits, int nthreads,
-                              int warm,
+                              int warm, const uint8_t* fresh_flags,
                               uint8_t* out, uint64_t total_size) {
     const uint64_t bs = 1ull << blk_bits;
     if (nthreads <= 0) nthreads = static_cast<int>(std::thread::hardware_concurrency());
@@ -1243,16 +1269,20 @@ int64_t sqz_blocks_decompress(const uint8_t* payloads, const int64_t* offsets,
             if (b >= nblocks) return;
             uint64_t off = b * bs;
             uint64_t len = total_size - off < bs ? total_size - off : bs;
+            // per-block choice (FORMAT.md §3.1 fresh bitmap)
+            bool seeded = warm && !(fresh_flags != nullptr && fresh_flags[b]);
             if (fmt == 0) {
                 results[b] = sqz_squeeze_decompress_s(
                     payloads + offsets[b], static_cast<uint64_t>(sizes[b]),
-                    len, warm ? seedt.data() : nullptr, nullptr,
-                    dict, dlen, out + off, len);
+                    len, seeded ? seedt.data() : nullptr, nullptr,
+                    seeded ? dict : nullptr, seeded ? dlen : 0,
+                    out + off, len);
             } else {
                 results[b] = sqz_sqz4_decompress_s(
                     payloads + offsets[b], static_cast<uint64_t>(sizes[b]),
-                    len, warm ? seed4.data() : nullptr, nullptr,
-                    dict, dlen, out + off, len);
+                    len, seeded ? seed4.data() : nullptr, nullptr,
+                    seeded ? dict : nullptr, seeded ? dlen : 0,
+                    out + off, len);
             }
         }
     };

@@ -53,8 +53,21 @@ def use_pallas() -> bool:
                                         for d in jax.devices()))
 
 
+def _pick_smaller(cold: List[bytes], warm: List[bytes]):
+    """Per-block fresh/warm choice (FORMAT.md §3.1). Block 0 is always the
+    cold payload (the warm pass codes it fresh too — identical bytes)."""
+    out, mask = [], []
+    for b, (c, w) in enumerate(zip(cold, warm)):
+        fresh = b == 0 or len(c) <= len(w)
+        out.append(c if fresh else w)
+        mask.append(fresh)
+    return out, mask
+
+
 def compress_blocks(parts: Sequence[bytes], fmt, win_bits: int,
-                    lz: bool, warm: bool = False) -> List[bytes]:
+                    lz: bool, warm: bool = False):
+    """Cold: payloads. Warm: (payloads, fresh_mask) — both a fresh and a
+    seeded pass run, keeping the smaller payload per block."""
     from sqz_tpu.api import Format, _warm_dictionary
     blk_bits = max((len(p) - 1).bit_length() for p in parts) if any(parts) else 10
     warm = warm and len(parts) > 1
@@ -66,67 +79,103 @@ def compress_blocks(parts: Sequence[bytes], fmt, win_bits: int,
             from sqz_tpu.ops import sqz4_pallas
             data = b"".join(parts)
             assert all(len(p) == 1 << blk_bits for p in parts[:-1])
-            return sqz4_pallas.encode_data_full(
+            cold = sqz4_pallas.encode_data_full(
                 data, blk_bits, 1 << win_bits, lz,
-                cap=(1 << blk_bits) + 2048, warm=warm)
+                cap=(1 << blk_bits) + 2048)
+            if not warm:
+                return cold
+            warm_p = sqz4_pallas.encode_data_full(
+                data, blk_bits, 1 << win_bits, lz,
+                cap=(1 << blk_bits) + 2048, warm=True)
+            return _pick_smaller(cold, warm_p)
         tokens = [_tokenize(p, 1 << win_bits, SQZ4_MIN_LEN, SQZ4_MAX_LEN,
-                            reject=True, lz=lz,
-                            dictionary=dictionary if i else b"")
-                  for i, p in enumerate(parts)]
-        seeds = None
-        if warm:
-            seed = sqz4_jax.seed_from_tokens(tokens[0])
-            seeds = [None] + [seed] * (len(parts) - 1)
-        return sqz4_jax.encode_blocks(tokens, blk_bits, seeds=seeds)
+                            reject=True, lz=lz) for p in parts]
+        cold = sqz4_jax.encode_blocks(tokens, blk_bits)
+        if not warm:
+            return cold
+        wtokens = [tokens[0]] + [
+            _tokenize(p, 1 << win_bits, SQZ4_MIN_LEN, SQZ4_MAX_LEN,
+                      reject=True, lz=lz, dictionary=dictionary)
+            for p in parts[1:]]
+        seed = sqz4_jax.seed_from_tokens(tokens[0])
+        seeds = [None] + [seed] * (len(parts) - 1)
+        warm_p = sqz4_jax.encode_blocks(wtokens, blk_bits, seeds=seeds)
+        return _pick_smaller(cold, warm_p)
     else:
         from sqz_tpu import native
         if use_pallas() and native.available():
             from sqz_tpu.ops import sqz4_pallas
             data = b"".join(parts)
-            return sqz4_pallas.squeeze_encode_data(
+            cold = sqz4_pallas.squeeze_encode_data(
+                data, blk_bits, win_bits, cap=(1 << blk_bits) + 4096)
+            if not warm:
+                return cold
+            warm_p = sqz4_pallas.squeeze_encode_data(
                 data, blk_bits, win_bits, cap=(1 << blk_bits) + 4096,
-                warm=warm)
+                warm=True)
+            return _pick_smaller(cold, warm_p)
         from sqz_tpu.ops import squeeze_jax
         tokens = [_tokenize(p, 1 << win_bits, SQUEEZE_LEN_MIN, SQUEEZE_LEN_MAX,
-                            reject=False, lz=True,
-                            dictionary=dictionary if i else b"")
-                  for i, p in enumerate(parts)]
-        return squeeze_jax.encode_blocks(tokens, blk_bits,
-                                         warm_from_first=warm)
+                            reject=False, lz=True) for p in parts]
+        cold = squeeze_jax.encode_blocks(tokens, blk_bits)
+        if not warm:
+            return cold
+        wtokens = [tokens[0]] + [
+            _tokenize(p, 1 << win_bits, SQUEEZE_LEN_MIN, SQUEEZE_LEN_MAX,
+                      reject=False, lz=True, dictionary=dictionary)
+            for p in parts[1:]]
+        warm_p = squeeze_jax.encode_blocks(wtokens, blk_bits,
+                                           warm_from_first=True)
+        return _pick_smaller(cold, warm_p)
 
 
 def decompress_blocks(payloads: Sequence[bytes], sizes: Sequence[int],
-                      fmt, warm: bool = False, win_bits: int = 15) -> bytes:
+                      fmt, fresh_mask=None, win_bits: int = 15) -> bytes:
+    """``fresh_mask`` (sqzt v2, FORMAT.md §3.1): per-block fresh/warm
+    choice; None = cold container. Warm blocks decode seeded from block 0
+    (decoded host-side first); fresh blocks decode cold — the two sets run
+    as separate device batches."""
     from sqz_tpu.api import Format, _warm_dictionary
     from sqz_tpu import native
     blk_bits = max(max(s - 1 for s in sizes), 1).bit_length()
-    warm = warm and len(payloads) > 1
+    warm = (fresh_mask is not None and len(payloads) > 1
+            and not all(fresh_mask))
     if fmt is Format.SQZ4:
-        seed, dictionary, head = None, b"", []
-        if warm:
-            # block 0 decodes fresh on the host, re-deriving the seed and
-            # shared dictionary for the device decode of blocks 1+
-            # (FORMAT.md §3.1)
-            if native.available():
-                blk0, seed = native.sqz4_decompress_payload(
-                    payloads[0], sizes[0], return_state=True)
-            else:
-                from sqz_tpu.oracle.sqz4 import sqz4_decode_payload
-                blk0, seed = sqz4_decode_payload(payloads[0], sizes[0],
-                                                 return_state=True)
-            dictionary = _warm_dictionary(blk0, win_bits)
-            head = [blk0]
-            payloads, sizes = payloads[1:], sizes[1:]
-        if use_pallas():
-            from sqz_tpu.ops import sqz4_pallas
-            blocks = sqz4_pallas.decode_groups(payloads, list(sizes),
-                                               blk_bits, seed=seed,
-                                               dictionary=dictionary)
-        else:
+        def decode_batch(pls, szs, seed=None, dictionary=b""):
+            if not pls:
+                return []
+            if use_pallas():
+                from sqz_tpu.ops import sqz4_pallas
+                return sqz4_pallas.decode_groups(
+                    pls, list(szs), blk_bits, seed=seed,
+                    dictionary=dictionary)
             from sqz_tpu.ops import sqz4_jax
-            blocks = sqz4_jax.decode_blocks(payloads, list(sizes), blk_bits,
-                                            seed=seed, dictionary=dictionary)
-        return b"".join(head + list(blocks))
+            return sqz4_jax.decode_blocks(pls, list(szs), blk_bits,
+                                          seed=seed, dictionary=dictionary)
+
+        if not warm:
+            return b"".join(decode_batch(list(payloads), sizes))
+        if native.available():
+            blk0, seed = native.sqz4_decompress_payload(
+                payloads[0], sizes[0], return_state=True)
+        else:
+            from sqz_tpu.oracle.sqz4 import sqz4_decode_payload
+            blk0, seed = sqz4_decode_payload(payloads[0], sizes[0],
+                                             return_state=True)
+        dictionary = _warm_dictionary(blk0, win_bits)
+        cold_idx = [b for b in range(1, len(payloads)) if fresh_mask[b]]
+        warm_idx = [b for b in range(1, len(payloads)) if not fresh_mask[b]]
+        outs = [None] * len(payloads)
+        outs[0] = blk0
+        for idx, batch in ((cold_idx, decode_batch(
+                [payloads[b] for b in cold_idx],
+                [sizes[b] for b in cold_idx])),
+                           (warm_idx, decode_batch(
+                [payloads[b] for b in warm_idx],
+                [sizes[b] for b in warm_idx], seed, dictionary))):
+            for b, blk in zip(idx, batch):
+                outs[b] = blk
+        return b"".join(outs)
     else:
         if use_pallas() and native.available():
             # Adaptive-Huffman decode is pointer-chasing with data-dependent
@@ -135,18 +184,34 @@ def decompress_blocks(payloads: Sequence[bytes], sizes: Sequence[int],
             # the tpu engine runs the threaded native decoder for squeeze
             # payloads and keeps the device scan for CPU meshes.
             return native.blocks_decompress(
-                list(payloads), sum(sizes), 0, blk_bits, warm=warm,
-                win_bits=win_bits)
+                list(payloads), sum(sizes), 0, blk_bits,
+                fresh_mask=fresh_mask if warm else None, win_bits=win_bits)
         from sqz_tpu.ops import squeeze_jax
-        seed, dictionary, head = None, b"", []
-        if warm:
-            from sqz_tpu.oracle.bitstream import BitReader
-            from sqz_tpu.oracle.squeeze import squeeze_decode_payload
-            blk0, seed = squeeze_decode_payload(BitReader(payloads[0]),
-                                                sizes[0], return_state=True)
-            dictionary = _warm_dictionary(blk0, win_bits)
-            head = [blk0]
-            payloads, sizes = payloads[1:], sizes[1:]
-        blocks = squeeze_jax.decode_blocks(payloads, list(sizes), blk_bits,
-                                           seed=seed, dictionary=dictionary)
-        return b"".join(head + list(blocks))
+
+        def decode_batch_sq(pls, szs, seed=None, dictionary=b""):
+            if not pls:
+                return []
+            return squeeze_jax.decode_blocks(pls, list(szs), blk_bits,
+                                             seed=seed,
+                                             dictionary=dictionary)
+
+        if not warm:
+            return b"".join(decode_batch_sq(list(payloads), sizes))
+        from sqz_tpu.oracle.bitstream import BitReader
+        from sqz_tpu.oracle.squeeze import squeeze_decode_payload
+        blk0, seed = squeeze_decode_payload(BitReader(payloads[0]),
+                                            sizes[0], return_state=True)
+        dictionary = _warm_dictionary(blk0, win_bits)
+        cold_idx = [b for b in range(1, len(payloads)) if fresh_mask[b]]
+        warm_idx = [b for b in range(1, len(payloads)) if not fresh_mask[b]]
+        outs = [None] * len(payloads)
+        outs[0] = blk0
+        for b, blk in zip(cold_idx, decode_batch_sq(
+                [payloads[b] for b in cold_idx],
+                [sizes[b] for b in cold_idx])):
+            outs[b] = blk
+        for b, blk in zip(warm_idx, decode_batch_sq(
+                [payloads[b] for b in warm_idx],
+                [sizes[b] for b in warm_idx], seed, dictionary)):
+            outs[b] = blk
+        return b"".join(outs)

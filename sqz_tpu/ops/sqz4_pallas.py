@@ -741,6 +741,10 @@ def encode_data_full(data: bytes, blk_bits: int, window: int, lz: bool,
         mw, sw, mx = native.sqz4_plan_pack(data, window, blk_bits, lz,
                                            lanes, tp_cap)
     rows = -(-int(mx) // (4 * tc)) * tc        # used word rows, tc-aligned
+    if warm:
+        # warm-seeded models can EXPAND a block whose content mismatches
+        # block 0 (e.g. text seed, incompressible block) — give headroom
+        cap = cap + bs // 4
     cap_words = (-(-(cap + 3) // 4) + 31) // 32 * 32
     if warm:
         seed_tab = _enc_seed_table(seed, mw.shape[0], lanes, fresh_lane0=True)
@@ -754,7 +758,19 @@ def encode_data_full(data: bytes, blk_bits: int, window: int, lz: bool,
                                           blk_bits >= 15)
     lens = np.asarray(lens)
     if int(lens[:, 0].max(initial=0)) > cap_words * 4:
-        raise ValueError("compressed block exceeded the output capacity")
+        if not warm:
+            raise ValueError("compressed block exceeded the output capacity")
+        # pathological expansion (adversarially seed-mismatched blocks):
+        # redo just the overflowed blocks on the host, seeded identically
+        payloads = unpack_group_payloads(np.asarray(words), lens, NB)
+        flat = lens[:, 0].reshape(-1)[:NB]
+        dictionary = data[:bs][-window:] if lz else b""
+        for b in np.nonzero(flat > cap_words * 4)[0]:
+            blk = data[b * bs:(b + 1) * bs]
+            payloads[b] = native.sqz4_compress_payload(
+                blk, window, lz=lz, seed=seed if b else None,
+                dictionary=dictionary if b else b"")
+        return payloads
     return unpack_group_payloads(np.asarray(words), lens, NB)
 
 
@@ -1643,10 +1659,35 @@ def decode_groups(payloads, sizes, blk_bits: int, interpret: bool = False,
         slots = 2 if (not interpret and blk_bits <= 14) else 1
     NB = len(payloads)
     bs = 1 << blk_bits
-    G = -(-NB // lanes)
-    G = -(-G // slots) * slots
     cap = bs + 4096
     Pw = -(-cap // 4 + 31) // 32 * 32
+    # warm-expanded payloads past the kernel's stream buffer (possible when
+    # a block's content mismatches the block-0 seed) decode on the host —
+    # they are rare and pathological, and growing Pw for them would blow
+    # the VMEM budget for everyone
+    host_out = {}
+    if any(len(p) > 4 * Pw for p in payloads):
+        keep = [b for b, p in enumerate(payloads) if len(p) <= 4 * Pw]
+        for b, p in enumerate(payloads):
+            if len(p) > 4 * Pw:
+                if native.available():
+                    host_out[b] = native.sqz4_decompress_payload(
+                        p, sizes[b], seed=seed, dictionary=dictionary)
+                else:
+                    from sqz_tpu.oracle.sqz4 import sqz4_decode_payload
+                    host_out[b] = sqz4_decode_payload(
+                        p, sizes[b], seed=seed, dictionary=dictionary)
+        sub = decode_groups([payloads[b] for b in keep],
+                            [sizes[b] for b in keep], blk_bits, interpret,
+                            slots, lanes, seed, dictionary) if keep else []
+        outs = [None] * NB
+        for i, b in enumerate(keep):
+            outs[b] = sub[i]
+        for b, v in host_out.items():
+            outs[b] = v
+        return outs
+    G = -(-NB // lanes)
+    G = -(-G // slots) * slots
     # group blocks by compressed size: the while_loop runs until the
     # slowest lane in a group finishes, and step count tracks payload
     # size — sorting keeps stragglers together instead of padding every

@@ -146,6 +146,8 @@ def _read_huffman(br: BitReader, tree: AdaptiveHuffman) -> int:
     bit = br.read_bit()
     while True:
         i = tree.rix[i] if bit else tree.lix[i]
+        if i < 0:  # corrupt path into a missing child (EILSEQ)
+            raise ValueError("corrupt Huffman path (EILSEQ)")
         if tree.lix[i] < 0 and tree.rix[i] < 0:
             break
         bit = br.read_bit()
@@ -188,6 +190,8 @@ def squeeze_decode_payload(br: BitReader, size: int,
                 dist += br.read_bits(int(POS_XB[pi]))
             if not (0 < dist <= len(out)):
                 raise ValueError(f"distance {dist} out of range at {len(out)}")
+            if len(out) + length > size:
+                raise ValueError("output overrun (ERANGE)")
             # overlapped copy is byte-serial by definition (squeeze.h:535-539)
             for _ in range(length):
                 out.append(out[-dist])

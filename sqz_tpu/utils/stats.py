@@ -66,6 +66,57 @@ class TokenStats:
         return "\n".join(lines)
 
 
+def sqz4_model_report(tokens: Iterable) -> str:
+    """Per-model Shannon entropies of the 36 live sqz4 models plus the
+    dist-bit sum — the full SQUEEZE_MAP_STATS breadth (src/sqz.c:744-790).
+    Model final freqs = init + per-op update counts, derived directly from
+    the token stream (updates are +1 per coded symbol)."""
+    lit = np.ones(2, np.int64)
+    size = np.ones(256, np.int64)
+    byte = np.ones(256, np.int64)
+    bits = np.ones(32, np.int64)
+    dist = np.ones((32, 2), np.int64)
+    for tok in tokens:
+        if tok[0] == "lit":
+            lit[1] += 1
+            byte[tok[1]] += 1
+        else:
+            _, length, d = tok
+            lit[0] += 1
+            size[length] += 1
+            nb = int(d).bit_length()
+            bits[nb] += 1
+            for b in range(nb - 1):
+                dist[b, (d >> b) & 1] += 1
+    lit[0] += 1       # EOS flag
+    size[0xFF] += 1   # EOS size symbol
+    dent = [shannon_entropy(dist[b]) for b in range(32)]
+    # reference prints every dist model then their sum (src/sqz.c:744-790)
+    upto = 1 + max([b for b in range(32) if dent[b] > 0], default=0)
+    parts = " ".join(f"{dent[b]:.2f}" for b in range(upto))
+    return ("entropies: lit: {:.2f} byte: {:.2f} size: {:.2f} bits: {:.2f} "
+            "dist bits: {} sum: {:.2f}").format(
+        shannon_entropy(lit), shannon_entropy(byte),
+        shannon_entropy(size), shannon_entropy(bits),
+        parts, sum(dent))
+
+
+def count_rejections(data: bytes, window: int) -> int:
+    """Matches demoted to literals by the sqz4 short-far rule
+    (src/sqz.c:678-685) — the reference's `rejections` counter."""
+    from sqz_tpu import native
+    if not native.available():
+        return -1
+    toks = native.tokenize(data, window, 2, 254, reject_short_far=False)
+    n = 0
+    pos = 0
+    for k, a, b in toks:
+        if k == 1 and a <= 3 and int(b).bit_length() > 3:
+            n += 1
+        pos += a if k == 1 else 1
+    return n
+
+
 def analyze_tokens(tokens: Iterable) -> TokenStats:
     st = TokenStats()
     for tok in tokens:

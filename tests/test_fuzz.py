@@ -1,0 +1,149 @@
+"""Structured decoder fuzzing with cross-engine agreement (FORMAT.md §4).
+
+Thousands of seeded mutations — bit flips, byte substitutions, truncations,
+extensions, splices, forged container length tables — against both formats.
+The policy under test: every engine must agree on every corrupt stream —
+either all reject, or all produce identical bytes. Divergent acceptance
+between the scalar oracle, the native runtime, and the device formulations
+(e.g. via the device's f32-estimate division) is exactly the bug class this
+hunts; the decoders' validation points mirror the reference
+(src/sqz.c:811-834, squeeze.h:449-451).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+import sqz_tpu
+from sqz_tpu import native
+from sqz_tpu.oracle.bitstream import BitReader
+from sqz_tpu.oracle.squeeze import squeeze_decode_payload
+from sqz_tpu.oracle.sqz4 import sqz4_decode_payload
+from sqz_tpu.utils.corpus import load
+
+pytestmark = pytest.mark.skipif(not native.available(),
+                                reason="native runtime unavailable")
+
+DATA = load("laozi.txt")[:2048]
+SIZE = len(DATA)
+
+
+def _decode(fmt: str, engine: str, payload: bytes):
+    """Returns ('ok', bytes) or ('err', None) — never raises."""
+    try:
+        if fmt == "sqz4":
+            if engine == "oracle":
+                out = sqz4_decode_payload(payload, SIZE)
+            elif engine == "native":
+                out = native.sqz4_decompress_payload(payload, SIZE)
+            else:
+                from sqz_tpu.ops import sqz4_jax
+                out = sqz4_jax.decode_blocks([payload], [SIZE], 11)[0]
+        else:
+            if engine == "oracle":
+                out = squeeze_decode_payload(BitReader(payload), SIZE)
+            elif engine == "native":
+                out = native.squeeze_decompress_payload(payload, SIZE)
+            else:
+                from sqz_tpu.ops import squeeze_jax
+                out = squeeze_jax.decode_blocks([payload], [SIZE], 11)[0]
+        return ("ok", out)
+    except Exception:
+        return ("err", None)
+
+
+def _mutants(payload: bytes, rng: np.random.Generator, n: int):
+    """Seeded structured mutations of one payload."""
+    p = np.frombuffer(payload, dtype=np.uint8).copy()
+    for _ in range(n):
+        kind = rng.integers(0, 5)
+        m = p.copy()
+        if kind == 0:      # single bit flip
+            i = int(rng.integers(0, len(m)))
+            m[i] ^= np.uint8(1 << int(rng.integers(0, 8)))
+        elif kind == 1:    # byte substitution burst
+            i = int(rng.integers(0, len(m)))
+            w = int(rng.integers(1, 5))
+            m[i:i + w] = rng.integers(0, 256, size=len(m[i:i + w]))
+        elif kind == 2:    # truncation
+            m = m[:int(rng.integers(0, len(m)))]
+        elif kind == 3:    # extension with junk
+            m = np.concatenate(
+                [m, rng.integers(0, 256, size=int(rng.integers(1, 64)),
+                                 dtype=np.uint8).astype(np.uint8)])
+        else:              # splice: move a chunk elsewhere
+            if len(m) > 16:
+                a = int(rng.integers(0, len(m) - 8))
+                b = int(rng.integers(0, len(m) - 8))
+                w = int(rng.integers(4, 9))
+                m[a:a + w] = p[b:b + w]
+        yield m.tobytes()
+
+
+@pytest.mark.parametrize("fmt", ["sqz4", "squeeze"])
+def test_fuzz_oracle_native_agree(fmt):
+    """500 mutations per format: oracle and native must reject-or-produce
+    identically (the full cross-engine acceptance policy)."""
+    payload = (native.sqz4_compress_payload(DATA, 1 << 11) if fmt == "sqz4"
+               else native.squeeze_compress_payload(DATA, 11))
+    rng = np.random.default_rng(0xC0FFEE)
+    diverged = []
+    for i, mut in enumerate(_mutants(payload, rng, 500)):
+        so, out_o = _decode(fmt, "oracle", mut)
+        sn, out_n = _decode(fmt, "native", mut)
+        if (so, out_o) != (sn, out_n):
+            diverged.append((i, so, sn))
+    assert not diverged, f"{fmt}: oracle/native diverged on {diverged[:5]}"
+
+
+@pytest.mark.parametrize("fmt", ["sqz4", "squeeze"])
+def test_fuzz_device_scan_agrees(fmt):
+    """A subsample through the device (XLA scan) decoder: where the host
+    engines accept, the device must produce the same bytes; where they
+    reject, the device must not silently return the original data."""
+    payload = (native.sqz4_compress_payload(DATA, 1 << 11) if fmt == "sqz4"
+               else native.squeeze_compress_payload(DATA, 11))
+    rng = np.random.default_rng(0xFEED)
+    checked = 0
+    for mut in _mutants(payload, rng, 60):
+        sn, out_n = _decode(fmt, "native", mut)
+        sd, out_d = _decode(fmt, "device", mut)
+        if sn == "ok":
+            assert sd == "ok" and out_d == out_n, "device rejects valid-ish"
+        else:
+            # the device may *detect* corruption at a different token (its
+            # validation points match, but a mutated stream can decode to
+            # a same-length token sequence); it must never silently yield
+            # the pristine data
+            assert not (sd == "ok" and out_d == DATA), \
+                "device accepted a stream the host rejected, as original"
+        checked += 1
+    assert checked == 60
+
+
+def test_fuzz_container_forgery():
+    """Forged sqzt length tables / flags: never a silent wrong answer."""
+    blob = sqz_tpu.compress(DATA * 4, fmt="sqz4", engine="native",
+                            win_bits=11, blocks=True, blk_bits=11)
+    rng = np.random.default_rng(7)
+    for _ in range(200):
+        m = bytearray(blob)
+        field = rng.integers(0, 4)
+        if field == 0:    # length-table entry
+            off = 32 + 8 * int(rng.integers(0, 4))
+            m[off:off + 8] = int(rng.integers(0, 1 << 20)).to_bytes(8, "little")
+        elif field == 1:  # block count
+            m[24:32] = int(rng.integers(0, 64)).to_bytes(8, "little")
+        elif field == 2:  # original size
+            m[16:24] = int(rng.integers(0, 1 << 20)).to_bytes(8, "little")
+        else:             # flags byte
+            m[11] = int(rng.integers(0, 256))
+        try:
+            out = sqz_tpu.decompress(bytes(m), engine="native")
+        except AssertionError:
+            raise
+        except Exception:
+            continue  # rejection is the expected outcome
+        # acceptance is only legal when the result is actually right
+        assert out == DATA * 4, "silent wrong answer from forged container"

@@ -113,3 +113,62 @@ def test_sqz4_bit_exact_vs_reference(ref_clis, tmp_path, name, data, win_bits):
         f"{name}: stream mismatch (ref {len(ref_blob)}B, ours {len(our_blob)}B)")
     assert sqz4_decompress(ref_blob) == data
     assert _ref_sqz4_decompress(s4, tmp_path, our_blob) == data
+
+
+# --------------------------------------------- full-file corpus parity
+#
+# Every mounted corpus file, whole, against the compiled reference — text,
+# binaries (ELF), and near-incompressible data (BMP) — via the NATIVE
+# engine (the oracle covers the semantics above; full files need native
+# speed; native==oracle is enforced elsewhere per block). The reference's
+# O(n*window) scan makes win_bits=15 cost ~1 min per binary, so win 10
+# coverage is text-only.
+
+def _full_cases():
+    cases = []
+    for p in corpus.available_corpus():
+        cases.append((f"{p.name}_w15", p.name, 15))
+        if p.suffix == ".txt":
+            cases.append((f"{p.name}_w10", p.name, 10))
+    return cases
+
+
+_FULL = _full_cases()
+
+
+@pytest.fixture(scope="session")
+def native_engine():
+    from sqz_tpu import native
+    if not native.available():
+        pytest.skip("native runtime unavailable")
+    return native
+
+
+@pytest.mark.parametrize("name,fname,win_bits",
+                         _FULL, ids=[c[0] for c in _FULL])
+def test_squeeze_full_file_parity(ref_clis, tmp_path, native_engine,
+                                  name, fname, win_bits):
+    sq, _ = ref_clis
+    data = corpus.load(fname)
+    ref_blob = _ref_squeeze_compress(sq, tmp_path, data, win_bits)
+    our_blob = native_engine.squeeze_compress(data, win_bits=win_bits)
+    assert our_blob == ref_blob, (
+        f"{name}: stream mismatch (ref {len(ref_blob)}B, "
+        f"ours {len(our_blob)}B)")
+    assert native_engine.squeeze_decompress(ref_blob) == data
+    assert _ref_squeeze_decompress(sq, tmp_path, our_blob) == data
+
+
+@pytest.mark.parametrize("name,fname,win_bits",
+                         _FULL, ids=[c[0] for c in _FULL])
+def test_sqz4_full_file_parity(ref_clis, tmp_path, native_engine,
+                               name, fname, win_bits):
+    _, s4 = ref_clis
+    data = corpus.load(fname)
+    ref_blob = _ref_sqz4_compress(s4, tmp_path, data)
+    our_blob = native_engine.sqz4_compress(data, lz=False)
+    assert our_blob == ref_blob, (
+        f"{name}: stream mismatch (ref {len(ref_blob)}B, "
+        f"ours {len(our_blob)}B)")
+    assert native_engine.sqz4_decompress(ref_blob) == data
+    assert _ref_sqz4_decompress(s4, tmp_path, our_blob) == data

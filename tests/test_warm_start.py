@@ -7,6 +7,7 @@ measured ≤0.5% of the whole-file stream size on the reference corpus —
 and (d) reject tampering like any other container.
 """
 
+import numpy as np
 import pytest
 
 import sqz_tpu
@@ -120,22 +121,49 @@ def test_warm_tpu_engine_matches_native(fmt):
 
 
 def test_warm_pallas_kernels_interpret():
-    """The seeded Mosaic kernels (interpret mode off-TPU): encode matches
-    the native warm payloads; decode reproduces the data via the shared
-    dictionary."""
+    """The seeded Mosaic kernels (interpret mode off-TPU): the all-seeded
+    encode pass matches per-block seeded native encodes; decode reproduces
+    the data via the shared dictionary."""
     from sqz_tpu.api import _warm_dictionary
     from sqz_tpu.ops import sqz4_pallas as sp
     data = _load("laozi.txt", 3072)
-    payloads = native.blocks_compress(data, 1, 10, 10, warm=True)
     got = sp.encode_data_full(data, 10, 1 << 10, True, cap=(1 << 10) + 2048,
                               lanes=128, warm=True, interpret=True)
-    assert got == payloads
-    blk0, seed = native.sqz4_decompress_payload(payloads[0], 1024,
+    blk0, seed = native.sqz4_decompress_payload(got[0], 1024,
                                                 return_state=True)
+    assert blk0 == data[:1024]
     dictionary = _warm_dictionary(blk0, 10)
-    outs = sp.decode_groups(payloads[1:], [1024, 1024], 10, interpret=True,
+    for b in (1, 2):
+        want = native.sqz4_compress_payload(
+            data[b * 1024:(b + 1) * 1024], 1 << 10, seed=seed,
+            dictionary=dictionary)
+        assert got[b] == want, f"block {b} seeded encode mismatch"
+    outs = sp.decode_groups(got[1:], [1024, 1024], 10, interpret=True,
                             seed=seed, dictionary=dictionary)
     assert blk0 + b"".join(outs) == data
+
+
+def test_warm_per_block_choice_never_loses():
+    """Mixed content (text block 0, incompressible block 1): the seeded
+    coding would expand block 1, so the fresh bitmap must mark it fresh
+    and the warm container must cost at most the bitmap byte."""
+    rng = np.random.default_rng(11)
+    mix = _load("laozi.txt", 4096) + rng.integers(
+        0, 256, 4096).astype(np.uint8).tobytes()
+    cold = sqz_tpu.compress(mix, fmt="sqz4", engine="native", win_bits=12,
+                            blocks=True, blk_bits=12)
+    warm = sqz_tpu.compress(mix, fmt="sqz4", engine="native", win_bits=12,
+                            blocks=True, blk_bits=12, warm=True)
+    *_, fresh = container.unpack(warm)
+    assert fresh == [True, True]          # seeded coding lost -> fresh kept
+    assert len(warm) <= len(cold) + 1     # bitmap byte only
+    assert sqz_tpu.decompress(warm) == mix
+    # homogeneous data: warm blocks must actually be chosen
+    text = _load("confucius.txt", 16384)
+    wt = sqz_tpu.compress(text, fmt="sqz4", engine="native", win_bits=12,
+                          blocks=True, blk_bits=12, warm=True)
+    *_, fresh_t = container.unpack(wt)
+    assert not all(fresh_t[1:])
 
 
 def test_warm_corrupt_block0_detected():
