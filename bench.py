@@ -89,9 +89,11 @@ def main() -> None:
     cap = bs + 2048
     cap_words = (-(-(cap + 3) // 4) + 31) // 32 * 32
     tc = sp.ENC_TC
-    tp_cap = -(-(5 * bs // 2 + 16) // (4 * tc)) * 4 * tc
+    fused = os.environ.get("SQZ_ENC_FUSED", "1") == "1"
+    dec_fused = os.environ.get("SQZ_DEC_FUSED", "1") == "1"
+    tp_cap = -(-(5 * bs // 2 + 64) // (4 * tc)) * 4 * tc
     mw, sw, mx = native.sqz4_plan_pack(data, window, blk_bits, lz,
-                                       sp.ENC_LANES, tp_cap)
+                                       sp.ENC_LANES, tp_cap, paired=fused)
     rows = -(-int(mx) // (4 * tc)) * tc
     mw = np.ascontiguousarray(mw[:, :rows])
     sw = np.ascontiguousarray(sw[:, :rows])
@@ -103,7 +105,7 @@ def main() -> None:
 
     def run_encode():
         words, lens = sp._encode_full_pallas(mwd, swd, cap_words, sp.ENC_TC,
-                                             False, wide)
+                                             False, wide, fused)
         return np.asarray(lens), words
 
     import contextlib
@@ -124,7 +126,8 @@ def main() -> None:
             t0 = time.perf_counter()
             for _ in range(K):
                 wd, ld = sp._encode_full_pallas(mwd, swd, cap_words,
-                                                sp.ENC_TC, False, wide)
+                                                sp.ENC_TC, False, wide,
+                                                fused)
             np.asarray(ld)                           # fence
             t_enc = min(t_enc, (time.perf_counter() - t0) / K)
     t0 = time.perf_counter()
@@ -170,13 +173,14 @@ def main() -> None:
         if chunked:
             parts_out = [sp._decode_pallas(
                 bufd[g:g + slots], metad[g:g + slots],
-                t_max, lw, tw, mw, False, wide, slots)
+                t_max, lw, tw, mw, False, wide, slots, None, dec_fused)
                 for g in range(0, G, slots)]
             return tuple(
                 jnp.concatenate([c[k] for c in parts_out])
                 for k in range(4))
         return sp._decode_pallas(
-            bufd, metad, t_max, lw, tw, mw, False, wide, slots)
+            bufd, metad, t_max, lw, tw, mw, False, wide, slots, None,
+            dec_fused)
 
     def run_decode():
         lit, tok, mrec, counts = dispatch_decode()

@@ -83,7 +83,7 @@ def _load() -> Optional[ctypes.CDLL]:
                                             u8p, u64]
         lib.sqz4_plan_pack.restype = i64
         lib.sqz4_plan_pack.argtypes = [u8p, u64, u32, i32, i32, u64, u64,
-                                       i32, i32, u32p, u32p, u32p, i64p]
+                                       i32, i32, i32, u32p, u32p, u32p, i64p]
         lib.squeeze_plan_pack.restype = i64
         lib.squeeze_plan_pack.argtypes = [u8p, u64, i32, i32, u64, u64,
                                           i32, i32, u32p]
@@ -425,13 +425,15 @@ def assemble_blocks(tok: np.ndarray, lit: np.ndarray, mrec: np.ndarray,
 
 def sqz4_plan_pack(data: bytes, window: int, blk_bits: int, lz: bool,
                    lanes: int, tp_cap: int, nthreads: int = 0,
-                   warm: bool = False):
+                   warm: bool = False, paired: bool = False):
     """Tokenize + expand + pack the encoder op streams in one threaded pass.
 
     Returns (m_words, s_words [G, tp_cap//4, lanes] u32, max_ops[, seed]).
     With ``warm`` (sqzt v2): blocks 1+ tokenize against block 0's tail
     dictionary and the returned seed (oracle ModelSeed) holds block 0's
-    final rescaled model state for the device tables."""
+    final rescaled model state for the device tables. ``paired``: insert
+    alignment pads so every op pair fits the fused kernel's grammar
+    (256-table ops only in slot 2)."""
     lib = _load()
     n = len(data)
     bs = 1 << blk_bits
@@ -447,7 +449,8 @@ def sqz4_plan_pack(data: bytes, window: int, blk_bits: int, lz: bool,
     i64p = ctypes.POINTER(ctypes.c_int64)
     mx = _check(lib.sqz4_plan_pack(
         _u8(src), n, window, blk_bits, int(lz), lanes, tp_cap, nthreads,
-        int(warm), _u32p(seed_out) if seed_out is not None else None,
+        int(warm), int(paired),
+        _u32p(seed_out) if seed_out is not None else None,
         m_words.ctypes.data_as(u32p), s_words.ctypes.data_as(u32p),
         counts.ctypes.data_as(i64p)))
     if warm:

@@ -1361,7 +1361,8 @@ int64_t sqz_assemble_blocks(const uint32_t* tok, uint64_t tok_stride,
 // (m: 0xFFFFFFFF pad pattern, s: 0). Returns max ops per block or -errno.
 int64_t sqz4_plan_pack(const uint8_t* data, uint64_t n, uint32_t window,
                        int blk_bits, int lz, uint64_t lanes, uint64_t tp_cap,
-                       int nthreads, int warm, uint32_t* seed_out,
+                       int nthreads, int warm, int paired,
+                       uint32_t* seed_out,
                        uint32_t* m_words, uint32_t* s_words,
                        int64_t* op_counts) {
     const uint64_t bs = 1ull << blk_bits;
@@ -1426,6 +1427,13 @@ int64_t sqz4_plan_pack(const uint8_t* data, uint64_t n, uint32_t window,
                                 ms.push_back(static_cast<uint8_t>(4 + k));
                                 ss.push_back(d & 1);
                                 d >>= 1;
+                            }
+                            // paired grammar (fused kernel): a match spans
+                            // nbits+2 ops — one pad realigns odd spans so
+                            // slot 2 of every pair is the only slot that
+                            // can hold a byte/size (256-table) op
+                            if (paired && (nbits & 1)) {
+                                ms.push_back(255); ss.push_back(0);
                             }
                             for (uint32_t k = 0; k < mlen; k++) mf.insert(i + k);
                             i += mlen;

@@ -437,7 +437,7 @@ MOP_PAD = 255
 
 
 def _encode_full_kernel(m_ref, s_ref, *refs, wide: bool = False,
-                        seeded: bool = False):
+                        seeded: bool = False, fused: bool = False):
     """Self-contained encoder: model tables live on the device, the input is
     the packed (model, symbol) micro-op stream (1 byte each) — no
     host-precomputed statistics. Grid (G, NT) streams T-chunks; tables and
@@ -587,8 +587,131 @@ def _encode_full_kernel(m_ref, s_ref, *refs, wide: bool = False,
 
         return lh, ll, rh, rl, ocnt, wpos, ob0, ob1, ob2
 
+    def stepf(i, carry):
+        """Fused pair step (requires a plan_pack(paired=True) stream):
+        ops 2i and 2i+1 per iteration — slot 1 holds only the cheap
+        models (flag / bits / dist / flush / pad), slot 2 uniquely holds
+        256-table ops (byte / size / dist / flush / pad), so the 256-row
+        extract + suffix-update machinery runs once per PAIR."""
+        lh, ll, rh, rl, ocnt, wpos, ob0, ob1, ob2 = carry
+        j = i << 1
+        sh1 = ((3 - (j & 3)) << 3).astype(U32)
+        sh2 = ((2 - (j & 3)) << 3).astype(U32)
+        mword = m_ref[0, pl.ds(j >> 2, 1), :]
+        sword = s_ref[0, pl.ds(j >> 2, 1), :]
+        m1 = u2i((mword >> sh1) & 0xFF)
+        sym1 = u2i((sword >> sh1) & 0xFF)
+        m2 = u2i((mword >> sh2) & 0xFF)
+        sym2 = u2i((sword >> sh2) & 0xFF)
+
+        # ------------- slot 1: flag | bits | dist | flush | pad
+        is_flag = m1 == 0
+        is_bits = m1 == 3
+        is_dist1 = (m1 >= 4) & (m1 < 36)
+        bitp1 = jnp.where(is_dist1, m1 - 4, _i(0))
+        flush1 = m1 == MOP_FLUSH
+        active1 = m1 < 36
+
+        bt = bits_ref[0:32, :]
+        oh32_at = iota32 == sym1
+        oh32_lt = iota32 == (sym1 - 1)
+        at32 = jnp.sum(jnp.where(oh32_at, bt, _i(0)), axis=0,
+                       keepdims=True, dtype=I32)
+        st32 = jnp.sum(jnp.where(oh32_lt, bt, _i(0)), axis=0,
+                       keepdims=True, dtype=I32)
+        tot32 = bt[31:32, :]
+        lit0 = bits_ref[32:33, :]
+        lit1 = bits_ref[33:34, :]
+        oh_bp1 = iota32 == bitp1
+        f0 = jnp.sum(jnp.where(oh_bp1, d0_ref[...], _i(0)), axis=0,
+                     keepdims=True, dtype=I32)
+        f1 = jnp.sum(jnp.where(oh_bp1, d1_ref[...], _i(0)), axis=0,
+                     keepdims=True, dtype=I32)
+        b0 = jnp.where(is_flag, lit0, f0)
+        b1 = jnp.where(is_flag, lit1, f1)
+        start1 = jnp.where(is_bits, st32,
+                           jnp.where(sym1 == 1, b0, _i(0)))
+        size1 = jnp.where(is_bits, at32 - st32,
+                          jnp.where(sym1 == 1, b1, b0))
+        total1 = jnp.where(is_bits, tot32, b0 + b1)
+
+        bits_ref[0:32, :] = bt + jnp.where(
+            is_bits & (iota32 >= sym1), _i(1), _i(0))
+        bits_ref[32:33, :] = lit0 + jnp.where(
+            is_flag & (sym1 == 0), _i(1), _i(0))
+        bits_ref[33:34, :] = lit1 + jnp.where(
+            is_flag & (sym1 == 1), _i(1), _i(0))
+
+        lh, ll, rh, rl, pre_h, pre_l, cnt = _enc_coder_step(
+            active1, flush1, i2u(start1), i2u(size1), i2u(total1),
+            lh, ll, rh, rl, wide)
+        ocnt, wpos, ob0, ob1, ob2 = _enc_append(
+            stage_ref, iota64, cnt, pre_h, pre_l, ocnt, wpos, ob0, ob1, ob2)
+
+        # ------------- slot 2: byte | size | dist | flush | pad
+        is_size = m2 == 1
+        is_byte = m2 == 2
+        is_dist2 = (m2 >= 4) & (m2 < 36)
+        bitp2 = jnp.where(is_dist2, m2 - 4, _i(0))
+        flush2 = m2 == MOP_FLUSH
+        active2 = m2 < 36
+        is256 = is_byte | is_size
+
+        tab256 = jnp.where(is_byte, cb_ref[...], cs_ref[...])
+        oh_at = iota256 == sym2
+        oh_lt = iota256 == (sym2 - 1)
+        at256 = jnp.sum(jnp.where(oh_at, tab256, _i(0)), axis=0,
+                        keepdims=True, dtype=I32)
+        st256 = jnp.sum(jnp.where(oh_lt, tab256, _i(0)), axis=0,
+                        keepdims=True, dtype=I32)
+        tot256 = tab256[255:256, :]
+        oh_bp2 = iota32 == bitp2
+        f0b = jnp.sum(jnp.where(oh_bp2, d0_ref[...], _i(0)), axis=0,
+                      keepdims=True, dtype=I32)
+        f1b = jnp.sum(jnp.where(oh_bp2, d1_ref[...], _i(0)), axis=0,
+                      keepdims=True, dtype=I32)
+        start2 = jnp.where(is256, st256,
+                           jnp.where(sym2 == 1, f0b, _i(0)))
+        size2 = jnp.where(is256, at256 - st256,
+                          jnp.where(sym2 == 1, f1b, f0b))
+        total2 = jnp.where(is256, tot256, f0b + f1b)
+
+        cb_ref[...] = cb_ref[...] + jnp.where(
+            is_byte & (iota256 >= sym2), _i(1), _i(0))
+        cs_ref[...] = cs_ref[...] + jnp.where(
+            is_size & (iota256 >= sym2), _i(1), _i(0))
+        # both slots' distance-bit updates in one RMW per table
+        d0_ref[...] = (d0_ref[...]
+                       + jnp.where(oh_bp1 & is_dist1 & (sym1 == 0),
+                                   _i(1), _i(0))
+                       + jnp.where(oh_bp2 & is_dist2 & (sym2 == 0),
+                                   _i(1), _i(0)))
+        d1_ref[...] = (d1_ref[...]
+                       + jnp.where(oh_bp1 & is_dist1 & (sym1 == 1),
+                                   _i(1), _i(0))
+                       + jnp.where(oh_bp2 & is_dist2 & (sym2 == 1),
+                                   _i(1), _i(0)))
+
+        lh, ll, rh, rl, pre_h, pre_l, cnt = _enc_coder_step(
+            active2, flush2, i2u(start2), i2u(size2), i2u(total2),
+            lh, ll, rh, rl, wide)
+        ocnt, wpos, ob0, ob1, ob2 = _enc_append(
+            stage_ref, iota64, cnt, pre_h, pre_l, ocnt, wpos, ob0, ob1, ob2)
+
+        maxgap = jnp.max(u2i(wpos) - u2i(regs_ref[6:7, :]))
+
+        @pl.when(maxgap >= jnp.int32(40))
+        def _():
+            flush_rounds(wpos, force=False)
+
+        return lh, ll, rh, rl, ocnt, wpos, ob0, ob1, ob2
+
     carry0 = tuple(regs_ref[i:i + 1, :] for i in (0, 1, 2, 3, 4, 5, 7, 8, 9))
-    carry = jax.lax.fori_loop(jnp.int32(0), jnp.int32(TC), step, carry0)
+    if fused:
+        carry = jax.lax.fori_loop(jnp.int32(0), jnp.int32(TC // 2), stepf,
+                                  carry0)
+    else:
+        carry = jax.lax.fori_loop(jnp.int32(0), jnp.int32(TC), step, carry0)
     lh, ll, rh, rl, ocnt, wpos, ob0, ob1, ob2 = carry
     for i, v in zip((0, 1, 2, 3, 4, 5, 7, 8, 9),
                     (lh, ll, rh, rl, ocnt, wpos, ob0, ob1, ob2)):
@@ -608,7 +731,8 @@ SEED_ROWS = 640          # 610 used rows (FORMAT.md §3.1 layout), 8-aligned
 
 
 def _encode_full_pallas_call(m_ops, s_ops, seed_tab, cap_words: int, tc: int,
-                             interpret: bool, wide: bool):
+                             interpret: bool, wide: bool,
+                             fused: bool = False):
     G, TW, B = m_ops.shape
     T = TW * 4
     seeded = seed_tab is not None
@@ -624,7 +748,7 @@ def _encode_full_pallas_call(m_ops, s_ops, seed_tab, cap_words: int, tc: int,
                                      memory_space=pltpu.VMEM))
         operands.append(seed_tab)
     return pl.pallas_call(
-        partial(_encode_full_kernel, wide=wide, seeded=seeded),
+        partial(_encode_full_kernel, wide=wide, seeded=seeded, fused=fused),
         grid=(G, T // tc),
         in_specs=in_specs,
         out_specs=(
@@ -652,21 +776,25 @@ def _encode_full_pallas_call(m_ops, s_ops, seed_tab, cap_words: int, tc: int,
     )(*operands)
 
 
-@partial(jax.jit, static_argnames=("cap_words", "tc", "interpret", "wide"))
+@partial(jax.jit, static_argnames=("cap_words", "tc", "interpret", "wide",
+                                   "fused"))
 def _encode_full_pallas(m_ops, s_ops, cap_words: int, tc: int = ENC_TC,
-                        interpret: bool = False, wide: bool = False):
-    """m_ops/s_ops: [G, T/4, B] u32 (4 big-endian-packed u8 ops per word)."""
+                        interpret: bool = False, wide: bool = False,
+                        fused: bool = False):
+    """m_ops/s_ops: [G, T/4, B] u32 (4 big-endian-packed u8 ops per word).
+    ``fused`` requires a paired op stream (plan_pack(paired=True))."""
     return _encode_full_pallas_call(m_ops, s_ops, None, cap_words, tc,
-                                    interpret, wide)
+                                    interpret, wide, fused)
 
 
-@partial(jax.jit, static_argnames=("cap_words", "tc", "interpret"))
+@partial(jax.jit, static_argnames=("cap_words", "tc", "interpret", "fused"))
 def _encode_full_pallas_seeded(m_ops, s_ops, seed_tab, cap_words: int,
-                               tc: int = ENC_TC, interpret: bool = False):
+                               tc: int = ENC_TC, interpret: bool = False,
+                               fused: bool = False):
     """Seeded (warm) variant; always uses the wide divider — warm model
     totals reach seed(<=2^14) + block updates, past the 2^15 narrow bound."""
     return _encode_full_pallas_call(m_ops, s_ops, seed_tab, cap_words, tc,
-                                    interpret, True)
+                                    interpret, True, fused)
 
 
 def _enc_seed_table(seed, G: int, B: int, fresh_lane0: bool) -> np.ndarray:
@@ -733,13 +861,16 @@ def encode_data_full(data: bytes, blk_bits: int, window: int, lz: bool,
     bs = 1 << blk_bits
     NB = max(1, -(-len(data) // bs))
     warm = warm and NB > 1
-    tp_cap = -(-(5 * bs // 2 + 16) // (4 * tc)) * 4 * tc
+    fused = os.environ.get("SQZ_ENC_FUSED", "1") == "1"
+    # paired streams add <= 1 pad per match; 5/2 ops-per-byte covers it
+    tp_cap = -(-(5 * bs // 2 + 64) // (4 * tc)) * 4 * tc
     if warm:
         mw, sw, mx, seed = native.sqz4_plan_pack(data, window, blk_bits, lz,
-                                                 lanes, tp_cap, warm=True)
+                                                 lanes, tp_cap, warm=True,
+                                                 paired=fused)
     else:
         mw, sw, mx = native.sqz4_plan_pack(data, window, blk_bits, lz,
-                                           lanes, tp_cap)
+                                           lanes, tp_cap, paired=fused)
     rows = -(-int(mx) // (4 * tc)) * tc        # used word rows, tc-aligned
     if warm:
         # warm-seeded models can EXPAND a block whose content mismatches
@@ -750,12 +881,12 @@ def encode_data_full(data: bytes, blk_bits: int, window: int, lz: bool,
         seed_tab = _enc_seed_table(seed, mw.shape[0], lanes, fresh_lane0=True)
         words, lens = _encode_full_pallas_seeded(
             jnp.asarray(mw[:, :rows]), jnp.asarray(sw[:, :rows]),
-            jnp.asarray(seed_tab), cap_words, tc, interpret)
+            jnp.asarray(seed_tab), cap_words, tc, interpret, fused)
     else:
         words, lens = _encode_full_pallas(jnp.asarray(mw[:, :rows]),
                                           jnp.asarray(sw[:, :rows]),
                                           cap_words, tc, interpret,
-                                          blk_bits >= 15)
+                                          blk_bits >= 15, fused)
     lens = np.asarray(lens)
     if int(lens[:, 0].max(initial=0)) > cap_words * 4:
         if not warm:
@@ -988,7 +1119,7 @@ class _Slot3:
 
 def _decode_kernel(payload_all, meta_all, *rest, t_max: int,
                    wide: bool = False, slots: int = 1,
-                   seeded: bool = False):
+                   seeded: bool = False, fused: bool = False):
     """One grid step decodes LANES blocks in lock-step.
 
     Per-class cumulative-frequency tables (inclusive csum) live in VMEM and
@@ -1450,6 +1581,345 @@ def _decode_kernel(payload_all, meta_all, *rest, t_max: int,
                     optr, nlit, ntok, nmatch, litw, tokw, err,
                     litp, tokp, mrecp)
 
+        def stepf(t, c):
+            """Fused pair step: TWO coder ops per iteration.
+
+            Grammar (the whole point): op1 only ever decodes the CHEAP
+            models — flag (scalar rows), bits (32-row table), dist
+            (binary) — and op2 is the unique slot that may touch the
+            256-row byte/size tables (or another dist bit, or idles when
+            op1 completed a token). Pairs: (flag,byte) = one literal,
+            (flag,size) match head / EOS, (bits,dist0), (dist,dist),
+            (bits|dist-final, idle). The expensive 256-row passes thus run
+            once per pair instead of once per micro-op, and the fixed
+            per-iteration overhead (ring checks, loop) halves.
+            """
+            (ch, cl, lh, ll, rh, rl, la0, la1, la2, la3, lav,
+             state, rpos, psize, pbits, pdist, bitpos,
+             optr, nlit, ntok, nmatch, litw, tokw, err,
+             litp, tokp, mrecp) = c
+            la = (la0, la1, la2, la3)
+
+            def rc_front(total, act, ch, cl, lh, ll, rh, rl, la, lav, rpos):
+                """Underflow escape + divide + cum for one coder op."""
+                tot_u = i2u(jnp.where(act, total, zi + 1))
+                uf = act & (rh == 0) & (rl < tot_u)
+                top2 = la[0] >> 16
+                nch_, ncl_ = shl64(ch, cl, _u(16))
+                ch = jnp.where(uf, nch_ | top2, ch)
+                cl = jnp.where(uf, ncl_, cl)
+                nlh_, nll_ = shl64(lh, ll, _u(16))
+                lh = jnp.where(uf, nlh_, lh)
+                ll = jnp.where(uf, nll_, ll)
+                rh = jnp.where(uf, ~lh, rh)
+                rl = jnp.where(uf, ~ll, rl)
+                la = la_shift(la, jnp.where(uf, _i(2), _i(0)))
+                lav = lav - jnp.where(uf, _i(2), _i(0))
+                rpos = rpos + jnp.where(uf, _i(2), _i(0))
+                rdh, rdl, _ = div64_small(rh, rl, tot_u, wide)
+                dfh, dfl = sub64(ch, cl, lh, ll)
+                rd_f = jnp.maximum(f32_from_u64(rdh, rdl), jnp.float32(1.0))
+                est = (f32_from_u64(dfh, dfl) / rd_f).astype(I32)
+                c0 = jnp.clip(est - 2, zi, total - 1)
+                p0h, p0l = mul_small64(i2u(c0), rdh, rdl)
+                r2h, r2l = shl64(rdh, rdl, _u(1))
+                r3h, r3l = add64(r2h, r2l, rdh, rdl)
+                r4h, r4l = shl64(rdh, rdl, _u(2))
+                cum = c0
+                for kh, kl, k in ((rdh, rdl, 1), (r2h, r2l, 2),
+                                  (r3h, r3l, 3), (r4h, r4l, 4)):
+                    th_, tl_ = add64(p0h, p0l, kh, kl)
+                    take = ((c0 + k) < total) & ~lt64(dfh, dfl, th_, tl_)
+                    cum = jnp.where(take, c0 + k, cum)
+                bh_, bl_ = mul_small64(tot_u, rdh, rdl)
+                bad = act & ~lt64(dfh, dfl, bh_, bl_)
+                return (cum, bad, rdh, rdl,
+                        ch, cl, lh, ll, rh, rl, la, lav, rpos)
+
+            def rc_back(start, size, act, rdh, rdl,
+                        ch, cl, lh, ll, rh, rl, la, lav, rpos):
+                """Coder interval update + renorm consume for one op."""
+                su = i2u(jnp.where(act, start, zi))
+                ah_, al_ = mul_small64(su, rdh, rdl)
+                nlh_, nll_ = add64(lh, ll, ah_, al_)
+                lh = jnp.where(act, nlh_, lh)
+                ll = jnp.where(act, nll_, ll)
+                nrh_, nrl_ = mul_small64(
+                    i2u(jnp.where(act, size, zi + 1)), rdh, rdl)
+                rh = jnp.where(act, nrh_, rh)
+                rl = jnp.where(act, nrl_, rl)
+                sh_h, sh_l = add64(lh, ll, rh, rl)
+                cnt = jnp.where(act,
+                                u2i(clz64(lh ^ sh_h, ll ^ sh_l) >> 3), zi)
+                shift = umin(i2u(cnt) << 3, _u(63))
+                full = cnt >= 8
+                drop = _u(64) - umin(i2u(cnt) << 3, _u(64))
+                th_, tl_ = shr64(la[0], la[1], umin(drop, _u(63)))
+                th_ = jnp.where(cnt == 0, zu, jnp.where(full, la[0], th_))
+                tl_ = jnp.where(cnt == 0, zu, jnp.where(full, la[1], tl_))
+                sch, scl = shl64(ch, cl, shift)
+                ch = jnp.where(full, th_, sch | th_)
+                cl = jnp.where(full, tl_, scl | tl_)
+                slh, sll = shl64(lh, ll, shift)
+                lh = jnp.where(full, zu, slh)
+                ll = jnp.where(full, zu, sll)
+                srh, srl = shl64(rh, rl, shift)
+                rh = jnp.where(full, zu, srh)
+                rl = jnp.where(full, zu, srl)
+                la = la_shift(la, cnt)
+                lav = lav - cnt
+                rpos = rpos + cnt
+                return ch, cl, lh, ll, rh, rl, la, lav, rpos
+
+            # ================= op1: flag | bits | dist ==================
+            act1 = state < ST_DONE
+            o1_flag = state == ST_FLAG
+            o1_bits = state == ST_BITS
+            o1_dist = state == ST_DIST
+
+            tot_bits = jax.lax.shift_right_logical(bits_ref[31:32, :],
+                                                   jnp.int32(6))
+            f01 = _onehot_row(d01_ref, bitpos, 32)
+            f0 = f01 & 0xFFFF
+            f1 = jax.lax.shift_right_logical(f01, jnp.int32(16))
+            lit0 = bases_ref[4:5, :]
+            lit1 = bases_ref[5:6, :]
+            total1 = jnp.where(o1_flag, lit0 + lit1,
+                     jnp.where(o1_bits, tot_bits, f0 + f1))
+            (cum1, bad1, rdh, rdl, ch, cl, lh, ll, rh, rl, la, lav,
+             rpos) = rc_front(total1, act1, ch, cl, lh, ll, rh, rl,
+                              la, lav, rpos)
+
+            tabb = bits_ref[...]
+            le32 = tabb <= cum1 * 64 + 63
+            m32 = jnp.max(jnp.where(le32, tabb, _i(-1)),
+                          axis=0, keepdims=True)
+            at32 = jax.lax.shift_right_logical(
+                jnp.min(jnp.where(le32, jnp.int32(0x7FFFFFFF), tabb),
+                        axis=0, keepdims=True), jnp.int32(6))
+            sym32 = jnp.where(m32 < 0, zi, (m32 & 63) + 1)
+            start32 = jnp.where(
+                m32 < 0, zi,
+                jax.lax.shift_right_logical(m32, jnp.int32(6)))
+            bin0 = jnp.where(o1_flag, lit0, f0)
+            bin1 = jnp.where(o1_flag, lit1, f1)
+            symb = jnp.where(cum1 >= bin0, _i(1), _i(0))
+            startb = jnp.where(symb == 1, bin0, zi)
+            sizeb = jnp.where(symb == 1, bin1, bin0)
+            sym1 = jnp.where(o1_bits, sym32, symb)
+            start1 = jnp.where(o1_bits, start32, startb)
+            size1 = jnp.where(o1_bits, at32 - start32, sizeb)
+            (ch, cl, lh, ll, rh, rl, la, lav, rpos) = rc_back(
+                start1, size1, act1, rdh, rdl,
+                ch, cl, lh, ll, rh, rl, la, lav, rpos)
+
+            # op1 adaptive updates (bits table, flag freqs; dist deferred)
+            bits_ref[...] = tabb + jnp.where(
+                o1_bits & (iota32 >= sym1), _i(64), _i(0))
+            bases_ref[4:5, :] = lit0 + jnp.where(
+                o1_flag & (sym1 == 0), _i(1), _i(0))
+            bases_ref[5:6, :] = lit1 + jnp.where(
+                o1_flag & (sym1 == 1), _i(1), _i(0))
+            d1pos = bitpos
+            d1delta = jnp.where(o1_dist & (sym1 == 0), _i(1),
+                                jnp.where(o1_dist & (sym1 == 1),
+                                          _i(0x10000), zi))
+
+            # transition 1 -> op2 micro-state
+            bad_bits1 = o1_bits & (sym1 == 0)
+            done_b1 = o1_bits & (sym1 == 1)         # nbits==1: dist = 1
+            pbits = jnp.where(o1_bits, sym1, pbits)
+            pdist = jnp.where(o1_bits, zi, pdist)
+            bitpos = jnp.where(o1_bits, zi, bitpos)
+            pdist = jnp.where(o1_dist, pdist | (sym1 << bitpos), pdist)
+            bitpos = bitpos + jnp.where(o1_dist, _i(1), _i(0))
+            done_d1 = o1_dist & (bitpos == pbits - 1)
+            emit1 = act1 & ~bad1 & (done_b1 | done_d1)
+
+            o2_byte = act1 & ~bad1 & o1_flag & (sym1 == 1)
+            o2_size = act1 & ~bad1 & o1_flag & (sym1 == 0)
+            o2_dist = (act1 & ~bad1 & ~bad_bits1
+                       & ((o1_bits & (sym1 > 1))
+                          | (o1_dist & ~done_d1)))
+            act2 = o2_byte | o2_size | o2_dist
+            is256_2 = o2_byte | o2_size
+
+            # mid-pair lookahead refills (op1 consumed <= 10 bytes)
+            la, lav = la_refill(la, lav, rpos)
+            la, lav = la_refill(la, lav, rpos)
+
+            # ================= op2: byte | size | dist | idle ===========
+            if packed:
+                p255 = cb_ref[255:256, :]
+                tot_b = p255 & 0xFFFF
+                tot_s = jax.lax.shift_right_logical(p255, jnp.int32(16))
+            else:
+                tot_b = jax.lax.shift_right_logical(cb_ref[255:256, :],
+                                                    jnp.int32(9))
+                tot_s = jax.lax.shift_right_logical(cs_ref[255:256, :],
+                                                    jnp.int32(9))
+            f01b = _onehot_row(d01_ref, bitpos, 32)
+            # op1's deferred dist update touches row d1pos != bitpos (the
+            # bit position advanced), so reading the table before the merged
+            # update is exact
+            f0b = f01b & 0xFFFF
+            f1b = jax.lax.shift_right_logical(f01b, jnp.int32(16))
+            total2 = jnp.where(o2_byte, tot_b,
+                     jnp.where(o2_size, tot_s, f0b + f1b))
+            (cum2, bad2, rdh2, rdl2, ch, cl, lh, ll, rh, rl, la, lav,
+             rpos) = rc_front(total2, act2, ch, cl, lh, ll, rh, rl,
+                              la, lav, rpos)
+
+            # the pair's single 256-row pass
+            if packed:
+                p = cb_ref[...]
+                tab256 = jnp.where(
+                    o2_byte, p & 0xFFFF,
+                    jax.lax.shift_right_logical(p, jnp.int32(16)))
+                le256 = tab256 <= cum2
+                sym256 = jnp.sum(jnp.where(le256, _i(1), _i(0)), axis=0,
+                                 keepdims=True, dtype=I32)
+                start256 = jnp.max(jnp.where(le256, tab256, _i(0)),
+                                   axis=0, keepdims=True)
+                at256 = jnp.min(jnp.where(le256, jnp.int32(0x7FFFFFFF),
+                                          tab256),
+                                axis=0, keepdims=True)
+            else:
+                tab256 = jnp.where(o2_byte, cb_ref[...], cs_ref[...])
+                le256 = tab256 <= cum2 * 512 + 511
+                m256 = jnp.max(jnp.where(le256, tab256, _i(-1)),
+                               axis=0, keepdims=True)
+                at256 = jax.lax.shift_right_logical(
+                    jnp.min(jnp.where(le256, jnp.int32(0x7FFFFFFF), tab256),
+                            axis=0, keepdims=True), jnp.int32(9))
+                sym256 = jnp.where(m256 < 0, zi, (m256 & 511) + 1)
+                start256 = jnp.where(
+                    m256 < 0, zi,
+                    jax.lax.shift_right_logical(m256, jnp.int32(9)))
+            symb2 = jnp.where(cum2 >= f0b, _i(1), _i(0))
+            sym2 = jnp.where(is256_2, sym256, symb2)
+            start2 = jnp.where(is256_2, start256,
+                               jnp.where(symb2 == 1, f0b, zi))
+            size2 = jnp.where(is256_2, at256 - start256,
+                              jnp.where(symb2 == 1, f1b, f0b))
+            (ch, cl, lh, ll, rh, rl, la, lav, rpos) = rc_back(
+                start2, size2, act2, rdh2, rdl2,
+                ch, cl, lh, ll, rh, rl, la, lav, rpos)
+
+            # op2 adaptive updates + the merged dist update of both ops
+            if packed:
+                delta = jnp.where(o2_byte, _i(1),
+                                  jnp.where(o2_size, _i(0x10000), zi))
+                cb_ref[...] = cb_ref[...] + jnp.where(
+                    iota256 >= sym2, delta, zi)
+            else:
+                cb_ref[...] = cb_ref[...] + jnp.where(
+                    o2_byte & (iota256 >= sym2), _i(512), _i(0))
+                cs_ref[...] = cs_ref[...] + jnp.where(
+                    o2_size & (iota256 >= sym2), _i(512), _i(0))
+            d2delta = jnp.where(o2_dist & (sym2 == 0), _i(1),
+                                jnp.where(o2_dist & (sym2 == 1),
+                                          _i(0x10000), zi))
+            d01_ref[...] = (d01_ref[...]
+                            + jnp.where(iota32 == d1pos, d1delta, zi)
+                            + jnp.where(iota32 == bitpos, d2delta, zi))
+
+            # transition 2 + merged token outputs
+            lit_over = o2_byte & (optr >= sizes)
+            litw = litw | jnp.where(
+                o2_byte, i2u(sym2) << i2u(24 - ((nlit & 3) << 3)), zu)
+            spill_lit = o2_byte & ((nlit & 3) == 3)
+            mask = (iota64 == (litp & 63)) & spill_lit
+            litring_ref[...] = jnp.where(mask, litw, litring_ref[...])
+            litw = jnp.where(spill_lit, zu, litw)
+            litp = litp + jnp.where(spill_lit, _i(1), _i(0))
+            nlit = nlit + jnp.where(o2_byte, _i(1), _i(0))
+            optr = optr + jnp.where(o2_byte, _i(1), _i(0))
+
+            eos = o2_size & (sym2 == 255)
+            bad_size = o2_size & ~eos & ((sym2 < 2) | (sym2 > 254))
+            psize = jnp.where(o2_size & ~eos, sym2, psize)
+
+            pdist = jnp.where(o2_dist, pdist | (sym2 << bitpos), pdist)
+            bitpos = bitpos + jnp.where(o2_dist, _i(1), _i(0))
+            done_d2 = o2_dist & (bitpos == pbits - 1) & ~bad2
+            emit = emit1 | done_d2
+            dist = pdist | jnp.where(
+                emit, jnp.int32(1) << jnp.where(pbits > 0, pbits - 1, zi),
+                zi)
+            bad_dist = emit & (dist > optr + dlen)
+            over = emit & (optr + psize > sizes)
+            emit_ok = emit & ~bad_dist & ~over
+
+            mrec = i2u(psize) << 16 | i2u(dist)
+            mask = (iota64 == (mrecp & 63)) & emit_ok
+            mrecring_ref[...] = jnp.where(mask, mrec, mrecring_ref[...])
+            mrecp = mrecp + jnp.where(emit_ok, _i(1), _i(0))
+            nmatch = nmatch + jnp.where(emit_ok, _i(1), _i(0))
+            optr = optr + jnp.where(emit_ok, psize, zi)
+            tokw = tokw | jnp.where(emit_ok, _u(1) << i2u(ntok & 31), zu)
+            is_tok = o2_byte | emit_ok
+            ntok = ntok + jnp.where(is_tok, _i(1), _i(0))
+            spill_tok = is_tok & ((ntok & 31) == 0)
+            mask = (iota64 == (tokp & 63)) & spill_tok
+            tokring_ref[...] = jnp.where(mask, tokw, tokring_ref[...])
+            tokw = jnp.where(spill_tok, zu, tokw)
+            tokp = tokp + jnp.where(spill_tok, _i(1), _i(0))
+
+            # next state
+            nstate = state
+            nstate = jnp.where(o2_byte, _i(ST_FLAG), nstate)
+            nstate = jnp.where(o2_size,
+                               jnp.where(eos, _i(ST_DONE), _i(ST_BITS)),
+                               nstate)
+            nstate = jnp.where(o2_dist,
+                               jnp.where(done_d2, _i(ST_FLAG), _i(ST_DIST)),
+                               nstate)
+            nstate = jnp.where(emit1, _i(ST_FLAG), nstate)
+
+            newerr = jnp.where(bad1 | bad2, _i(E_ILSEQ),
+                     jnp.where(bad_size, _i(E_SIZE),
+                     jnp.where(bad_bits1, _i(E_BITS),
+                     jnp.where(bad_dist, _i(E_DIST),
+                     jnp.where(lit_over | over, _i(E_OVERRUN), zi)))))
+            err = jnp.where(act1 & (err == 0) & (newerr > 0), newerr, err)
+            nstate = jnp.where(act1 & (newerr > 0), _i(ST_ERR), nstate)
+            state = jnp.where(act1, nstate, state)
+
+            # end-of-pair refills restore lav >= 13
+            la, lav = la_refill(la, lav, rpos)
+            la, lav = la_refill(la, lav, rpos)
+            la, lav = la_refill(la, lav, rpos)
+
+            # window slide + ring retirement checks every 4 pairs (widx
+            # moves <= 6 words/pair: 64 + 24 < 96 window rows; mrec <= 1
+            # per pair: 44 + 4 + 2 < 64 ring rows)
+            widx = (rpos + lav) >> 2
+
+            @pl.when((t & 3) == jnp.int32(0))
+            def _():
+                @pl.when(jnp.max(widx - bases_ref[0:1, :]) >= jnp.int32(64))
+                def _():
+                    s1_refresh(widx)
+
+                @pl.when(jnp.max(litp - bases_ref[1:2, :]) >= jnp.int32(44))
+                def _():
+                    retire(litring_ref, 1, lit_ref, LW, litp, False)
+
+                @pl.when(jnp.max(tokp - bases_ref[2:3, :]) >= jnp.int32(44))
+                def _():
+                    retire(tokring_ref, 2, tok_ref, TW, tokp, False)
+
+                @pl.when(jnp.max(mrecp - bases_ref[3:4, :]) >= jnp.int32(44))
+                def _():
+                    retire(mrecring_ref, 3, mrec_ref, MW, mrecp, False)
+
+            return (ch, cl, lh, ll, rh, rl,
+                    la[0], la[1], la[2], la[3], lav,
+                    state, rpos, psize, pbits, pdist, bitpos,
+                    optr, nlit, ntok, nmatch, litw, tokw, err,
+                    litp, tokp, mrecp)
+
         # ---- prime code with the first 8 stream bytes; fill the lookahead.
         # Every carry initializer derives from a memory load: Mosaic assigns
         # constant vectors a replicated layout it cannot unify with the loop
@@ -1497,7 +1967,7 @@ def _decode_kernel(payload_all, meta_all, *rest, t_max: int,
                                               _i(1), _i(0))
             counts_ref[0, 7:8, :] = state
 
-        return c0, step, drain
+        return c0, (stepf if fused else step), drain
 
 
 
@@ -1524,10 +1994,10 @@ def _decode_kernel(payload_all, meta_all, *rest, t_max: int,
 
 
 @partial(jax.jit, static_argnames=("t_max", "lw", "tw", "mw", "interpret",
-                                   "wide", "slots"))
+                                   "wide", "slots", "fused"))
 def _decode_pallas(payload, meta, t_max: int, lw: int, tw: int,
                    mw: int, interpret: bool = False, wide: bool = False,
-                   slots: int = 1, seed_tab=None):
+                   slots: int = 1, seed_tab=None, fused: bool = False):
     """payload: [G, Pw, B] u32 words (big-endian bytes); meta [G, 8, B] i32
     (row 0 payload lengths, row 1 original sizes, row 2 warm dict length).
     G must be a multiple of `slots`; each kernel instance interleaves
@@ -1556,7 +2026,7 @@ def _decode_pallas(payload, meta, t_max: int, lw: int, tw: int,
         operands.append(seed_tab)
     return pl.pallas_call(
         partial(_decode_kernel, t_max=t_max, wide=wide, slots=S,
-                seeded=seeded),
+                seeded=seeded, fused=fused),
         grid=(G // S,),
         in_specs=in_specs,
         out_specs=(
@@ -1724,6 +2194,7 @@ def decode_groups(payloads, sizes, blk_bits: int, interpret: bool = False,
     vmem_mb = int(os.environ.get("SQZ_DEC_VMEM_MB", "118"))
     grp_mb = (Pw + lw + tw + mw) * 4 * lanes * slots / 2**20
     wide = warm or blk_bits >= 15
+    fused = os.environ.get("SQZ_DEC_FUSED", "1") == "1"
     seed_tab = _dec_seed_table(seed, G, lanes) if warm else None
     if not interpret and G > slots and 2 * grp_mb > vmem_mb:
         # one group already fills VMEM (64 KiB blocks at 512 lanes): a
@@ -1734,7 +2205,7 @@ def decode_groups(payloads, sizes, blk_bits: int, interpret: bool = False,
                                  t_max, lw, tw, mw, interpret,
                                  wide, slots,
                                  jnp.asarray(seed_tab[g:g + slots])
-                                 if warm else None)
+                                 if warm else None, fused)
                   for g in range(0, G, slots)]
         lit, tok, mrec, counts = (
             np.concatenate([np.asarray(c[k]) for c in chunks])
@@ -1743,7 +2214,7 @@ def decode_groups(payloads, sizes, blk_bits: int, interpret: bool = False,
         lit, tok, mrec, counts = _decode_pallas(
             jnp.asarray(buf), jnp.asarray(meta), t_max, lw, tw, mw,
             interpret, wide, slots,
-            jnp.asarray(seed_tab) if warm else None)
+            jnp.asarray(seed_tab) if warm else None, fused)
         lit = np.asarray(lit)
         tok = np.asarray(tok)
         mrec = np.asarray(mrec)

@@ -121,6 +121,34 @@ def test_pallas_full_encoder_and_decoder_roundtrip():
     assert outs == list(datas)
 
 
+def test_pallas_fused_encoder_matches_native(monkeypatch):
+    """The paired-stream fused encoder (two ops per iteration, 256-table
+    work in slot 2 only) must emit byte-identical payloads."""
+    from sqz_tpu import native
+    if not native.available():
+        pytest.skip("native runtime unavailable")
+    monkeypatch.setenv("SQZ_ENC_FUSED", "1")
+    from sqz_tpu.utils.corpus import load
+    data = load("laozi.txt")[:1024]
+    ref = native.blocks_compress(data, 1, 10, 9)    # 2 blocks of 512
+    got = sp.encode_data_full(data, 9, 1 << 10, True, cap=512 + 2048,
+                              lanes=128, interpret=True)
+    assert got == ref
+
+
+@pytest.mark.parametrize("fusedv", ["0", "1"])
+def test_pallas_decoder_fused_modes(monkeypatch, fusedv):
+    """Both decode formulations — per-micro-op and the fused pair step
+    (two coder ops per iteration, one 256-row pass) — must agree."""
+    monkeypatch.setenv("SQZ_DEC_FUSED", fusedv)
+    data = (b"a rose is a rose is a rose\x00\x01" * 12)[:256]
+    payloads = [sqz4_encode_payload(data, 1 << 10, lz=True),
+                sqz4_encode_payload(data[::-1], 1 << 10, lz=True)]
+    outs = sp.decode_groups(payloads, [256, 256], blk_bits=8,
+                            interpret=True)
+    assert outs == [data, data[::-1]]
+
+
 def test_pallas_decoder_wide_tables_roundtrip():
     """The wide-divider path also selects the csum*512+row table layout;
     exercise it on small blocks (the wide divider is exact for any total

@@ -22,6 +22,7 @@ slots_list = [int(x) for x in
               os.environ.get("SQZ_LAB_SLOTS", "1,2,4").split(",")]
 reps = int(os.environ.get("SQZ_LAB_REPS", 6))
 K = int(os.environ.get("SQZ_LAB_K", 4))
+fused = os.environ.get("SQZ_LAB_FUSED", "1") == "1"
 
 import jax
 import jax.numpy as jnp
@@ -39,11 +40,11 @@ parts = [data[o:o + bs] for o in range(0, len(data), bs)]
 sizes = [len(p) for p in parts]
 NB = len(parts)
 wide = blk_bits >= 15
-payloads = [native.sqz4_compress_payload(p, 1 << 15, lz=True) for p in parts]
+payloads = native.blocks_compress(data, 1, 15, blk_bits, lz=True)
 order = sorted(range(NB), key=lambda b: len(payloads[b]))
 payloads = [payloads[b] for b in order]
 dsizes = [sizes[b] for b in order]
-print(f"# {len(data)} B, {NB} blocks of 2^{blk_bits}, wide={wide}",
+print(f"# {len(data)} B, {NB} blocks of 2^{blk_bits}, wide={wide}, fused={fused}",
       flush=True)
 
 for lanes in lanes_list:
@@ -68,7 +69,8 @@ for lanes in lanes_list:
         jax.block_until_ready((bufd, metad))
         try:
             out = sp._decode_pallas(bufd, metad, t_max, lw, tw, mw,
-                                    False, wide, slots)
+                                    False, wide, slots,
+                                    None, fused)
             jax.block_until_ready(out)
         except Exception as e:
             print(f"lanes={lanes} slots={slots}: FAIL "
@@ -81,7 +83,8 @@ for lanes in lanes_list:
             t0 = time.perf_counter()
             for _ in range(K):
                 r = sp._decode_pallas(bufd, metad, t_max, lw, tw, mw,
-                                      False, wide, slots)
+                                      False, wide, slots,
+                                      None, fused)
             np.asarray(r[3])     # fence: device executes calls in order;
             #                      block_until_ready is a no-op on the tunnel
             best = min(best, (time.perf_counter() - t0) / K)
