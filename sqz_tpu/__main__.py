@@ -30,13 +30,17 @@ def _add_common(p):
     p.add_argument("--blk-bits", type=int, default=16)
     p.add_argument("--no-lz", action="store_true",
                    help="literal-only (sqz4: reference HEAD behavior)")
+    p.add_argument("--warm", action="store_true",
+                   help="sqzt v2 warm start: per-block fresh/seeded choice "
+                        "(FORMAT.md §3.1); implies --blocks")
 
 
 def _compress(args, data: bytes) -> bytes:
-    blocks = args.blocks or args.engine == "tpu"
+    blocks = args.blocks or args.warm or args.engine == "tpu"
     return sqz_tpu.compress(
         data, fmt=args.format, engine=args.engine, win_bits=args.win_bits,
-        lz=not args.no_lz, blocks=blocks, blk_bits=args.blk_bits)
+        lz=not args.no_lz, blocks=blocks, blk_bits=args.blk_bits,
+        warm=args.warm)
 
 
 def first_diff(a: bytes, b: bytes) -> int:
