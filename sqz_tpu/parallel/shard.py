@@ -36,36 +36,43 @@ def shard_map(*args, **kwargs):
 from sqz_tpu.ops.sqz4_jax import encode_scan_impl, microops_from_tokens, OP_PAD
 
 
-def sharded_encode_fn(mesh: Mesh, cap: int):
+def sharded_encode_fn(mesh: Mesh, cap: int, with_state: bool = False):
     """jitted shard_map program: ops sharded by block → (payloads, lens,
-    total_bytes) with lens all-gathered and the total psum-reduced."""
+    total_bytes) with lens all-gathered and the total psum-reduced.
+    ``with_state``: warm-start model tables ride along, sharded by block
+    (sqzt v2, FORMAT.md §3.1)."""
 
-    def local(m_ops, s_ops):
-        payload, lens = encode_scan_impl(m_ops, s_ops, cap)
+    def local(m_ops, s_ops, *state):
+        payload, lens = encode_scan_impl(m_ops, s_ops, cap,
+                                         state if state else None)
         total = jax.lax.psum(jnp.sum(lens.astype(jnp.int64)), "blocks")
         all_lens = jax.lax.all_gather(lens, "blocks", tiled=True)
         return payload, all_lens, total
 
+    in_specs = [P("blocks", None), P("blocks", None)]
+    if with_state:
+        in_specs += [P("blocks", None, None), P("blocks", None)]
     # check_vma=False: the codec scans materialize per-step constants whose
     # varying-axis inference conflicts with loop-carry typing; the program is
     # purely block-local plus explicit collectives, so the check adds nothing.
     return jax.jit(shard_map(
         local, mesh=mesh,
-        in_specs=(P("blocks", None), P("blocks", None)),
+        in_specs=tuple(in_specs),
         out_specs=(P("blocks", None), P(None), P()),
         **{_VMA_KW: False},
     ))
 
 
 def encode_blocks_sharded(token_lists: Sequence[list], blk_bits: int,
-                          mesh: Mesh) -> List[bytes]:
+                          mesh: Mesh, seeds=None) -> List[bytes]:
     """Ordered-gather sqz4 block compression over the mesh.
 
     Multi-host ready: payloads stay sharded; each process trims only its
     addressable shards against the device-all-gathered (replicated) length
     table, and process 0 assembles the ordered list (single-process: the
     exchange is the identity). Returns None on processes other than 0 of a
-    multi-process run."""
+    multi-process run. ``seeds``: per-block ModelSeed/None — warm blocks'
+    tables shard over the mesh with their ops (FORMAT.md §3.1)."""
     from sqz_tpu.parallel import multihost
     n = mesh.devices.size
     ops = [microops_from_tokens(t) for t in token_lists]
@@ -78,8 +85,14 @@ def encode_blocks_sharded(token_lists: Sequence[list], blk_bits: int,
         m_ops[b, :len(m)] = m
         s_ops[b, :len(s)] = s
     cap = (1 << blk_bits) * 2 + 4096
-    fn = sharded_encode_fn(mesh, cap)
-    payload, lens, _ = fn(jnp.asarray(m_ops), jnp.asarray(s_ops))
+    fn = sharded_encode_fn(mesh, cap, with_state=seeds is not None)
+    if seeds is not None:
+        from sqz_tpu.ops.sqz4_jax import init_model_state
+        F, totals = init_model_state(Bp, list(seeds) + [None] * (Bp - B))
+        payload, lens, _ = fn(jnp.asarray(m_ops), jnp.asarray(s_ops),
+                              F, totals)
+    else:
+        payload, lens, _ = fn(jnp.asarray(m_ops), jnp.asarray(s_ops))
     lens = np.asarray(lens)                          # replicated: host copy
     local = multihost.addressable_scan_payloads(payload, lens, B)
     return multihost.gather_payloads_to_host0(local, lens, B)
@@ -88,23 +101,30 @@ def encode_blocks_sharded(token_lists: Sequence[list], blk_bits: int,
 # ----------------------------------------------- pallas kernels over a mesh
 
 def sharded_encode_pallas_fn(mesh: Mesh, cap_words: int, tc: int,
-                             interpret: bool = False, wide: bool = False):
+                             interpret: bool = False, wide: bool = False,
+                             seeded: bool = False, fused: bool = False):
     """shard_map program running the self-contained Pallas encoder on each
     device's local block groups (group axis sharded; ICI all-gather of the
     per-block lengths for the container table). ``wide`` selects the
     base-2^14 exact divider required once model totals exceed 2^15
-    (blk_bits >= 15) — same rule as encode_data_full."""
-    from sqz_tpu.ops.sqz4_pallas import _encode_full_pallas
+    (blk_bits >= 15) — same rule as encode_data_full. ``seeded``: a warm
+    model-seed table rides along, sharded with its groups; ``fused``
+    requires a paired plan (plan_pack(paired=True))."""
+    from sqz_tpu.ops.sqz4_pallas import _encode_full_pallas_call
 
-    def local(m_words, s_words):
-        words, lens = _encode_full_pallas.__wrapped__(
-            m_words, s_words, cap_words, tc, interpret, wide)
+    def local(m_words, s_words, *seed):
+        words, lens = _encode_full_pallas_call(
+            m_words, s_words, seed[0] if seed else None, cap_words, tc,
+            interpret, wide, fused)
         all_lens = jax.lax.all_gather(lens, "blocks", tiled=True)
         return words, all_lens
 
+    in_specs = [P("blocks", None, None), P("blocks", None, None)]
+    if seeded:
+        in_specs.append(P("blocks", None, None))
     return jax.jit(shard_map(
         local, mesh=mesh,
-        in_specs=(P("blocks", None, None), P("blocks", None, None)),
+        in_specs=tuple(in_specs),
         out_specs=(P("blocks", None, None), P(None)),
         **{_VMA_KW: False},
     ))
@@ -113,30 +133,52 @@ def sharded_encode_pallas_fn(mesh: Mesh, cap_words: int, tc: int,
 def encode_data_sharded_pallas(data: bytes, blk_bits: int, window: int,
                                mesh: Mesh, lanes: int = 128,
                                tc: int = 256,
-                               interpret: bool = False) -> List[bytes]:
+                               interpret: bool = False,
+                               warm: bool = False) -> List[bytes]:
     """Whole-buffer sqz4 encode with block groups sharded over the mesh:
-    native plan+pack -> per-device Pallas coder -> ordered host gather."""
+    native plan+pack -> per-device Pallas coder -> ordered host gather.
+
+    ``warm`` runs the all-seeded pass (sqzt v2): block 0's seed is derived
+    on the host during planning and broadcast into every device's seed
+    table shard (the per-block fresh/warm pick composes on top, exactly
+    as in ops.engine.compress_blocks)."""
+    import os as _os
     from sqz_tpu import native
-    from sqz_tpu.ops.sqz4_pallas import unpack_group_payloads
+    from sqz_tpu.ops.sqz4_pallas import (unpack_group_payloads,
+                                         _enc_seed_table)
     bs = 1 << blk_bits
     NB = max(1, -(-len(data) // bs))
     n = mesh.devices.size
+    fused = _os.environ.get("SQZ_ENC_FUSED", "1") == "1"
     # pad the group count to a device multiple
     G = -(-NB // lanes)
     Gp = ((G + n - 1) // n) * n
-    tp_cap = -(-(5 * bs // 2 + 16) // (4 * tc)) * 4 * tc
-    mw, sw, mx = native.sqz4_plan_pack(data, window, blk_bits, True,
-                                       lanes, tp_cap)
+    tp_cap = -(-(5 * bs // 2 + 64) // (4 * tc)) * 4 * tc
+    if warm:
+        mw, sw, mx, seed = native.sqz4_plan_pack(
+            data, window, blk_bits, True, lanes, tp_cap, warm=True,
+            paired=fused)
+        seed_tab = _enc_seed_table(seed, Gp, lanes, fresh_lane0=True)
+    else:
+        mw, sw, mx = native.sqz4_plan_pack(data, window, blk_bits, True,
+                                           lanes, tp_cap, paired=fused)
+        seed_tab = None
     rows = max(-(-int(mx) // tc) * tc, tc)
     if Gp > G:
         pad = np.full((Gp - G,) + mw.shape[1:], 0xFFFFFFFF, np.uint32)
         mw = np.concatenate([mw, pad])
         sw = np.concatenate([sw, np.zeros_like(pad)])
     cap_words = (-(-(bs + 2048 + 3) // 4) + 31) // 32 * 32
+    if warm:
+        cap_words = (-(-(bs + bs // 4 + 2048 + 3) // 4) + 31) // 32 * 32
     fn = sharded_encode_pallas_fn(mesh, cap_words, tc, interpret,
-                                  wide=blk_bits >= 15)
-    words, lens = fn(jnp.asarray(np.ascontiguousarray(mw[:, :rows])),
-                     jnp.asarray(np.ascontiguousarray(sw[:, :rows])))
+                                  wide=warm or blk_bits >= 15,
+                                  seeded=warm, fused=fused)
+    args = [jnp.asarray(np.ascontiguousarray(mw[:, :rows])),
+            jnp.asarray(np.ascontiguousarray(sw[:, :rows]))]
+    if warm:
+        args.append(jnp.asarray(seed_tab))
+    words, lens = fn(*args)
     # multi-host ready ordered gather: payloads stay sharded, every process
     # trims its addressable shards against the replicated length table
     from sqz_tpu.parallel import multihost

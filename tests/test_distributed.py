@@ -93,3 +93,41 @@ def test_pallas_encoder_sharded_over_mesh():
     for i in range(4):
         blk = data[i * 256:(i + 1) * 256]
         assert payloads[i] == sqz4_encode_payload(blk, 1 << 10, lz=True)
+
+
+def test_sharded_warm_seeding():
+    """sqzt v2 warm start over the mesh: the scan path shards per-block
+    model tables with their blocks; the Pallas path broadcasts the seed
+    table into every device's shard (FORMAT.md §3.1)."""
+    from sqz_tpu import native
+    if not native.available():
+        pytest.skip("native runtime unavailable")
+    from sqz_tpu.oracle.sqz4 import sqz4_encode_payload
+    from sqz_tpu.ops.sqz4_jax import seed_from_tokens
+    from sqz_tpu.parallel.mesh import make_mesh
+    from sqz_tpu.parallel.shard import (encode_blocks_sharded,
+                                        encode_data_sharded_pallas)
+    from sqz_tpu.utils import corpus
+
+    mesh = make_mesh(4)
+    data = corpus.texty(4 * 256, seed=3)
+    blocks = [data[i * 256:(i + 1) * 256] for i in range(4)]
+    # scan path: literal-only tokens, seeded tables sharded with blocks
+    tokens = [[("lit", b) for b in blk] for blk in blocks]
+    seed = seed_from_tokens(tokens[0])
+    payloads = encode_blocks_sharded(tokens, blk_bits=8, mesh=mesh,
+                                     seeds=[None] + [seed] * 3)
+    for i, blk in enumerate(blocks):
+        want = sqz4_encode_payload(blk, 1 << 8, lz=False,
+                                   seed=seed if i else None)
+        assert payloads[i] == want, f"scan block {i}"
+    # pallas path: all-seeded pass with dictionary-aware planning
+    pw = encode_data_sharded_pallas(data, 8, 1 << 8, mesh, lanes=128,
+                                    tc=64, interpret=True, warm=True)
+    _, seed_p = sqz4_encode_payload(blocks[0], 1 << 8, lz=True,
+                                    return_state=True)
+    for i, blk in enumerate(blocks):
+        want = sqz4_encode_payload(
+            blk, 1 << 8, lz=True, seed=seed_p if i else None,
+            dictionary=blocks[0][-(1 << 8):] if i else b"")
+        assert pw[i] == want, f"pallas block {i}"
