@@ -397,6 +397,8 @@ def decode_blocks(payloads: Sequence[bytes], sizes: Sequence[int],
     from sqz_tpu.ops.lz_apply import apply_matches
     B = len(payloads)
     P = max(max((len(p) for p in payloads), default=1), 8)
+    P = 1 << (P - 1).bit_length()   # bucket the padded width: one compile
+    #                                 per size class, not per stream length
     buf = np.zeros((B, P), dtype=np.uint8)
     for b, p in enumerate(payloads):
         buf[b, :len(p)] = np.frombuffer(p, dtype=np.uint8)

@@ -652,6 +652,8 @@ def decode_blocks(payloads: Sequence[bytes], sizes: Sequence[int],
     call (the warm container's block 0 is decoded separately first)."""
     B = len(payloads)
     P = max(max(len(p) for p in payloads), 8)
+    P = 1 << (P - 1).bit_length()   # bucket the padded width: one compile
+    #                                 per size class, not per stream length
     buf = np.zeros((B, P), dtype=np.uint8)
     for b, p in enumerate(payloads):
         buf[b, :len(p)] = np.frombuffer(p, dtype=np.uint8)

@@ -122,6 +122,33 @@ def test_fuzz_device_scan_agrees(fmt):
     assert checked == 60
 
 
+def test_fuzz_pallas_decoder_interpret():
+    """A small corrupt-stream sample through the MOSAIC decode kernel
+    (interpret mode): where the native host decoder accepts, the kernel
+    must reproduce the bytes; where it rejects, the kernel must not
+    silently return the pristine data. (The kernel's f32-estimate division
+    and error lanes are exactly the divergence risk this pins.)"""
+    from sqz_tpu.ops import sqz4_pallas as sp
+    small = DATA[:256]
+    payload = native.sqz4_compress_payload(small, 1 << 10)
+    rng = np.random.default_rng(0xD1CE)
+    for mut in _mutants(payload, rng, 12):
+        try:
+            out_n = native.sqz4_decompress_payload(mut, 256)
+            sn = "ok"
+        except Exception:
+            sn, out_n = "err", None
+        try:
+            out_d = sp.decode_groups([mut], [256], 8, interpret=True)[0]
+            sd = "ok"
+        except Exception:
+            sd, out_d = "err", None
+        if sn == "ok":
+            assert sd == "ok" and out_d == out_n
+        else:
+            assert not (sd == "ok" and out_d == small)
+
+
 def test_fuzz_container_forgery():
     """Forged sqzt length tables / flags: never a silent wrong answer."""
     blob = sqz_tpu.compress(DATA * 4, fmt="sqz4", engine="native",
