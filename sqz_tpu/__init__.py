@@ -21,4 +21,4 @@ from sqz_tpu.api import (  # noqa: F401
     Engine,
 )
 
-__version__ = "0.2.0"
+__version__ = "0.3.0"
