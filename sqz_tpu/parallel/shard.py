@@ -98,6 +98,71 @@ def encode_blocks_sharded(token_lists: Sequence[list], blk_bits: int,
     return multihost.gather_payloads_to_host0(local, lens, B)
 
 
+def sharded_decode_fn(mesh: Mesh, out_cap: int, t_max: int, m_max: int):
+    """shard_map program: payloads sharded by block → decoded bytes sharded
+    by block, with the per-block error flags and produced lengths
+    all-gathered so every process can validate the whole container."""
+    from sqz_tpu.formats.constants import SQZ4_MAX_LEN
+    from sqz_tpu.ops.lz_apply import apply_matches
+    from sqz_tpu.ops.sqz4_jax import _decode_scan
+
+    def local(payloads, plens, sizes):
+        out, optr, matches, mptr, err = _decode_scan.__wrapped__(
+            payloads, plens, sizes, out_cap, t_max, m_max)
+        out = apply_matches(out, matches[:, :m_max], SQZ4_MAX_LEN)
+        all_optr = jax.lax.all_gather(optr, "blocks", tiled=True)
+        all_err = jax.lax.all_gather(err, "blocks", tiled=True)
+        return out, all_optr, all_err
+
+    return jax.jit(shard_map(
+        local, mesh=mesh,
+        in_specs=(P("blocks", None), P("blocks"), P("blocks")),
+        out_specs=(P("blocks", None), P(None), P(None)),
+        **{_VMA_KW: False},
+    ))
+
+
+def decode_blocks_sharded(payloads: Sequence[bytes], sizes: Sequence[int],
+                          blk_bits: int, mesh: Mesh) -> List[bytes]:
+    """Ordered-gather sqz4 block decode over the mesh (the mirror of
+    encode_blocks_sharded): payloads shard by block, each device runs the
+    batched scan decoder + match application on its shard, and the host
+    assembles its addressable shards (process 0 gets the ordered list)."""
+    from sqz_tpu.parallel import multihost
+    n = mesh.devices.size
+    B = len(payloads)
+    Bp = ((B + n - 1) // n) * n
+    P_ = max(max(len(p) for p in payloads), 8)
+    P_ = 1 << (P_ - 1).bit_length()
+    buf = np.zeros((Bp, P_), dtype=np.uint8)
+    for b, p in enumerate(payloads):
+        buf[b, :len(p)] = np.frombuffer(p, dtype=np.uint8)
+    plens = np.zeros(Bp, dtype=np.int32)
+    plens[:B] = [len(p) for p in payloads]
+    szs = np.zeros(Bp, dtype=np.int32)
+    szs[:B] = list(sizes)
+    out_cap = 1 << blk_bits
+    t_max = 17 * out_cap // 4 + 64
+    m_max = out_cap // 2 + 1
+    fn = sharded_decode_fn(mesh, out_cap, t_max, m_max)
+    out, optr, err = fn(jnp.asarray(buf), jnp.asarray(plens),
+                        jnp.asarray(szs))
+    err = np.asarray(err)[:B]
+    optr = np.asarray(optr)[:B]
+    if err.any():
+        raise ValueError(
+            f"corrupt sqz4 block(s): {np.nonzero(err)[0].tolist()}")
+    short = np.nonzero(optr != szs[:B])[0]
+    if short.size:
+        raise ValueError(f"block {short[0]}: produced {optr[short[0]]} "
+                         f"of {szs[short[0]]}")
+    # ordered gather of the decoded shards (lengths = the known sizes)
+    local = multihost.addressable_scan_payloads(
+        out, np.asarray(szs, np.int64), B)
+    return multihost.gather_payloads_to_host0(
+        local, np.asarray(szs, np.int64), B)
+
+
 # ----------------------------------------------- pallas kernels over a mesh
 
 def sharded_encode_pallas_fn(mesh: Mesh, cap_words: int, tc: int,

@@ -131,3 +131,28 @@ def test_sharded_warm_seeding():
             blk, 1 << 8, lz=True, seed=seed_p if i else None,
             dictionary=blocks[0][-(1 << 8):] if i else b"")
         assert pw[i] == want, f"pallas block {i}"
+
+
+def test_decode_blocks_sharded():
+    """The decode mirror of the sharded encode: payloads shard by block,
+    per-device scan decode + match application, ordered gather."""
+    from sqz_tpu import native
+    if not native.available():
+        pytest.skip("native runtime unavailable")
+    from sqz_tpu.parallel.mesh import make_mesh
+    from sqz_tpu.parallel.shard import decode_blocks_sharded
+    from sqz_tpu.utils import corpus
+
+    mesh = make_mesh(4)
+    data = corpus.texty(4 * 512, seed=8)
+    payloads = native.blocks_compress(data, 1, 10, 9)
+    sizes = [512] * 4
+    blocks = decode_blocks_sharded(payloads, sizes, 9, mesh)
+    assert b"".join(blocks) == data
+    # corrupt one payload -> loud rejection
+    bad = list(payloads)
+    bb = bytearray(bad[3])
+    bb[len(bb) // 2] ^= 0x80
+    bad[3] = bytes(bb)
+    with pytest.raises(ValueError):
+        decode_blocks_sharded(bad, sizes, 9, mesh)
