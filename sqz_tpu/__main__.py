@@ -67,7 +67,25 @@ def main(argv=None) -> int:
     pr.add_argument("--stats", action="store_true",
                     help="print token telemetry (SQUEEZE_MAP_STATS analog)")
     _add_common(pr)
+    pg = sub.add_parser("range",
+                        help="random-access decode from an sqzt container")
+    pg.add_argument("infile")
+    pg.add_argument("span", help="START:LENGTH (bytes)")
+    pg.add_argument("--engine", default="native",
+                    choices=["native", "oracle"])
+    pg.add_argument("--out", help="write bytes here instead of stdout")
     args = ap.parse_args(argv)
+
+    if args.cmd == "range":
+        blob = Path(args.infile).read_bytes()
+        start, length = (int(x) for x in args.span.split(":"))
+        out = sqz_tpu.decompress_range(blob, start, length,
+                                       engine=args.engine)
+        if args.out:
+            Path(args.out).write_bytes(out)
+        else:
+            sys.stdout.buffer.write(out)
+        return 0
 
     if args.cmd == "compress":
         data = Path(args.infile).read_bytes()
