@@ -312,6 +312,8 @@ def main() -> None:
         "unit": "GB/s",
         "vs_baseline": round(gbps / base_gbps, 4),
         "blk_bits": blk_bits,
+        "enc_MBps": round(len(data) / t_enc / 1e6, 1),
+        "dec_MBps": round(len(data) / t_dec / 1e6, 1),
         "ratio": round(ratio, 6),
         "warm_ratio": round(warm_ratio, 6),
         "ref_whole_stream_ratio": round(ref_ratio, 6),

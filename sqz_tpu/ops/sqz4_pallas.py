@@ -45,7 +45,9 @@ LANES = 256          # decoder blocks per kernel group (the per-step scalar
                      # more per step than one and double the work per step;
                      # the decoder's VMEM budget caps it at 256)
 ENC_LANES = 512      # encoder groups are smaller in VMEM -> 4 lane-groups
-ENC_TC = 1024        # encoder T-chunk (grid-streamed from HBM)
+ENC_TC = 512         # encoder T-chunk (grid-streamed from HBM; swept at
+#                      blk16 fused: 512 -> 268.8 MB/s, 1024 -> 264.2,
+#                      2048 -> 260.0)
 U32 = jnp.uint32
 I32 = jnp.int32
 F32 = jnp.float32
