@@ -400,6 +400,11 @@ class MatchFinder {
         const uint8_t* cur = data_ + i;
         for (int64_t j = head_[hash(i)]; j >= lo; j = prev_[j]) {
             const uint8_t* cand = data_ + j;
+            // a strictly longer match must also agree at offset `best`
+            // (positions 0..best must all match) — one byte-compare
+            // rejects most chain candidates before the full extend,
+            // without changing any decision (j+best < i+best <= n)
+            if (best != 0 && cand[best] != cur[best]) continue;
             // exact gram verification (the chain is keyed by a hash)
             if (std::memcmp(cand, cur, static_cast<size_t>(min_len_)) != 0) continue;
             uint32_t k = static_cast<uint32_t>(min_len_);

@@ -54,6 +54,10 @@ class MatchFinder:
         for j in reversed(chain):  # nearest (smallest distance) first
             if j < lo:
                 break
+            # a strictly longer match must also agree at offset best_len —
+            # one compare rejects most candidates, decisions unchanged
+            if best_len and data[j + best_len] != data[i + best_len]:
+                continue
             k = self.min_len  # gram already matched exactly
             while k < cap and data[j + k] == data[i + k]:
                 k += 1
