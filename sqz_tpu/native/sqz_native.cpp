@@ -1154,6 +1154,9 @@ int64_t sqz_blocks_compress(const uint8_t* data, uint64_t n, int fmt,
     if (warm && nblocks > 1) {
         uint64_t len0 = n < bs ? n : bs;
         if (fmt == 0) {
+            // the direct payload call below bypasses sqz_squeeze_compress's
+            // win_bits gate — validate here (pos_index is 2^15 entries)
+            if (win_bits < 10 || win_bits > 15) return -EINVAL;
             try {
                 BitWriter bw(out, out_stride);
                 squeeze_encode_payload(data, len0, win_bits, bw, nullptr,
@@ -1570,6 +1573,9 @@ uint64_t sqz_fnv1a64(const uint8_t* data, uint64_t n) {
 int64_t squeeze_plan_pack(const uint8_t* data, uint64_t n, int win_bits,
                           int blk_bits, uint64_t lanes, uint64_t tw_cap,
                           int nthreads, int warm, uint32_t* words) {
+    // workers call squeeze_encode_payload directly (no win_bits gate
+    // downstream); pos_index is 2^15 entries — validate up front
+    if (win_bits < 10 || win_bits > 15) return -EINVAL;
     const uint64_t bs = 1ull << blk_bits;
     const uint64_t nblocks = n == 0 ? 1 : (n + bs - 1) / bs;
     if (nthreads <= 0) nthreads = static_cast<int>(std::thread::hardware_concurrency());

@@ -129,6 +129,25 @@ def compress_blocks(parts: Sequence[bytes], fmt, win_bits: int,
         return _pick_smaller(cold, warm_p)
 
 
+def _warm_scatter(payloads, sizes, fresh_mask, decode_batch,
+                  blk0: bytes, seed, dictionary: bytes) -> bytes:
+    """Decode a warm container's blocks 1+ as two parallel batches (fresh
+    cold-decoded, warm seeded) and reassemble in block order."""
+    cold_idx = [b for b in range(1, len(payloads)) if fresh_mask[b]]
+    warm_idx = [b for b in range(1, len(payloads)) if not fresh_mask[b]]
+    outs = [None] * len(payloads)
+    outs[0] = blk0
+    for idx, batch in ((cold_idx, decode_batch(
+            [payloads[b] for b in cold_idx],
+            [sizes[b] for b in cold_idx])),
+                       (warm_idx, decode_batch(
+            [payloads[b] for b in warm_idx],
+            [sizes[b] for b in warm_idx], seed, dictionary))):
+        for b, blk in zip(idx, batch):
+            outs[b] = blk
+    return b"".join(outs)
+
+
 def decompress_blocks(payloads: Sequence[bytes], sizes: Sequence[int],
                       fmt, fresh_mask=None, win_bits: int = 15) -> bytes:
     """``fresh_mask`` (sqzt v2, FORMAT.md §3.1): per-block fresh/warm
@@ -162,20 +181,8 @@ def decompress_blocks(payloads: Sequence[bytes], sizes: Sequence[int],
             from sqz_tpu.oracle.sqz4 import sqz4_decode_payload
             blk0, seed = sqz4_decode_payload(payloads[0], sizes[0],
                                              return_state=True)
-        dictionary = _warm_dictionary(blk0, win_bits)
-        cold_idx = [b for b in range(1, len(payloads)) if fresh_mask[b]]
-        warm_idx = [b for b in range(1, len(payloads)) if not fresh_mask[b]]
-        outs = [None] * len(payloads)
-        outs[0] = blk0
-        for idx, batch in ((cold_idx, decode_batch(
-                [payloads[b] for b in cold_idx],
-                [sizes[b] for b in cold_idx])),
-                           (warm_idx, decode_batch(
-                [payloads[b] for b in warm_idx],
-                [sizes[b] for b in warm_idx], seed, dictionary))):
-            for b, blk in zip(idx, batch):
-                outs[b] = blk
-        return b"".join(outs)
+        return _warm_scatter(payloads, sizes, fresh_mask, decode_batch,
+                             blk0, seed, _warm_dictionary(blk0, win_bits))
     else:
         if use_pallas() and native.available():
             # Adaptive-Huffman decode is pointer-chasing with data-dependent
@@ -201,17 +208,5 @@ def decompress_blocks(payloads: Sequence[bytes], sizes: Sequence[int],
         from sqz_tpu.oracle.squeeze import squeeze_decode_payload
         blk0, seed = squeeze_decode_payload(BitReader(payloads[0]),
                                             sizes[0], return_state=True)
-        dictionary = _warm_dictionary(blk0, win_bits)
-        cold_idx = [b for b in range(1, len(payloads)) if fresh_mask[b]]
-        warm_idx = [b for b in range(1, len(payloads)) if not fresh_mask[b]]
-        outs = [None] * len(payloads)
-        outs[0] = blk0
-        for b, blk in zip(cold_idx, decode_batch_sq(
-                [payloads[b] for b in cold_idx],
-                [sizes[b] for b in cold_idx])):
-            outs[b] = blk
-        for b, blk in zip(warm_idx, decode_batch_sq(
-                [payloads[b] for b in warm_idx],
-                [sizes[b] for b in warm_idx], seed, dictionary)):
-            outs[b] = blk
-        return b"".join(outs)
+        return _warm_scatter(payloads, sizes, fresh_mask, decode_batch_sq,
+                             blk0, seed, _warm_dictionary(blk0, win_bits))

@@ -248,5 +248,20 @@ def encode_data_sharded_pallas(data: bytes, blk_bits: int, window: int,
     # trims its addressable shards against the replicated length table
     from sqz_tpu.parallel import multihost
     lens_flat = np.asarray(lens)[:, 0, :].reshape(-1)
-    local = multihost.addressable_block_payloads(words, lens_flat, NB)
-    return multihost.gather_payloads_to_host0(local, lens_flat, NB)
+    over = np.nonzero(lens_flat[:NB] > cap_words * 4)[0]
+    if over.size and not warm:
+        raise ValueError("compressed block exceeded the output capacity")
+    out = multihost.gather_payloads_to_host0(
+        multihost.addressable_block_payloads(words, lens_flat, NB),
+        lens_flat, NB)
+    if over.size and out is not None:
+        # pathological warm expansion past the kernel buffer (seed badly
+        # mismatched content): redo just those blocks on the host, seeded
+        # identically — mirrors encode_data_full's fallback
+        dictionary = data[:bs][-window:]
+        for b in over:
+            blk = data[b * bs:(b + 1) * bs]
+            out[b] = native.sqz4_compress_payload(
+                blk, window, lz=True, seed=seed if b else None,
+                dictionary=dictionary if b else b"")
+    return out

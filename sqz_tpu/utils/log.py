@@ -44,9 +44,11 @@ def debug(fmt: str, *args) -> None:
     configure()
     if not _logger.isEnabledFor(logging.DEBUG):
         return
+    # frame attributes only — inspect.getframeinfo would re-read and parse
+    # the caller's source file on every call
     fr = inspect.currentframe().f_back
-    info = inspect.getframeinfo(fr)
+    code = fr.f_code
     msg = fmt % args if args else fmt
     _logger.debug("%s(%d): %s %s",
-                  os.path.basename(info.filename), info.lineno,
-                  info.function, msg)
+                  os.path.basename(code.co_filename), fr.f_lineno,
+                  code.co_name, msg)

@@ -103,17 +103,23 @@ def sqz4_model_report(tokens: Iterable) -> str:
 
 def count_rejections(data: bytes, window: int) -> int:
     """Matches demoted to literals by the sqz4 short-far rule
-    (src/sqz.c:678-685) — the reference's `rejections` counter."""
-    from sqz_tpu import native
-    if not native.available():
-        return -1
-    toks = native.tokenize(data, window, 2, 254, reject_short_far=False)
+    (src/sqz.c:678-685) — the reference's `rejections` counter.
+
+    Counted DURING a reject-enabled parse (as the reference does): a
+    rejected match emits one literal and re-parses from the next byte, so
+    counting demotable tokens on a rejection-free parse would see a
+    different candidate stream."""
+    from sqz_tpu.oracle.match import greedy_tokens
     n = 0
-    pos = 0
-    for k, a, b in toks:
-        if k == 1 and a <= 3 and int(b).bit_length() > 3:
+
+    def reject(length, dist):
+        nonlocal n
+        if length <= 3 and dist.bit_length() > 3:
             n += 1
-        pos += a if k == 1 else 1
+            return True
+        return False
+
+    greedy_tokens(data, window, 2, 254, reject=reject)
     return n
 
 
