@@ -138,36 +138,31 @@ def main() -> None:
     # ---- decode: payload upload untimed (device-resident input), Pallas
     # kernel + record-stream download + native assembly timed end-to-end;
     # kernel time reported separately
-    dec_lanes = int(os.environ.get("SQZ_BENCH_DEC_LANES", 512))
-    G = -(-NB // dec_lanes)
-    Pw = -(-(bs + 4096) // 4 + 31) // 32 * 32
+    # the dispatch plan (lanes/slots selection, buffer dims, chunking rule)
+    # is the SAME code path the shipping decode uses — bench times exactly
+    # the production strategy
+    dec_lanes = int(os.environ.get("SQZ_BENCH_DEC_LANES", 0))
+    plan = sp.plan_decode_dispatch(NB, blk_bits, lanes=dec_lanes)
+    dec_lanes, slots, G = plan["lanes"], plan["slots"], plan["G"]
+    Pw, lw, tw, mw = plan["Pw"], plan["lw"], plan["tw"], plan["mw"]
+    t_max, chunked = plan["t_max"], plan["chunked"]
     # group blocks by compressed size (straggler segregation, see
     # sqz4_pallas.decode_groups)
     order = sorted(range(NB), key=lambda b: len(payloads[b]))
     dec_payloads = [payloads[b] for b in order]
     dec_sizes = [sizes[b] for b in order]
     buf = native.sqz4_pack_payloads(dec_payloads, dec_lanes, Pw)
+    if buf.shape[0] < G:
+        buf = np.concatenate([buf, np.zeros(
+            (G - buf.shape[0],) + buf.shape[1:], np.uint32)])
     meta = np.zeros((G, 8, dec_lanes), np.int32)
     for b, p in enumerate(dec_payloads):
         g, lane = divmod(b, dec_lanes)
         meta[g, 0, lane] = len(p)
         meta[g, 1, lane] = dec_sizes[b]
-    lw = max(bs // 4, 32)
-    tw = (-(-bs // 32) + 1 + 31) // 32 * 32
-    mw = max(bs // 4, 64)
-    t_max = 9 * bs + 64
     bufd = jnp.asarray(buf)
     metad = jnp.asarray(meta)
     jax.block_until_ready((bufd, metad))
-
-    # slot interleave multiplies every VMEM buffer; large blocks already
-    # fill the budget at one slot (mirror decode_groups' rule); when one
-    # group fills VMEM a multi-group grid cannot double-buffer, so chunked
-    # grid-1 dispatches keep the device saturated instead
-    slots = sp.DEC_SLOTS if blk_bits <= 14 and G % sp.DEC_SLOTS == 0 else 1
-    vmem_mb = int(os.environ.get("SQZ_DEC_VMEM_MB", "118"))
-    grp_mb = (Pw + lw + tw + mw) * 4 * dec_lanes * slots / 2**20
-    chunked = G > slots and 2 * grp_mb > vmem_mb
 
     def dispatch_decode():
         if chunked:

@@ -2108,6 +2108,38 @@ DEC_SLOTS = 2        # interleaved groups per decode-kernel instance at
                      # 4 slots at 512 lanes thrashes VMEM — PERF.md)
 
 
+def plan_decode_dispatch(NB: int, blk_bits: int, lanes: int = 0,
+                         slots: int = 0, interpret: bool = False):
+    """The decode-kernel dispatch plan shared by decode_groups and
+    bench.py: lane/slot selection, buffer dimensions, and whether groups
+    must dispatch as chunked grid-1 calls (one group already fills VMEM,
+    so a multi-group grid cannot double-buffer). Returns a dict."""
+    bs = 1 << blk_bits
+    if lanes <= 0:
+        # 512 lanes beat 256 at every block size once the VMEM cap allows
+        # them (v5e has 128 MB physical VMEM; measured sweeps in PERF.md);
+        # interpret mode keeps narrow groups for test speed
+        lanes = 128 if interpret else 512
+    if slots <= 0:
+        # two interleaved slots win at 2^14 (128 blocks/slot of VMEM
+        # headroom); one slot at 2^15+, where a single 512-lane group
+        # already fills the budget
+        slots = DEC_SLOTS if (not interpret and blk_bits <= 14) else 1
+    G = -(-NB // lanes)
+    G = -(-G // slots) * slots
+    cap = bs + 4096
+    Pw = -(-cap // 4 + 31) // 32 * 32
+    lw = max(bs // 4, 32)
+    tw = (-(-bs // 32) + 1 + 31) // 32 * 32
+    mw = max(bs // 4, 64)
+    t_max = 9 * bs + 64
+    vmem_mb = int(os.environ.get("SQZ_DEC_VMEM_MB", "118"))
+    grp_mb = (Pw + lw + tw + mw) * 4 * lanes * slots / 2**20
+    chunked = not interpret and G > slots and 2 * grp_mb > vmem_mb
+    return dict(lanes=lanes, slots=slots, G=G, Pw=Pw, lw=lw, tw=tw, mw=mw,
+                t_max=t_max, chunked=chunked)
+
+
 def decode_groups(payloads, sizes, blk_bits: int, interpret: bool = False,
                   slots: int = 0, lanes: int = 0,
                   seed=None, dictionary: bytes = b""):
@@ -2119,20 +2151,11 @@ def decode_groups(payloads, sizes, blk_bits: int, interpret: bool = False,
     part of this call)."""
     from sqz_tpu import native
     warm = seed is not None
-    if lanes <= 0:
-        # 512 lanes beat 256 at every block size once the VMEM cap allows
-        # them (v5e has 128 MB physical VMEM; the measured sweeps live in
-        # PERF.md); interpret mode keeps narrow groups for test speed
-        lanes = 128 if interpret else 512
-    if slots <= 0:
-        # two interleaved slots win at 2^14 (128 blocks/slot of VMEM
-        # headroom); one slot at 2^15+, where a single 512-lane group
-        # already fills the budget
-        slots = 2 if (not interpret and blk_bits <= 14) else 1
     NB = len(payloads)
     bs = 1 << blk_bits
-    cap = bs + 4096
-    Pw = -(-cap // 4 + 31) // 32 * 32
+    plan = plan_decode_dispatch(NB, blk_bits, lanes, slots, interpret)
+    lanes, slots = plan["lanes"], plan["slots"]
+    Pw = plan["Pw"]
     # warm-expanded payloads past the kernel's stream buffer (possible when
     # a block's content mismatches the block-0 seed) decode on the host —
     # they are rare and pathological, and growing Pw for them would blow
@@ -2158,8 +2181,7 @@ def decode_groups(payloads, sizes, blk_bits: int, interpret: bool = False,
         for b, v in host_out.items():
             outs[b] = v
         return outs
-    G = -(-NB // lanes)
-    G = -(-G // slots) * slots
+    G = plan["G"]
     # group blocks by compressed size: the while_loop runs until the
     # slowest lane in a group finishes, and step count tracks payload
     # size — sorting keeps stragglers together instead of padding every
@@ -2187,18 +2209,11 @@ def decode_groups(payloads, sizes, blk_bits: int, interpret: bool = False,
             w = np.frombuffer(p.ljust(-(-len(p) // 4) * 4, b"\0"),
                               dtype=">u4")
             buf[g, :len(w), lane] = w
-    def ceil(a, b):
-        return -(-a // b)
-    lw = max(bs // 4, 32)
-    tw = ceil(ceil(bs, 32) + 1, 32) * 32
-    mw = max(bs // 4, 64)
-    t_max = 9 * bs + 64
-    vmem_mb = int(os.environ.get("SQZ_DEC_VMEM_MB", "118"))
-    grp_mb = (Pw + lw + tw + mw) * 4 * lanes * slots / 2**20
+    lw, tw, mw, t_max = plan["lw"], plan["tw"], plan["mw"], plan["t_max"]
     wide = warm or blk_bits >= 15
     fused = os.environ.get("SQZ_DEC_FUSED", "1") == "1"
     seed_tab = _dec_seed_table(seed, G, lanes) if warm else None
-    if not interpret and G > slots and 2 * grp_mb > vmem_mb:
+    if plan["chunked"]:
         # one group already fills VMEM (64 KiB blocks at 512 lanes): a
         # multi-group grid cannot double-buffer, so dispatch grid-1 calls
         # per group chunk — async dispatch keeps the device saturated
