@@ -50,7 +50,8 @@ def compress(data: bytes, fmt: Format | str = Format.SQUEEZE,
     if blocks:
         parts = sqzt.split_blocks(data, blk_bits)
         warm = warm and len(parts) > 1
-        res = _compress_blocks(parts, fmt, engine, win_bits, lz, warm)
+        res = _compress_blocks(parts, fmt, engine, win_bits, lz, warm,
+                               blk_bits)
         payloads, fresh_mask = res if warm else (res, None)
         code = SQZT_FORMAT_SQUEEZE if fmt is Format.SQUEEZE else SQZT_FORMAT_SQZ4
         csum = sqzt.fnv1a64(data) if checksum else None
@@ -78,18 +79,22 @@ def _warm_dictionary(block0: bytes, win_bits: int) -> bytes:
     return block0[-(1 << win_bits):]
 
 
-def _compress_blocks(parts, fmt, engine, win_bits, lz, warm=False):
+def _compress_blocks(parts, fmt, engine, win_bits, lz, warm=False,
+                     blk_bits=None):
     """Cold: returns payloads. Warm: returns (payloads, fresh_mask) — per
     block the encoder codes BOTH fresh and seeded and keeps the smaller
     (FORMAT.md §3.1), so warm never loses to cold beyond the bitmap byte
     per 8 blocks."""
+    if blk_bits is None:  # block size as framed by the caller's container
+        blk_bits = max((len(p) - 1).bit_length() for p in parts) \
+            if any(parts) else 10
     if engine is Engine.TPU:
         from sqz_tpu.ops import engine as tpu_engine
-        return tpu_engine.compress_blocks(parts, fmt, win_bits, lz, warm)
+        return tpu_engine.compress_blocks(parts, fmt, win_bits, lz, warm,
+                                          blk_bits=blk_bits)
     if engine is Engine.NATIVE and warm:
         # the native threaded executor runs the whole warm schedule itself
         code = 0 if fmt is Format.SQUEEZE else 1
-        blk_bits = max((len(p) - 1).bit_length() for p in parts)
         return _native().blocks_compress(b"".join(parts), code, win_bits,
                                          blk_bits, lz=lz, warm=True)
     seed = None
@@ -201,7 +206,12 @@ def decompress_range(blob: bytes, start: int, length: int,
 
     The container checksum covers the whole payload and is NOT verified
     here (the full data is never materialized); use decompress() for
-    verified full reads.
+    verified full reads. Warm-specific caveat: for warm containers the
+    seed/dictionary are derived from block 0, so an undetected corruption
+    of block 0's payload can silently change the bytes returned for warm
+    blocks in range (a corrupt payload usually fails the decoder's EILSEQ
+    validations, but not always) — integrity-sensitive readers should
+    verify the container once with decompress() first.
     """
     engine = Engine(engine)
     if engine is Engine.TPU:

@@ -113,6 +113,22 @@ def build_pos_index() -> np.ndarray:
 
 SQZ4_MIN_LEN = 2               # reference src/sqz.c:29
 SQZ4_MAX_LEN = 254             # reference src/sqz.c:30
+
+# Short-far reject rule (reference src/sqz.c:678-685): a candidate match is
+# demoted to a literal when it is short AND far — the coded cost of the
+# distance bits would exceed the literal cost. SINGLE SOURCE OF TRUTH:
+# engine tokenizers, stats counters, and the native C++ tokenizer all follow
+# this rule; tests/test_matcher_differential.py asserts the native tokenizer
+# agrees with it symbol-for-symbol.
+SQZ4_REJECT_MAX_LEN = 3        # reject only matches of length <= 3 ...
+SQZ4_REJECT_MAX_BITS = 3       # ... whose distance needs > 3 bits
+
+
+def sqz4_reject_short_far(length: int, dist: int) -> bool:
+    """True when the sqz4 parse demotes this (length, dist) match to a
+    literal (src/sqz.c:678-685)."""
+    return (length <= SQZ4_REJECT_MAX_LEN
+            and dist.bit_length() > SQZ4_REJECT_MAX_BITS)
 SQZ4_EOS = 0xFF                # pm_size end-of-stream marker
 SQZ4_MAGIC = b"squeeze4"       # container magic (reference test.c:41)
 SQZ4_FREQ_CAP = 1 << 56        # pm_update total cap (src/sqz.c:467)

@@ -14,8 +14,10 @@ from __future__ import annotations
 import os
 from typing import List, Sequence
 
-from sqz_tpu.formats.constants import SQZ4_MIN_LEN, SQZ4_MAX_LEN
-from sqz_tpu.formats.constants import SQUEEZE_LEN_MIN, SQUEEZE_LEN_MAX
+from sqz_tpu.formats.constants import (
+    SQZ4_MIN_LEN, SQZ4_MAX_LEN, sqz4_reject_short_far,
+    SQUEEZE_LEN_MIN, SQUEEZE_LEN_MAX,
+)
 
 
 def _tokenize(part: bytes, window: int, min_len: int, max_len: int,
@@ -32,8 +34,8 @@ def _tokenize(part: bytes, window: int, min_len: int, max_len: int,
         return out
     from sqz_tpu.oracle.match import greedy_tokens
     if reject:
-        rej = lambda length, dist: length <= 3 and dist.bit_length() > 3
-        return greedy_tokens(part, window, min_len, max_len, reject=rej,
+        return greedy_tokens(part, window, min_len, max_len,
+                             reject=sqz4_reject_short_far,
                              dictionary=dictionary)
     return greedy_tokens(part, window, min_len, max_len,
                          dictionary=dictionary)
@@ -65,17 +67,21 @@ def _pick_smaller(cold: List[bytes], warm: List[bytes]):
 
 
 def compress_blocks(parts: Sequence[bytes], fmt, win_bits: int,
-                    lz: bool, warm: bool = False):
+                    lz: bool, warm: bool = False, blk_bits: int = None):
     """Cold: payloads. Warm: (payloads, fresh_mask) — both a fresh and a
     seeded pass run, keeping the smaller payload per block."""
     from sqz_tpu.api import Format, _warm_dictionary
-    blk_bits = max((len(p) - 1).bit_length() for p in parts) if any(parts) else 10
+    if blk_bits is None:
+        blk_bits = (max((len(p) - 1).bit_length() for p in parts)
+                    if any(parts) else 10)
     warm = warm and len(parts) > 1
     dictionary = _warm_dictionary(parts[0], win_bits) if (warm and lz) else b""
     if fmt is Format.SQZ4:
         from sqz_tpu.ops import sqz4_jax
         from sqz_tpu import native
-        if use_pallas() and native.available():
+        # blk_bits > 16 exceeds the Pallas wide-divider exactness range
+        # (FORMAT.md §3.1) — those containers take the XLA scan path
+        if use_pallas() and native.available() and blk_bits <= 16:
             from sqz_tpu.ops import sqz4_pallas
             data = b"".join(parts)
             assert all(len(p) == 1 << blk_bits for p in parts[:-1])
@@ -163,7 +169,7 @@ def decompress_blocks(payloads: Sequence[bytes], sizes: Sequence[int],
         def decode_batch(pls, szs, seed=None, dictionary=b""):
             if not pls:
                 return []
-            if use_pallas():
+            if use_pallas() and blk_bits <= 16:
                 from sqz_tpu.ops import sqz4_pallas
                 return sqz4_pallas.decode_groups(
                     pls, list(szs), blk_bits, seed=seed,
@@ -204,9 +210,13 @@ def decompress_blocks(payloads: Sequence[bytes], sizes: Sequence[int],
 
         if not warm:
             return b"".join(decode_batch_sq(list(payloads), sizes))
-        from sqz_tpu.oracle.bitstream import BitReader
-        from sqz_tpu.oracle.squeeze import squeeze_decode_payload
-        blk0, seed = squeeze_decode_payload(BitReader(payloads[0]),
-                                            sizes[0], return_state=True)
+        if native.available():
+            blk0, seed = native.squeeze_decompress_payload(
+                payloads[0], sizes[0], return_state=True)
+        else:
+            from sqz_tpu.oracle.bitstream import BitReader
+            from sqz_tpu.oracle.squeeze import squeeze_decode_payload
+            blk0, seed = squeeze_decode_payload(BitReader(payloads[0]),
+                                                sizes[0], return_state=True)
         return _warm_scatter(payloads, sizes, fresh_mask, decode_batch_sq,
                              blk0, seed, _warm_dictionary(blk0, win_bits))

@@ -860,6 +860,11 @@ def encode_data_full(data: bytes, blk_bits: int, window: int, lz: bool,
     (sqzt v2, FORMAT.md §3.1): blocks 1+ match into block 0's tail and
     start from its rescaled model state via the seeded kernel."""
     from sqz_tpu import native
+    if blk_bits > 16:
+        # the wide divider's exactness proof covers totals < 2^17, i.e.
+        # blocks up to 64 KiB (FORMAT.md §3.1) — larger blocks must take
+        # the host/scan path
+        raise ValueError("sqz4 TPU kernels support blk_bits <= 16")
     bs = 1 << blk_bits
     NB = max(1, -(-len(data) // bs))
     warm = warm and NB > 1
@@ -2150,6 +2155,8 @@ def decode_groups(payloads, sizes, blk_bits: int, interpret: bool = False,
     (the warm container's block 0 is decoded on the host first and is not
     part of this call)."""
     from sqz_tpu import native
+    if blk_bits > 16:
+        raise ValueError("sqz4 TPU kernels support blk_bits <= 16")
     warm = seed is not None
     NB = len(payloads)
     bs = 1 << blk_bits

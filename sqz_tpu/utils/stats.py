@@ -109,17 +109,19 @@ def count_rejections(data: bytes, window: int) -> int:
     rejected match emits one literal and re-parses from the next byte, so
     counting demotable tokens on a rejection-free parse would see a
     different candidate stream."""
+    from sqz_tpu.formats.constants import (
+        SQZ4_MIN_LEN, SQZ4_MAX_LEN, sqz4_reject_short_far)
     from sqz_tpu.oracle.match import greedy_tokens
     n = 0
 
     def reject(length, dist):
         nonlocal n
-        if length <= 3 and dist.bit_length() > 3:
+        if sqz4_reject_short_far(length, dist):
             n += 1
             return True
         return False
 
-    greedy_tokens(data, window, 2, 254, reject=reject)
+    greedy_tokens(data, window, SQZ4_MIN_LEN, SQZ4_MAX_LEN, reject=reject)
     return n
 
 

@@ -9,6 +9,7 @@ longest match wins, nearest (smallest distance) wins ties
 import numpy as np
 import pytest
 
+from sqz_tpu.formats.constants import sqz4_reject_short_far
 from sqz_tpu.oracle.match import greedy_tokens
 
 
@@ -30,7 +31,9 @@ def brute_force_tokens(data: bytes, window: int, min_len: int, max_len: int,
                 best_len, best_dist = k, i - j
                 if k == cap:
                     break
-        if reject_short_far and best_len <= 3 and best_dist.bit_length() > 3:
+        # the single-source policy rule (formats/constants.py) IS the ground
+        # truth here — the native tokenizer below is asserted against it
+        if reject_short_far and sqz4_reject_short_far(best_len, best_dist):
             best_len = 0
         if best_len >= min_len:
             toks.append(("match", best_len, best_dist))
@@ -58,8 +61,8 @@ CASES = [
 def test_oracle_matches_brute_force(case, window, min_len, max_len, reject):
     data = CASES[case]
     if reject:
-        rej = lambda l, d: l <= 3 and d.bit_length() > 3
-        got = greedy_tokens(data, window, min_len, max_len, reject=rej)
+        got = greedy_tokens(data, window, min_len, max_len,
+                            reject=sqz4_reject_short_far)
     else:
         got = greedy_tokens(data, window, min_len, max_len)
     want = brute_force_tokens(data, window, min_len, max_len, reject)
@@ -112,3 +115,17 @@ def test_container_checksum_detects_payload_swap():
     from sqz_tpu import native as nat
     if nat.available():
         assert h == nat.fnv1a64(data[:100])
+
+
+def test_reject_rule_boundaries():
+    """Pin the single-source short-far rule (src/sqz.c:678-685) at its
+    boundary values so any drift in formats/constants.py is caught even
+    without a parse."""
+    from sqz_tpu.formats.constants import (
+        SQZ4_REJECT_MAX_LEN, SQZ4_REJECT_MAX_BITS)
+    assert (SQZ4_REJECT_MAX_LEN, SQZ4_REJECT_MAX_BITS) == (3, 3)
+    assert not sqz4_reject_short_far(3, 7)       # dist fits 3 bits: keep
+    assert sqz4_reject_short_far(3, 8)           # dist needs 4 bits: reject
+    assert sqz4_reject_short_far(2, 8)
+    assert not sqz4_reject_short_far(4, 8)       # long enough: keep
+    assert not sqz4_reject_short_far(4, 1 << 14)

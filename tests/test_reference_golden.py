@@ -172,3 +172,34 @@ def test_sqz4_full_file_parity(ref_clis, tmp_path, native_engine,
         f"ours {len(our_blob)}B)")
     assert native_engine.sqz4_decompress(ref_blob) == data
     assert _ref_sqz4_decompress(s4, tmp_path, our_blob) == data
+
+
+def test_bible_published_size():
+    """Reproduce the reference's one published number: bible.txt
+    4,436,173 B compresses to 1,451,352 B (32.7%) with the attic squeeze
+    codec at win_bits=15 (attic/map_experiment/test.c:34-35).
+
+    bible.txt is a missing blob in the read-only mount (BASELINE.md
+    "Corpus caveat"); fetch it with scripts/fetch_corpus.py on a networked
+    host (SQZ_CORPUS_DIR or test/). The squeeze encoder here is bit-exact
+    vs the compiled reference on every mounted corpus file, so matching
+    the published byte count closes BASELINE's bible.txt row.
+    """
+    from sqz_tpu.utils import corpus
+    path = corpus.REFERENCE_TEST_DIR / "bible.txt"
+    if not path.exists():
+        alt = Path("test/bible.txt")
+        if not alt.exists():
+            pytest.skip("bible.txt not fetched (no egress in this sandbox; "
+                        "run scripts/fetch_corpus.py)")
+        path = alt
+    data = path.read_bytes()
+    if len(data) != 4436173:
+        pytest.skip(f"bible.txt is {len(data)} B, published run used "
+                    "4,436,173 B (different Gutenberg revision)")
+    from sqz_tpu import native
+    if not native.available():
+        pytest.skip("native runtime unavailable")
+    blob = native.squeeze_compress(data, 15)
+    assert len(blob) == 1451352
+    assert native.squeeze_decompress(blob) == data
