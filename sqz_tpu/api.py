@@ -42,16 +42,24 @@ def compress(data: bytes, fmt: Format | str = Format.SQUEEZE,
              engine: Engine | str = Engine.NATIVE,
              win_bits: int = 15, lz: bool = True,
              blocks: bool = False, blk_bits: int = 16,
-             checksum: bool = True, warm: bool = False) -> bytes:
+             checksum: bool = True, warm: bool = False,
+             parse: str = "auto") -> bytes:
     """``warm`` (sqzt v2, FORMAT.md §3.1): blocks 1+ start from block 0's
     final rescaled model state instead of fresh models, recovering most of
-    the per-block reset ratio penalty. Requires ``blocks=True``."""
+    the per-block reset ratio penalty. Requires ``blocks=True``.
+
+    ``parse`` ('auto' | 'fast' | 'exact'; TPU engine, sqz4, blocks=True):
+    the sqzt container's contract is round-trip + ratio, so the TPU
+    pipeline defaults to the bounded approximate matcher ('fast', ~20x
+    planning throughput, ratio within ~0.5 pp). 'exact' restores the
+    reference-semantics parse (streams byte-identical to the native
+    engine). Other engines always parse exactly. SQZ_PARSE overrides."""
     fmt, engine = Format(fmt), Engine(engine)
     if blocks:
         parts = sqzt.split_blocks(data, blk_bits)
         warm = warm and len(parts) > 1
         res = _compress_blocks(parts, fmt, engine, win_bits, lz, warm,
-                               blk_bits)
+                               blk_bits, parse)
         payloads, fresh_mask = res if warm else (res, None)
         code = SQZT_FORMAT_SQUEEZE if fmt is Format.SQUEEZE else SQZT_FORMAT_SQZ4
         csum = sqzt.fnv1a64(data) if checksum else None
@@ -80,7 +88,7 @@ def _warm_dictionary(block0: bytes, win_bits: int) -> bytes:
 
 
 def _compress_blocks(parts, fmt, engine, win_bits, lz, warm=False,
-                     blk_bits=None):
+                     blk_bits=None, parse="auto"):
     """Cold: returns payloads. Warm: returns (payloads, fresh_mask) — per
     block the encoder codes BOTH fresh and seeded and keeps the smaller
     (FORMAT.md §3.1), so warm never loses to cold beyond the bitmap byte
@@ -91,7 +99,7 @@ def _compress_blocks(parts, fmt, engine, win_bits, lz, warm=False,
     if engine is Engine.TPU:
         from sqz_tpu.ops import engine as tpu_engine
         return tpu_engine.compress_blocks(parts, fmt, win_bits, lz, warm,
-                                          blk_bits=blk_bits)
+                                          blk_bits=blk_bits, parse=parse)
     if engine is Engine.NATIVE and warm:
         # the native threaded executor runs the whole warm schedule itself
         code = 0 if fmt is Format.SQUEEZE else 1

@@ -87,6 +87,9 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.squeeze_plan_pack.restype = i64
         lib.squeeze_plan_pack.argtypes = [u8p, u64, i32, i32, u64, u64,
                                           i32, i32, u32p]
+        lib.sqz4_fast_plan.restype = i64
+        lib.sqz4_fast_plan.argtypes = [u8p, u64, u32, i32, i32, u64, i32,
+                                       i32, i32, i32, u32p, u8p, u8p, i64p]
         lib.sqz_fnv1a64.restype = u64
         lib.sqz_fnv1a64.argtypes = [u8p, u64]
         lib.sqz4_pack_payloads.restype = i64
@@ -456,6 +459,38 @@ def sqz4_plan_pack(data: bytes, window: int, blk_bits: int, lz: bool,
     if warm:
         return m_words, s_words, mx, _seed4_out(seed_out)
     return m_words, s_words, mx
+
+
+def sqz4_fast_plan(data: bytes, window: int, blk_bits: int, lz: bool,
+                   tp_cap: int, nthreads: int = 0, warm: bool = False,
+                   paired: bool = False, depth: int = 32):
+    """Fast approximate planning pass for the sqzt TPU pipeline: bounded
+    match search (exact distances 1..7 + depth-limited 4-gram chains) with
+    CONTIGUOUS per-block op emission — the cache-hostile device-layout
+    transpose stays on the TPU (sqz4_pallas._pack_ops_device).
+
+    Returns (m8, s8 [nblocks, tp_cap] u8, max_ops[, seed]). Streams are
+    spec-valid sqz4 but NOT byte-identical to the exact parse; intended for
+    the sqzt container where the contract is round-trip + ratio
+    (FORMAT.md §3)."""
+    lib = _load()
+    n = len(data)
+    bs = 1 << blk_bits
+    nblocks = max(1, (n + bs - 1) // bs)
+    src = np.frombuffer(data, dtype=np.uint8) if data else np.zeros(1, np.uint8)
+    m8 = np.full((nblocks, tp_cap), 255, dtype=np.uint8)
+    s8 = np.zeros((nblocks, tp_cap), dtype=np.uint8)
+    counts = np.zeros(nblocks, dtype=np.int64)
+    seed_out = np.zeros(SEED4_WORDS, dtype=np.uint32) if warm else None
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    mx = _check(lib.sqz4_fast_plan(
+        _u8(src), n, window, blk_bits, int(lz), tp_cap, nthreads,
+        int(warm), int(paired), depth,
+        _u32p(seed_out) if seed_out is not None else None,
+        _u8(m8), _u8(s8), counts.ctypes.data_as(i64p)))
+    if warm:
+        return m8, s8, mx, _seed4_out(seed_out)
+    return m8, s8, mx
 
 
 def sqz4_pack_payloads(payloads, lanes: int, pw: int,

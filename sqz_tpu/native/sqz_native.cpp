@@ -11,7 +11,9 @@
 #include <atomic>
 #include <cerrno>
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
+#include <memory>
 #include <thread>
 #include <vector>
 
@@ -109,9 +111,7 @@ class BitReader {
     uint32_t read_bit() {
         if (nbits_ == 0) {
             if (pos_ + 8 > n_) fail(EILSEQ);
-            b64_ = 0;
-            for (int i = 0; i < 8; i++) b64_ = (b64_ << 8) | data_[pos_++];
-            nbits_ = 64;
+            load();
         }
         uint32_t bit = static_cast<uint32_t>(b64_ >> 63);
         b64_ <<= 1;
@@ -120,12 +120,59 @@ class BitReader {
     }
 
     uint64_t read_bits(int nbits) {
+        if (nbits > 0 && nbits <= 16) {  // hot: extra bits / NYT (<= 13)
+            uint32_t p = peek(nbits);
+            consume(nbits);
+            // stream emits the value LSB-first, so the MSB-first peek is
+            // the bit-reversed value
+            uint64_t v = 0;
+            for (int i = 0; i < nbits; i++) v |= ((p >> (nbits - 1 - i)) & 1u) << i;
+            return v;
+        }
         uint64_t v = 0;
         for (int i = 0; i < nbits; i++) v |= static_cast<uint64_t>(read_bit()) << i;
         return v;
     }
 
+    // ---- LUT-decoder fast path: MSB-first peek without consuming. Bits
+    // past the real stream read as zeros; consume() raises the same EILSEQ
+    // the bit-serial reader would, exactly when virtual bits are consumed.
+    uint32_t peek(int k) const {
+        uint64_t w = b64_;
+        if (nbits_ < k && pos_ + 8 <= n_) {
+            const uint64_t nxt = load_be(pos_);
+            if (nbits_ > 0) w |= nxt >> nbits_;
+            else w = nxt;
+        }
+        return static_cast<uint32_t>(w >> (64 - k));
+    }
+
+    void consume(int k) {
+        if (k <= nbits_) {
+            b64_ <<= k;
+            nbits_ -= k;
+            return;
+        }
+        const int need = k - nbits_;
+        if (pos_ + 8 > n_) fail(EILSEQ);
+        load();
+        b64_ <<= need;
+        nbits_ -= need;
+    }
+
   private:
+    uint64_t load_be(uint64_t at) const {
+        uint64_t w;
+        std::memcpy(&w, data_ + at, 8);
+        return __builtin_bswap64(w);   // streams are big-endian 64-bit words
+    }
+
+    void load() {
+        b64_ = load_be(pos_);
+        pos_ += 8;
+        nbits_ = 64;
+    }
+
     const uint8_t* data_;
     uint64_t n_;
     uint64_t pos_ = 0;
@@ -140,64 +187,79 @@ class BitReader {
 // restructure, exactly mirroring the reference state machine.
 class HuffTree {
   public:
+    // Hot per-node state packed into one 16-byte record so the
+    // frequency cascade's parent/child hops stay within a couple of cache
+    // lines (the six parallel arrays spread the same walk over ~48 KB,
+    // measured as the decode bottleneck — PERF.md round 3). path/bits are
+    // cold (encoder writes, LUT patches) and stay separate.
+    struct Node { uint64_t freq; int16_t pix, lix, rix, pad; };
+
     explicit HuffTree(int terminals)
         : n_(terminals), m_(2 * terminals - 1),
-          freq_(m_, 0), path_(m_, 0), bits_(m_, 0),
-          pix_(m_, -1), lix_(m_, -1), rix_(m_, -1),
+          nd_(m_, Node{0, -1, -1, -1, 0}),
+          path_(m_, 0), bits_(m_, 0),
           next_(m_ - 1) {}
 
-    bool seen(int i) const { return pix_[i] != -1; }
+    bool seen(int i) const { return nd_[i].pix != -1; }
     uint64_t path(int i) const { return path_[i]; }
     int bits(int i) const { return bits_[i]; }
     int root() const { return m_ - 1; }
-    int left(int i) const { return lix_[i]; }
-    int right(int i) const { return rix_[i]; }
-    bool is_leaf(int i) const { return lix_[i] < 0 && rix_[i] < 0; }
+    int left(int i) const { return nd_[i].lix; }
+    int right(int i) const { return nd_[i].rix; }
+    bool is_leaf(int i) const { return nd_[i].lix < 0 && nd_[i].rix < 0; }
+
+    // LUT decode support: every tree-SHAPE event (the only events that
+    // change codewords: sibling swap, move-up, leaf insert/splice) records
+    // the topmost rearranged node whose own path was unchanged at that
+    // moment; the decoder re-fills those LUT prefix ranges after the
+    // symbol settles (see HuffLut). nullptr disables tracking.
+    void track_shape(std::vector<int>* d) { dirty_ = d; }
 
     bool insert(int i) {
         int ipx = root();
-        freq_[i] = 1;
+        nd_[i].freq = 1;
         while (ipx >= n_) {
-            if (rix_[ipx] == -1) { rix_[ipx] = i; pix_[i] = ipx; break; }
-            if (lix_[ipx] == -1) { lix_[ipx] = i; pix_[i] = ipx; break; }
-            ipx = lix_[ipx];
+            if (nd_[ipx].rix == -1) { nd_[ipx].rix = i; nd_[i].pix = ipx; break; }
+            if (nd_[ipx].lix == -1) { nd_[ipx].lix = i; nd_[i].pix = ipx; break; }
+            ipx = nd_[ipx].lix;
         }
         if (ipx >= n_) {
-            freq_[ipx]++;
+            nd_[ipx].freq++;
             i = swap_siblings(i);
         } else {
             if (next_ == n_) { complete_ = true; return false; }
             int nix = --next_;
-            freq_[nix] = freq_[ipx];
-            lix_[nix] = ipx;
-            rix_[nix] = -1;
-            pix_[nix] = pix_[ipx];
+            nd_[nix].freq = nd_[ipx].freq;
+            nd_[nix].lix = ipx;
+            nd_[nix].rix = -1;
+            nd_[nix].pix = nd_[ipx].pix;
             bits_[nix] = bits_[ipx];
             path_[nix] = path_[ipx];
-            int opix = pix_[ipx];
+            int opix = nd_[ipx].pix;
             if (opix != -1) {
-                (lix_[opix] == ipx ? lix_[opix] : rix_[opix]) = nix;
+                (nd_[opix].lix == ipx ? nd_[opix].lix : nd_[opix].rix) = nix;
             }
-            pix_[ipx] = nix;
+            nd_[ipx].pix = nix;
             bits_[ipx]++;
             path_[ipx] = path_[nix];
-            rix_[nix] = i;
-            pix_[i] = nix;
+            nd_[nix].rix = i;
+            nd_[i].pix = nix;
             bits_[i] = bits_[nix] + 1;
             path_[i] = path_[nix] | (1ull << bits_[nix]);
             update_freq(nix);
             ipx = nix;
         }
+        if (dirty_) dirty_->push_back(ipx);
         frequency_changed(i);
         update_paths(ipx);
         return true;
     }
 
     void inc_frequency(int i) {
-        if (pix_[i] == -1) {
+        if (nd_[i].pix == -1) {
             insert(i);
-        } else if (!complete_ && depth_ < 63 && freq_[i] < kMask64 - 1) {
-            freq_[i]++;
+        } else if (!complete_ && depth_ < 63 && nd_[i].freq < kMask64 - 1) {
+            nd_[i].freq++;
             frequency_changed(i);
         } else {
             complete_ = true;
@@ -214,12 +276,12 @@ class HuffTree {
         s[1] = depth_;
         s[2] = complete_ ? 1 : 0;
         int64_t* p = s + 3;
-        for (int i = 0; i < m_; i++) *p++ = static_cast<int64_t>(freq_[i]);
+        for (int i = 0; i < m_; i++) *p++ = static_cast<int64_t>(nd_[i].freq);
         for (int i = 0; i < m_; i++) *p++ = static_cast<int64_t>(path_[i]);
         for (int i = 0; i < m_; i++) *p++ = bits_[i];
-        for (int i = 0; i < m_; i++) *p++ = pix_[i];
-        for (int i = 0; i < m_; i++) *p++ = lix_[i];
-        for (int i = 0; i < m_; i++) *p++ = rix_[i];
+        for (int i = 0; i < m_; i++) *p++ = nd_[i].pix;
+        for (int i = 0; i < m_; i++) *p++ = nd_[i].lix;
+        for (int i = 0; i < m_; i++) *p++ = nd_[i].rix;
     }
 
     void load_state(const int64_t* s) {
@@ -227,12 +289,12 @@ class HuffTree {
         depth_ = static_cast<int>(s[1]);
         complete_ = s[2] != 0;
         const int64_t* p = s + 3;
-        for (int i = 0; i < m_; i++) freq_[i] = static_cast<uint64_t>(*p++);
+        for (int i = 0; i < m_; i++) nd_[i].freq = static_cast<uint64_t>(*p++);
         for (int i = 0; i < m_; i++) path_[i] = static_cast<uint64_t>(*p++);
         for (int i = 0; i < m_; i++) bits_[i] = static_cast<int>(*p++);
-        for (int i = 0; i < m_; i++) pix_[i] = static_cast<int>(*p++);
-        for (int i = 0; i < m_; i++) lix_[i] = static_cast<int>(*p++);
-        for (int i = 0; i < m_; i++) rix_[i] = static_cast<int>(*p++);
+        for (int i = 0; i < m_; i++) nd_[i].pix = static_cast<int>(*p++);
+        for (int i = 0; i < m_; i++) nd_[i].lix = static_cast<int>(*p++);
+        for (int i = 0; i < m_; i++) nd_[i].rix = static_cast<int>(*p++);
     }
 
   private:
@@ -240,26 +302,27 @@ class HuffTree {
         if (i == m_ - 1) depth_ = 0;
         const int b = bits_[i];
         const uint64_t p = path_[i];
-        if (lix_[i] != -1) {
-            bits_[lix_[i]] = b + 1;
-            path_[lix_[i]] = p;
-            update_paths(lix_[i]);
+        if (nd_[i].lix != -1) {
+            bits_[nd_[i].lix] = b + 1;
+            path_[nd_[i].lix] = p;
+            update_paths(nd_[i].lix);
         }
-        if (rix_[i] != -1) {
-            bits_[rix_[i]] = b + 1;
-            path_[rix_[i]] = p | (1ull << b);
-            update_paths(rix_[i]);
+        if (nd_[i].rix != -1) {
+            bits_[nd_[i].rix] = b + 1;
+            path_[nd_[i].rix] = p | (1ull << b);
+            update_paths(nd_[i].rix);
         }
         if (b > depth_) depth_ = b;
     }
 
     int swap_siblings(int i) {
         if (i < m_ - 1) {
-            int pix = pix_[i];
-            int l = lix_[pix], r = rix_[pix];
-            if (l >= 0 && r >= 0 && freq_[l] > freq_[r]) {
-                lix_[pix] = r;
-                rix_[pix] = l;
+            int pix = nd_[i].pix;
+            int l = nd_[pix].lix, r = nd_[pix].rix;
+            if (l >= 0 && r >= 0 && nd_[l].freq > nd_[r].freq) {
+                nd_[pix].lix = r;
+                nd_[pix].rix = l;
+                if (dirty_) dirty_->push_back(pix);
                 update_paths(pix);
                 return i == l ? r : l;
             }
@@ -268,49 +331,147 @@ class HuffTree {
     }
 
     void update_freq(int i) {
-        freq_[i] = (lix_[i] >= 0 ? freq_[lix_[i]] : 0) +
-                   (rix_[i] >= 0 ? freq_[rix_[i]] : 0);
+        nd_[i].freq = (nd_[i].lix >= 0 ? nd_[nd_[i].lix].freq : 0) +
+                      (nd_[i].rix >= 0 ? nd_[nd_[i].rix].freq : 0);
     }
 
     void move_up(int ix) {
-        int pix = pix_[ix];
-        int gix = pix_[pix];
-        bool parent_is_left = pix == lix_[gix];
-        int psx = parent_is_left ? rix_[gix] : lix_[gix];  // uncle
-        if (freq_[ix] > freq_[psx]) {
-            pix_[ix] = gix;
-            (parent_is_left ? rix_[gix] : lix_[gix]) = ix;
-            rix_[pix] = psx;
-            pix_[psx] = pix;
+        int pix = nd_[ix].pix;
+        int gix = nd_[pix].pix;
+        bool parent_is_left = pix == nd_[gix].lix;
+        int psx = parent_is_left ? nd_[gix].rix : nd_[gix].lix;  // uncle
+        if (nd_[ix].freq > nd_[psx].freq) {
+            nd_[ix].pix = gix;
+            (parent_is_left ? nd_[gix].rix : nd_[gix].lix) = ix;
+            nd_[pix].rix = psx;
+            nd_[psx].pix = pix;
             update_freq(pix);
             update_freq(gix);
             swap_siblings(ix);
             swap_siblings(psx);
             swap_siblings(pix);
+            if (dirty_) dirty_->push_back(gix);
             update_paths(gix);
             frequency_changed(gix);
         }
     }
 
+    // Iterative form of the reference cascade (recursive original kept in
+    // the comment below for auditing): ascend re-summing parents and
+    // swapping out-of-order siblings, then unwind top-down applying the
+    // move-up checks — the same pre/post order the recursion produced.
+    // This is the hottest loop in the host codec (gprof: 41% of a
+    // compress+decompress run before flattening); the resum + swap
+    // compare share their two freq loads per level.
+    //
+    //   void frequency_changed(int i) {          // original (reference
+    //       int pix = pix_[i];                   //  huffman.h state machine)
+    //       if (pix == -1) { update_freq(i); i = swap_siblings(i); }
+    //       else { update_freq(pix); i = swap_siblings(i);
+    //              frequency_changed(pix); }
+    //       if (pix != -1 && pix_[pix] != -1 && i == rix_[pix]) move_up(i);
+    //   }
     void frequency_changed(int i) {
-        int pix = pix_[i];
-        if (pix == -1) {
-            update_freq(i);
-            i = swap_siblings(i);
-        } else {
-            update_freq(pix);
-            i = swap_siblings(i);
-            frequency_changed(pix);
+        int cand[80];
+        int sp = 0;
+        for (;;) {
+            const int pix = nd_[i].pix;
+            if (pix == -1) {
+                update_freq(i);
+                swap_siblings(i);        // no-op for the root; kept 1:1
+                break;
+            }
+            const int l = nd_[pix].lix, r = nd_[pix].rix;
+            const uint64_t fl = l >= 0 ? nd_[l].freq : 0;
+            const uint64_t fr = r >= 0 ? nd_[r].freq : 0;
+            nd_[pix].freq = fl + fr;     // update_freq(pix)
+            int i2 = i;
+            int rcur = r;
+            if (l >= 0 && r >= 0 && fl > fr) {   // swap_siblings(i)
+                nd_[pix].lix = r;
+                nd_[pix].rix = l;
+                rcur = l;
+                if (dirty_) dirty_->push_back(pix);
+                update_paths(pix);
+                i2 = (i == l) ? r : l;
+            }
+            // move-up candidates: right children of non-root parents. The
+            // unwind re-verifies against current state (upper move-ups
+            // re-enter this function and can rearrange), matching the
+            // recursive original's post-order evaluation exactly.
+            if (i2 == rcur && nd_[pix].pix != -1) cand[sp++] = i2;
+            i = pix;
         }
-        if (pix != -1 && pix_[pix] != -1 && i == rix_[pix]) move_up(i);
+        while (sp > 0) {
+            const int j = cand[--sp];
+            const int pj = nd_[j].pix;
+            if (pj != -1 && nd_[pj].pix != -1 && j == nd_[pj].rix) move_up(j);
+        }
     }
 
     int n_, m_;
-    std::vector<uint64_t> freq_, path_;
-    std::vector<int> bits_, pix_, lix_, rix_;
+    std::vector<Node> nd_;
+    std::vector<uint64_t> path_;
+    std::vector<int> bits_;
     int next_;
     int depth_ = 0;
     bool complete_ = false;
+    std::vector<int>* dirty_ = nullptr;
+};
+
+// Prefix decode LUT over a HuffTree (VERDICT r2 #4): 2^K entries indexed
+// by the next K stream bits (MSB-first). A leaf within K bits resolves in
+// one lookup; longer codes continue the bit-serial walk from the stored
+// depth-K boundary node. Codeword changes are rare (measured 0.077 shape
+// events/symbol, PERF.md), and each event re-fills only the recorded
+// subtree's prefix range, so the rebuild amortizes to a few entry writes
+// per symbol instead of 2^K.
+struct HuffLut {
+    static constexpr int K = 10;       // 2 KiB table: stays L1-resident next
+    static constexpr uint32_t kLeaf = 0x8000u;    // to the packed tree nodes
+    static constexpr uint32_t kInvalid = 0x4000u; // walk hit a -1 child
+    std::vector<uint16_t> e;
+
+    explicit HuffLut(const HuffTree& t) : e(size_t(1) << K) { patch(t, t.root()); }
+
+    // u16 entry: kLeaf | len<<10 | node (node <= 1022, len <= K)
+    //            boundary (internal at depth K) -> plain node index
+    void fill(const HuffTree& t, int node, uint32_t prefix, int depth) {
+        if (t.is_leaf(node) || depth == K) {
+            const uint16_t entry = t.is_leaf(node)
+                ? static_cast<uint16_t>(kLeaf
+                      | (static_cast<uint32_t>(depth) << 10)
+                      | static_cast<uint32_t>(node))
+                : static_cast<uint16_t>(node);
+            const uint32_t lo = prefix << (K - depth);
+            const uint32_t cnt = 1u << (K - depth);
+            for (uint32_t j = 0; j < cnt; j++) e[lo + j] = entry;
+            return;
+        }
+        for (int b = 0; b < 2; b++) {
+            const int c = b ? t.right(node) : t.left(node);
+            const uint32_t p = (prefix << 1) | static_cast<uint32_t>(b);
+            if (c >= 0) {
+                fill(t, c, p, depth + 1);
+            } else {  // growing tree: unreachable side decodes as EILSEQ
+                const uint32_t lo = p << (K - depth - 1);
+                const uint32_t cnt = 1u << (K - depth - 1);
+                for (uint32_t j = 0; j < cnt; j++)
+                    e[lo + j] = static_cast<uint16_t>(kInvalid);
+            }
+        }
+    }
+
+    void patch(const HuffTree& t, int node) {
+        const int d = t.bits(node);
+        if (node != t.root() && d == 0) return;  // detached (stale record)
+        if (d > K) return;        // deep subtrees never own LUT entries
+        // prefix = the walk bits to `node`: path bit k = step at depth k
+        uint32_t prefix = 0;
+        const uint64_t p = t.path(node);
+        for (int k = 0; k < d; k++) prefix = (prefix << 1) | ((p >> k) & 1);
+        fill(t, node, prefix, d);
+    }
 };
 
 // ------------------------------------------------------ DEFLATE-like tables
@@ -436,6 +597,107 @@ class MatchFinder {
     std::vector<int64_t> prev_;
 };
 
+// --------------------------------------------- fast approximate match finder
+
+// Throughput-first matcher for the sqzt TPU pipeline (VERDICT r2 #1): the
+// container contract there is round-trip + ratio, not decision parity with
+// the reference scan, so the search is bounded:
+//   * distances 1..7 are scanned exactly (the only admissible distances for
+//     short matches under the sqz4 reject rule, formats/constants.py) —
+//     this also catches RLE runs at full length;
+//   * distances 8..window-1 come from 4-gram hash chains walked at most
+//     `depth` links, nearest-first (longest wins, nearest wins ties among
+//     the visited candidates).
+// Every reported match is verified byte-for-byte by the extension loop, so
+// approximation affects WHICH match is found, never stream validity.
+class FastMatchFinder {
+  public:
+    static constexpr uint32_t kEmpty = 0xFFFFFFFFu;
+    static constexpr uint32_t kTableBits = 15;
+    static constexpr uint32_t kTableSize = 1u << kTableBits;
+
+    FastMatchFinder(const uint8_t* data, uint64_t n, uint32_t window,
+                    int max_len, int depth)
+        : data_(data), n_(n), window_(window), max_len_(max_len),
+          depth_(depth), head_(kTableSize, kEmpty),
+          prev_(n > 0 ? n : 1) {}
+
+    // Rebind to a new buffer without reallocating (per-block reuse). Only
+    // head_ needs clearing: prev_ entries are reached through head_ alone.
+    void reset(const uint8_t* data, uint64_t n) {
+        data_ = data;
+        n_ = n;
+        std::fill(head_.begin(), head_.end(), kEmpty);
+        if (prev_.size() < n) prev_.resize(n);
+    }
+
+    inline uint32_t hash(uint64_t p) const {
+        uint32_t g;
+        std::memcpy(&g, data_ + p, 4);
+        return (g * 2654435761u) >> (32 - kTableBits);
+    }
+
+    inline void insert(uint64_t p) {
+        if (p + 4 <= n_) {
+            uint32_t h = hash(p);
+            prev_[p] = head_[h];
+            head_[h] = static_cast<uint32_t>(p);
+        }
+    }
+
+    void find(uint64_t i, uint32_t* out_len, uint32_t* out_dist) const {
+        *out_len = 0;
+        *out_dist = 0;
+        uint64_t cap64 = n_ - i;
+        uint32_t cap = cap64 < static_cast<uint64_t>(max_len_)
+                           ? static_cast<uint32_t>(cap64)
+                           : static_cast<uint32_t>(max_len_);
+        if (cap < 2) return;
+        const uint8_t* cur = data_ + i;
+        uint32_t best = 0, bdist = 0;
+        const uint64_t dmax = i < 7 ? i : 7;
+        for (uint64_t d = 1; d <= dmax; d++) {
+            const uint8_t* cand = cur - d;
+            if (cand[0] != cur[0] || cand[1] != cur[1]) continue;
+            uint32_t k = 2;
+            while (k < cap && cand[k] == cur[k]) k++;
+            if (k > best) {
+                best = k;
+                bdist = static_cast<uint32_t>(d);
+                if (k == cap) break;
+            }
+        }
+        if (cap >= 4 && i + 4 <= n_ && best < cap) {
+            int64_t lo = static_cast<int64_t>(i) - window_ + 1;
+            if (lo < 0) lo = 0;
+            int steps = depth_;
+            for (uint32_t j = head_[hash(i)];
+                 j != kEmpty && static_cast<int64_t>(j) >= lo && steps-- > 0;
+                 j = prev_[j]) {
+                const uint8_t* cand = data_ + j;
+                if (best != 0 && cand[best] != cur[best]) continue;
+                uint32_t k = 0;
+                while (k < cap && cand[k] == cur[k]) k++;
+                if (k > best) {
+                    best = k;
+                    bdist = static_cast<uint32_t>(i - j);
+                    if (k == cap) break;
+                }
+            }
+        }
+        *out_len = best;
+        *out_dist = bdist;
+    }
+
+  private:
+    const uint8_t* data_;
+    uint64_t n_;
+    uint32_t window_;
+    int max_len_, depth_;
+    std::vector<uint32_t> head_;
+    std::vector<uint32_t> prev_;
+};
+
 // --------------------------------------------------------- squeeze encoder
 
 template <typename W>
@@ -537,6 +799,39 @@ uint64_t squeeze_read_sym(BitReader& br, HuffTree& t) {
     return static_cast<uint64_t>(i);
 }
 
+// LUT fast path: stale prefix ranges from the PREVIOUS symbol's shape
+// events are re-filled before the peek; codes longer than K bits resume
+// the bit-serial walk from the depth-K boundary node. State evolution is
+// identical to squeeze_read_sym (the LUT is a read-layer only).
+uint64_t squeeze_read_sym_lut(BitReader& br, HuffTree& t, HuffLut& lut,
+                              std::vector<int>& dirty) {
+    if (!dirty.empty()) {
+        for (int r : dirty) lut.patch(t, r);
+        dirty.clear();
+    }
+    const uint32_t en = lut.e[br.peek(HuffLut::K)];
+    int i;
+    if (en & HuffLut::kLeaf) {
+        br.consume(static_cast<int>((en >> 10) & 0xF));
+        i = static_cast<int>(en & 0x3FF);
+    } else if (en & HuffLut::kInvalid) {
+        fail(EILSEQ);
+        return 0;
+    } else {
+        br.consume(HuffLut::K);
+        i = static_cast<int>(en);
+        uint32_t bit = br.read_bit();
+        for (;;) {
+            i = bit ? t.right(i) : t.left(i);
+            if (i < 0) fail(EILSEQ);
+            if (t.is_leaf(i)) break;
+            bit = br.read_bit();
+        }
+    }
+    t.inc_frequency(i);
+    return static_cast<uint64_t>(i);
+}
+
 uint64_t squeeze_decode_payload(BitReader& br, uint8_t* out, uint64_t size,
                                 const int64_t* seed = nullptr,
                                 int64_t* state_out = nullptr,
@@ -550,6 +845,22 @@ uint64_t squeeze_decode_payload(BitReader& br, uint8_t* out, uint64_t size,
         lit.insert(kLitNyt);
         pos.insert(kPosNyt);
     }
+    // prefix-LUT decode (VERDICT r2 #4); SQZ_NO_LUT=1 restores the
+    // bit-serial walk for A/B and differential testing
+    static const bool no_lut = std::getenv("SQZ_NO_LUT") != nullptr;
+    std::vector<int> dlit;
+    std::unique_ptr<HuffLut> llut;
+    if (!no_lut) {
+        lit.track_shape(&dlit);
+        llut.reset(new HuffLut(lit));
+    }
+    auto read_lit = [&]() {
+        return no_lut ? squeeze_read_sym(br, lit)
+                      : squeeze_read_sym_lut(br, lit, *llut, dlit);
+    };
+    // the pos tree is tiny (63 nodes, short codes): the bit-serial walk on
+    // the packed nodes beats a second LUT competing for L1
+    auto read_pos = [&]() { return squeeze_read_sym(br, pos); };
     std::vector<uint8_t> histbuf;
     uint8_t* o = out;
     if (dlen > 0) {
@@ -559,7 +870,7 @@ uint64_t squeeze_decode_payload(BitReader& br, uint8_t* out, uint64_t size,
     }
     uint64_t i = 0;
     while (i < size) {
-        uint64_t sym = squeeze_read_sym(br, lit);
+        uint64_t sym = read_lit();
         if (sym == kLitNyt) {
             sym = br.read_bits(9);
             if (sym >= 512 || !lit.insert(static_cast<int>(sym))) fail(EILSEQ);
@@ -571,7 +882,7 @@ uint64_t squeeze_decode_payload(BitReader& br, uint8_t* out, uint64_t size,
             int li = static_cast<int>(sym) - kSymMin;
             uint32_t len = kLenBase[li];
             if (kLenXb[li]) len += static_cast<uint32_t>(br.read_bits(kLenXb[li]));
-            uint64_t pi = squeeze_read_sym(br, pos);
+            uint64_t pi = read_pos();
             if (pi == kPosNyt) {
                 pi = br.read_bits(5);
                 if (pi >= 30 || !pos.insert(static_cast<int>(pi))) fail(EILSEQ);
@@ -713,6 +1024,37 @@ void seed4_capture(const Sqz4Models& pm, uint32_t* s) {
     for (int b = 0; b < 32; b++) {
         uint32_t f[2];
         pm.dist[b].dump_freqs(f, 2);
+        seed4_rescale(f, 2);
+        s[546 + b] = f[0];
+        s[578 + b] = f[1];
+    }
+}
+
+// Model seed derived from an op stream: fresh freqs (+1 everywhere) plus
+// one update per coded op, then the normative capture rescale — identical
+// to seed4_capture after actually coding the ops (updates are +1 per op).
+void seed4_from_ops(const uint8_t* ms, const uint8_t* ss, uint64_t count,
+                    uint32_t* s) {
+    for (int k = 0; k < kSeed4Words; k++) s[k] = 0;
+    s[0] = s[1] = 1;                              // literal
+    for (int k = 0; k < 256; k++) s[2 + k] = 1;   // size
+    for (int k = 0; k < 256; k++) s[258 + k] = 1; // byte
+    for (int k = 0; k < 32; k++) s[514 + k] = 1;  // bits
+    for (int k = 0; k < 64; k++) s[546 + k] = 1;  // dist
+    for (uint64_t t = 0; t < count; t++) {
+        int m = ms[t], sy = ss[t];
+        if (m == 0) s[sy]++;
+        else if (m == 1) s[2 + sy]++;
+        else if (m == 2) s[258 + sy]++;
+        else if (m == 3) s[514 + sy]++;
+        else if (m >= 4 && m < 36) s[546 + 32 * sy + (m - 4)]++;
+    }
+    seed4_rescale(s, 2);
+    seed4_rescale(s + 2, 256);
+    seed4_rescale(s + 258, 256);
+    seed4_rescale(s + 514, 32);
+    for (int b = 0; b < 32; b++) {
+        uint32_t f[2] = {s[546 + b], s[578 + b]};
         seed4_rescale(f, 2);
         s[546 + b] = f[0];
         s[578 + b] = f[1];
@@ -1469,34 +1811,7 @@ int64_t sqz4_plan_pack(const uint8_t* data, uint64_t n, uint32_t window,
             if (ms.size() > tp_cap) { fail.store(-ENOBUFS); return; }
             op_counts[b] = static_cast<int64_t>(ms.size());
             if (warm && b == 0 && seed_out != nullptr) {
-                // model seed = fresh freqs + block 0's op histogram, then
-                // the normative rescale — identical to seed4_capture after
-                // an actual block 0 encode (updates are +1 per op).
-                uint32_t* s = seed_out;
-                for (int k = 0; k < kSeed4Words; k++) s[k] = 0;
-                s[0] = s[1] = 1;                      // literal
-                for (int k = 0; k < 256; k++) s[2 + k] = 1;      // size
-                for (int k = 0; k < 256; k++) s[258 + k] = 1;    // byte
-                for (int k = 0; k < 32; k++) s[514 + k] = 1;     // bits
-                for (int k = 0; k < 64; k++) s[546 + k] = 1;     // dist
-                for (size_t t = 0; t < ms.size(); t++) {
-                    int m = ms[t], sy = ss[t];
-                    if (m == 0) s[sy]++;
-                    else if (m == 1) s[2 + sy]++;
-                    else if (m == 2) s[258 + sy]++;
-                    else if (m == 3) s[514 + sy]++;
-                    else if (m >= 4 && m < 36) s[546 + 32 * sy + (m - 4)]++;
-                }
-                seed4_rescale(s, 2);
-                seed4_rescale(s + 2, 256);
-                seed4_rescale(s + 258, 256);
-                seed4_rescale(s + 514, 32);
-                for (int bb = 0; bb < 32; bb++) {
-                    uint32_t f[2] = {s[546 + bb], s[578 + bb]};
-                    seed4_rescale(f, 2);
-                    s[546 + bb] = f[0];
-                    s[578 + bb] = f[1];
-                }
+                seed4_from_ops(ms.data(), ss.data(), ms.size(), seed_out);
             }
             const uint64_t g = b / lanes, lane = b % lanes;
             uint32_t* mw = m_words + g * tp_rows * lanes;
@@ -1508,6 +1823,115 @@ int64_t sqz4_plan_pack(const uint8_t* data, uint64_t n, uint32_t window,
                            | (static_cast<uint32_t>(ms[t]) << sh);
                 sw[cell] = (sw[cell] & ~(0xFFu << sh))
                            | (static_cast<uint32_t>(ss[t]) << sh);
+            }
+        }
+    };
+    for (int t = 0; t < nthreads; t++) pool.emplace_back(worker);
+    for (auto& th : pool) th.join();
+    if (fail.load() != 0) return fail.load();
+    int64_t mx = 0;
+    for (uint64_t b = 0; b < nblocks; b++) mx = std::max(mx, op_counts[b]);
+    return mx;
+}
+
+// Fast planning pass for the sqzt TPU encode pipeline (VERDICT r2 #1):
+// tokenize each block with the bounded FastMatchFinder and emit the
+// (model, symbol) micro-op stream CONTIGUOUSLY per block — m8/s8 are
+// [nblocks, tp_cap] row-major u8 (caller-prefilled: m8 = 255 pad, s8 = 0).
+// The device-layout transpose/word-pack that made the exact path
+// cache-hostile (every op a ~2 KiB-strided RMW) moves to the TPU, where a
+// [G, lanes, rows*4] u8 -> [G, rows, lanes] u32 relayout is a trivial
+// fused XLA reshape. Grammar identical to sqz4_plan_pack, including the
+// paired-slot pad after odd-span matches. Returns max ops/block or -errno.
+int64_t sqz4_fast_plan(const uint8_t* data, uint64_t n, uint32_t window,
+                       int blk_bits, int lz, uint64_t tp_cap, int nthreads,
+                       int warm, int paired, int depth,
+                       uint32_t* seed_out,
+                       uint8_t* m8, uint8_t* s8, int64_t* op_counts) {
+    const uint64_t bs = 1ull << blk_bits;
+    const uint64_t nblocks = n == 0 ? 1 : (n + bs - 1) / bs;
+    if (nthreads <= 0) nthreads = static_cast<int>(std::thread::hardware_concurrency());
+    if (nthreads < 1) nthreads = 1;
+    const uint8_t* dict = nullptr;
+    uint64_t dlen = 0;
+    if (warm && nblocks > 1 && lz) {
+        uint64_t len0 = n < bs ? n : bs;
+        dlen = len0 < window ? len0 : window;
+        dict = data + (len0 - dlen);
+    }
+    std::vector<std::thread> pool;
+    std::atomic<uint64_t> next{0};
+    std::atomic<int64_t> fail{0};
+    auto worker = [&]() {
+        FastMatchFinder mf(data, 0, window, 254, depth);
+        std::vector<uint8_t> buf;
+        for (;;) {
+            uint64_t b = next.fetch_add(1);
+            if (b >= nblocks) return;
+            const uint8_t* blk = data + b * bs;
+            const uint64_t len = (n - b * bs) < bs ? (n - b * bs) : bs;
+            uint8_t* mrow = m8 + b * tp_cap;
+            uint8_t* srow = s8 + b * tp_cap;
+            uint64_t t = 0;
+            // worst-case ops left for one token: flag+size+bits+13 dist
+            // bits + paired pad = 17; EOS tail needs 2 + 8 more
+            const uint64_t kTail = 32;
+            if (lz) {
+                const uint8_t* base = blk;
+                uint64_t total = len, start = 0;
+                if (b > 0 && dlen > 0) {
+                    buf.clear();
+                    buf.insert(buf.end(), dict, dict + dlen);
+                    buf.insert(buf.end(), blk, blk + len);
+                    base = buf.data();
+                    total = dlen + len;
+                    start = dlen;
+                }
+                mf.reset(base, total);
+                for (uint64_t k = 0; k < start; k++) mf.insert(k);
+                uint64_t i = start;
+                while (i < total) {
+                    if (t + kTail > tp_cap) { fail.store(-ENOBUFS); return; }
+                    uint32_t mlen, dist;
+                    mf.find(i, &mlen, &dist);
+                    uint32_t nbits = 0;
+                    for (uint32_t d = dist; d != 0; d >>= 1) nbits++;
+                    if (mlen <= 3 && nbits > 3) mlen = 0;  // reject rule
+                    if (mlen >= 2) {
+                        mrow[t] = 0; srow[t] = 0; t++;
+                        mrow[t] = 1; srow[t] = static_cast<uint8_t>(mlen); t++;
+                        mrow[t] = 3; srow[t] = static_cast<uint8_t>(nbits); t++;
+                        uint32_t d = dist;
+                        for (uint32_t k = 0; k + 1 < nbits; k++) {
+                            mrow[t] = static_cast<uint8_t>(4 + k);
+                            srow[t] = d & 1;
+                            t++;
+                            d >>= 1;
+                        }
+                        if (paired && (nbits & 1)) { mrow[t] = 255; srow[t] = 0; t++; }
+                        for (uint32_t k = 0; k < mlen; k++) mf.insert(i + k);
+                        i += mlen;
+                    } else {
+                        mrow[t] = 0; srow[t] = 1; t++;
+                        mrow[t] = 2; srow[t] = base[i]; t++;
+                        mf.insert(i);
+                        i++;
+                    }
+                }
+            } else {
+                if (2 * len + kTail > tp_cap) { fail.store(-ENOBUFS); return; }
+                for (uint64_t i = 0; i < len; i++) {
+                    mrow[t] = 0; srow[t] = 1; t++;
+                    mrow[t] = 2; srow[t] = blk[i]; t++;
+                }
+            }
+            // EOS + 8 flush emissions
+            mrow[t] = 0; srow[t] = 0; t++;
+            mrow[t] = 1; srow[t] = 0xFF; t++;
+            for (int k = 0; k < 8; k++) { mrow[t] = 254; srow[t] = 0; t++; }
+            op_counts[b] = static_cast<int64_t>(t);
+            if (warm && b == 0 && seed_out != nullptr) {
+                seed4_from_ops(mrow, srow, t, seed_out);
             }
         }
     };

@@ -67,9 +67,14 @@ def _pick_smaller(cold: List[bytes], warm: List[bytes]):
 
 
 def compress_blocks(parts: Sequence[bytes], fmt, win_bits: int,
-                    lz: bool, warm: bool = False, blk_bits: int = None):
+                    lz: bool, warm: bool = False, blk_bits: int = None,
+                    parse: str = "auto"):
     """Cold: payloads. Warm: (payloads, fresh_mask) — both a fresh and a
-    seeded pass run, keeping the smaller payload per block."""
+    seeded pass run, keeping the smaller payload per block.
+
+    ``parse`` (sqz4 Pallas path only): 'fast' approximate matcher (the
+    'auto' default — sqzt's contract is round-trip + ratio, FORMAT.md §3)
+    or 'exact' reference-semantics parse; SQZ_PARSE env overrides."""
     from sqz_tpu.api import Format, _warm_dictionary
     if blk_bits is None:
         blk_bits = (max((len(p) - 1).bit_length() for p in parts)
@@ -87,12 +92,12 @@ def compress_blocks(parts: Sequence[bytes], fmt, win_bits: int,
             assert all(len(p) == 1 << blk_bits for p in parts[:-1])
             cold = sqz4_pallas.encode_data_full(
                 data, blk_bits, 1 << win_bits, lz,
-                cap=(1 << blk_bits) + 2048)
+                cap=(1 << blk_bits) + 2048, parse=parse)
             if not warm:
                 return cold
             warm_p = sqz4_pallas.encode_data_full(
                 data, blk_bits, 1 << win_bits, lz,
-                cap=(1 << blk_bits) + 2048, warm=True)
+                cap=(1 << blk_bits) + 2048, warm=True, parse=parse)
             return _pick_smaller(cold, warm_p)
         tokens = [_tokenize(p, 1 << win_bits, SQZ4_MIN_LEN, SQZ4_MAX_LEN,
                             reject=True, lz=lz) for p in parts]

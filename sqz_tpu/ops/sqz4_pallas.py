@@ -852,46 +852,95 @@ def encode_groups_full(m_ops: np.ndarray, s_ops: np.ndarray, cap: int,
 
 
 
+@jax.jit
+def _pack_ops_words(x8):
+    """Device-side op-stream relayout: [G, B, R] u8 (contiguous per-block
+    rows from sqz4_fast_plan) -> the kernel's [G, R/4, B] u32 layout
+    (4 big-endian u8 ops per word). A fused XLA reshape/transpose — this
+    replaces the host pass whose ~2 KiB-strided per-op RMWs capped the
+    exact planner at ~13 MB/s/core (PERF.md round 3)."""
+    G, B, R = x8.shape
+    x = x8.astype(jnp.uint32).reshape(G, B, R // 4, 4)
+    w = (x[..., 0] << 24) | (x[..., 1] << 16) | (x[..., 2] << 8) | x[..., 3]
+    return w.transpose(0, 2, 1)
+
+
+def parse_mode(parse: str = "auto") -> str:
+    """Resolve the sqzt-path parse policy: 'fast' (bounded approximate
+    matcher, the throughput default) or 'exact' (reference-semantics
+    matcher). SQZ_PARSE overrides; 'auto' = fast."""
+    env = os.environ.get("SQZ_PARSE")
+    if env in ("fast", "exact"):
+        return env
+    return "fast" if parse == "auto" else parse
+
+
 def encode_data_full(data: bytes, blk_bits: int, window: int, lz: bool,
                      cap: int, tc: int = ENC_TC, lanes: int = ENC_LANES,
-                     warm: bool = False, interpret: bool = False):
-    """Whole-buffer encode: native threaded plan+pack straight into the
+                     warm: bool = False, interpret: bool = False,
+                     parse: str = "auto"):
+    """Whole-buffer encode: native threaded planning straight into the
     kernel's word layout, then the self-contained device coder. ``warm``
     (sqzt v2, FORMAT.md §3.1): blocks 1+ match into block 0's tail and
-    start from its rescaled model state via the seeded kernel."""
+    start from its rescaled model state via the seeded kernel.
+
+    ``parse``: 'fast' (default via 'auto') plans with the bounded
+    approximate matcher + contiguous emission + device-side word pack
+    (~20x the planning throughput, ratio within ~0.5 pp — PERF.md);
+    'exact' keeps the reference-semantics parse."""
     from sqz_tpu import native
     if blk_bits > 16:
         # the wide divider's exactness proof covers totals < 2^17, i.e.
         # blocks up to 64 KiB (FORMAT.md §3.1) — larger blocks must take
         # the host/scan path
         raise ValueError("sqz4 TPU kernels support blk_bits <= 16")
+    parse = parse_mode(parse)
     bs = 1 << blk_bits
     NB = max(1, -(-len(data) // bs))
     warm = warm and NB > 1
     fused = os.environ.get("SQZ_ENC_FUSED", "1") == "1"
     # paired streams add <= 1 pad per match; 5/2 ops-per-byte covers it
     tp_cap = -(-(5 * bs // 2 + 64) // (4 * tc)) * 4 * tc
-    if warm:
-        mw, sw, mx, seed = native.sqz4_plan_pack(data, window, blk_bits, lz,
-                                                 lanes, tp_cap, warm=True,
-                                                 paired=fused)
+    seed = None
+    if parse == "fast":
+        depth = int(os.environ.get("SQZ_FAST_DEPTH", "32"))
+        res = native.sqz4_fast_plan(data, window, blk_bits, lz, tp_cap,
+                                    warm=warm, paired=fused, depth=depth)
+        m8, s8, mx = res[:3]
+        if warm:
+            seed = res[3]
+        rows = -(-int(mx) // (4 * tc)) * tc
+        G = -(-NB // lanes)
+        mp = np.full((G * lanes, rows * 4), 255, np.uint8)
+        sp8 = np.zeros((G * lanes, rows * 4), np.uint8)
+        mp[:NB] = m8[:, :rows * 4]
+        sp8[:NB] = s8[:, :rows * 4]
+        mw_dev = _pack_ops_words(jnp.asarray(mp.reshape(G, lanes, rows * 4)))
+        sw_dev = _pack_ops_words(jnp.asarray(sp8.reshape(G, lanes, rows * 4)))
     else:
-        mw, sw, mx = native.sqz4_plan_pack(data, window, blk_bits, lz,
-                                           lanes, tp_cap, paired=fused)
-    rows = -(-int(mx) // (4 * tc)) * tc        # used word rows, tc-aligned
+        if warm:
+            mw, sw, mx, seed = native.sqz4_plan_pack(
+                data, window, blk_bits, lz, lanes, tp_cap, warm=True,
+                paired=fused)
+        else:
+            mw, sw, mx = native.sqz4_plan_pack(data, window, blk_bits, lz,
+                                               lanes, tp_cap, paired=fused)
+        rows = -(-int(mx) // (4 * tc)) * tc    # used word rows, tc-aligned
+        G = mw.shape[0]
+        mw_dev = jnp.asarray(mw[:, :rows])
+        sw_dev = jnp.asarray(sw[:, :rows])
     if warm:
         # warm-seeded models can EXPAND a block whose content mismatches
         # block 0 (e.g. text seed, incompressible block) — give headroom
         cap = cap + bs // 4
     cap_words = (-(-(cap + 3) // 4) + 31) // 32 * 32
     if warm:
-        seed_tab = _enc_seed_table(seed, mw.shape[0], lanes, fresh_lane0=True)
+        seed_tab = _enc_seed_table(seed, G, lanes, fresh_lane0=True)
         words, lens = _encode_full_pallas_seeded(
-            jnp.asarray(mw[:, :rows]), jnp.asarray(sw[:, :rows]),
+            mw_dev, sw_dev,
             jnp.asarray(seed_tab), cap_words, tc, interpret, fused)
     else:
-        words, lens = _encode_full_pallas(jnp.asarray(mw[:, :rows]),
-                                          jnp.asarray(sw[:, :rows]),
+        words, lens = _encode_full_pallas(mw_dev, sw_dev,
                                           cap_words, tc, interpret,
                                           blk_bits >= 15, fused)
     lens = np.asarray(lens)

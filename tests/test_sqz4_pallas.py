@@ -132,8 +132,34 @@ def test_pallas_fused_encoder_matches_native(monkeypatch):
     data = load("laozi.txt")[:1024]
     ref = native.blocks_compress(data, 1, 10, 9)    # 2 blocks of 512
     got = sp.encode_data_full(data, 9, 1 << 10, True, cap=512 + 2048,
-                              lanes=128, interpret=True)
+                              lanes=128, interpret=True, parse="exact")
     assert got == ref
+
+
+def test_fast_parse_streams_decode_everywhere():
+    """parse='fast' (bounded matcher, VERDICT r2 #1) emits different
+    tokens but spec-valid sqz4 streams: the native decoder and the device
+    decoder must both reproduce the data, and the size must stay close to
+    the exact parse (the sqzt contract is round-trip + ratio)."""
+    from sqz_tpu import native
+    if not native.available():
+        pytest.skip("native runtime unavailable")
+    from sqz_tpu.utils.corpus import load
+    data = load("confucius.txt")[:2048]
+    fast = sp.encode_data_full(data, 9, 1 << 10, True, cap=512 + 2048,
+                               lanes=128, interpret=True, parse="fast")
+    exact = sp.encode_data_full(data, 9, 1 << 10, True, cap=512 + 2048,
+                                lanes=128, interpret=True, parse="exact")
+    sizes = [512, 512, 512, 512]
+    # native decode of the fast streams (cross-engine validity)
+    got = b"".join(native.sqz4_decompress_payload(p, s)
+                   for p, s in zip(fast, sizes))
+    assert got == data
+    # device decode too
+    outs = sp.decode_groups(fast, sizes, blk_bits=9, interpret=True)
+    assert b"".join(outs) == data
+    # bounded search may lose a little ratio, never more than ~1.5 pp here
+    assert sum(map(len, fast)) <= sum(map(len, exact)) + len(data) * 15 // 1000
 
 
 @pytest.mark.parametrize("fusedv", ["0", "1"])
@@ -216,3 +242,23 @@ def test_squeeze_bitpack_matches_native():
     got = sp.squeeze_encode_data(data, 10, 10, cap=bs + 4096, tc=64,
                                  interpret=True)
     assert got == want
+
+
+def test_pipelined_encode_matches_serial():
+    """The pipelined engine (planner thread + per-group async dispatch,
+    ops/pipeline.py) must emit the same payloads as the serial path for
+    the same parse mode — grouping only batches dispatches."""
+    from sqz_tpu import native
+    if not native.available():
+        pytest.skip("native runtime unavailable")
+    from sqz_tpu.ops.pipeline import encode_data_pipelined
+    from sqz_tpu.utils.corpus import load
+    data = load("laozi.txt")[:2560]          # 10 blocks of 256
+    serial = sp.encode_data_full(data, 8, 1 << 10, True, cap=256 + 2048,
+                                 lanes=128, interpret=True, parse="exact")
+    piped = encode_data_pipelined(data, 8, 1 << 10, True, cap=256 + 2048,
+                                  lanes=128, interpret=True, parse="exact")
+    assert piped == serial
+    # multi-group grouping logic (planner/dispatch bookkeeping) without a
+    # device: group arithmetic must tile blocks in order
+    # (the on-hardware multi-group run is tools/check_pallas_enc.py --pipe)

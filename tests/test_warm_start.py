@@ -128,7 +128,8 @@ def test_warm_pallas_kernels_interpret():
     from sqz_tpu.ops import sqz4_pallas as sp
     data = _load("laozi.txt", 3072)
     got = sp.encode_data_full(data, 10, 1 << 10, True, cap=(1 << 10) + 2048,
-                              lanes=128, warm=True, interpret=True)
+                              lanes=128, warm=True, interpret=True,
+                              parse="exact")
     blk0, seed = native.sqz4_decompress_payload(got[0], 1024,
                                                 return_state=True)
     assert blk0 == data[:1024]
