@@ -209,9 +209,35 @@ def main() -> None:
     gbps = 2 * len(data) / (t_enc + t_dec) / 1e9
     print(f"# pallas kernels: enc {len(data)/t_enc/1e6:.1f} MB/s, "
           f"dec {len(data)/t_dec/1e6:.1f} MB/s", file=sys.stderr)
-    print(f"# end-to-end incl. tunnel transfers + host stages: enc "
-          f"{len(data)/(t_host_enc+t_enc+t_enc_dl)/1e6:.1f} MB/s, dec "
-          f"{len(data)/(t_dec+t_dec_dl)/1e6:.1f} MB/s", file=sys.stderr)
+    print(f"# end-to-end incl. tunnel transfers + host stages (exact parse, "
+          f"serial): enc {len(data)/(t_host_enc+t_enc+t_enc_dl)/1e6:.1f} "
+          f"MB/s, dec {len(data)/(t_dec+t_dec_dl)/1e6:.1f} MB/s",
+          file=sys.stderr)
+
+    # ---- shipping encode path: fast parse + pipelined engine (bounded
+    # matcher, contiguous emission, device-side repack, planner-thread /
+    # device overlap — PERF.md round 3). Wall-clock includes EVERYTHING:
+    # planning, transfers through the sandbox tunnel, kernels, payload
+    # download/unpack. Round-trip verified through the native decoder.
+    from sqz_tpu.ops.pipeline import encode_data_pipelined
+    fast_payloads = encode_data_pipelined(data, blk_bits, window, lz,
+                                          cap=bs + 2048, parse="fast")
+    t_e2e = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        fast_payloads = encode_data_pipelined(data, blk_bits, window, lz,
+                                              cap=bs + 2048, parse="fast")
+        t_e2e = min(t_e2e, time.perf_counter() - t0)
+    fast_ratio = sum(len(p) for p in fast_payloads) / len(data)
+    exact_ratio = sum(len(p) for p in payloads) / len(data)
+    spot = list(range(0, NB, max(1, NB // 16)))       # round-trip spot-check
+    for b in spot:
+        assert native.sqz4_decompress_payload(
+            fast_payloads[b], sizes[b]) == parts[b], f"fast block {b}"
+    print(f"# end-to-end pipelined encode (fast parse, incl. host plan + "
+          f"tunnel transfers + unpack): {len(data)/t_e2e/1e6:.1f} MB/s, "
+          f"ratio {fast_ratio*100:.2f}% (exact-parse blocks "
+          f"{exact_ratio*100:.2f}%)", file=sys.stderr)
 
     # ---- compression ratio: the block-parallel container's payload bytes
     # vs the original, and vs ONE whole-input reference-format stream (the
@@ -315,6 +341,8 @@ def main() -> None:
         "squeeze_bitpack_MBps": round(len(data) / t_sq / 1e6, 1),
         "squeeze_host_decode_MBps": round(len(data) / t_sq_dec / 1e6, 1),
         "squeeze_ratio": round(sq_ratio, 6),
+        "e2e_pipelined_fast_enc_MBps": round(len(data) / t_e2e / 1e6, 1),
+        "fast_parse_ratio": round(fast_ratio, 6),
     }))
 
 

