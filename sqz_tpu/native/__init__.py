@@ -90,6 +90,9 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.sqz4_fast_plan.restype = i64
         lib.sqz4_fast_plan.argtypes = [u8p, u64, u32, i32, i32, u64, i32,
                                        i32, i32, i32, u32p, u8p, u8p, i64p]
+        lib.sqz4_tok_plan.restype = i64
+        lib.sqz4_tok_plan.argtypes = [u8p, u64, u32, i32, i32, u64, u64,
+                                      i32, i32, u32p, u8p, i64p]
         lib.sqz_fnv1a64.restype = u64
         lib.sqz_fnv1a64.argtypes = [u8p, u64]
         lib.sqz4_pack_payloads.restype = i64
@@ -491,6 +494,32 @@ def sqz4_fast_plan(data: bytes, window: int, blk_bits: int, lz: bool,
     if warm:
         return m8, s8, mx, _seed4_out(seed_out)
     return m8, s8, mx
+
+
+def sqz4_tok_plan(data: bytes, window: int, blk_bits: int, lz: bool,
+                  tok_cap: int, lit_cap: int, nthreads: int = 0,
+                  depth: int = 32):
+    """Token-level fast planning for the token-input encoder kernel
+    (PERF.md round 3): one u32 token per parse decision + a dense literal
+    byte stream — ~4x less host->device traffic than the micro-op layout.
+
+    Returns (toks [nblocks, tok_cap] u32, lits [nblocks, lit_cap] u8,
+    counts [nblocks, 3] i64 (n_tok, n_lit, n_pairs), max_pairs).
+    Raises ENOBUFS when a block exceeds the caps (callers fall back to
+    sqz4_fast_plan + the op-stream kernel)."""
+    lib = _load()
+    n = len(data)
+    bs = 1 << blk_bits
+    nblocks = max(1, (n + bs - 1) // bs)
+    src = np.frombuffer(data, dtype=np.uint8) if data else np.zeros(1, np.uint8)
+    toks = np.zeros((nblocks, tok_cap), dtype=np.uint32)
+    lits = np.zeros((nblocks, lit_cap), dtype=np.uint8)
+    counts = np.zeros((nblocks, 3), dtype=np.int64)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    mx = _check(lib.sqz4_tok_plan(
+        _u8(src), n, window, blk_bits, int(lz), tok_cap, lit_cap, nthreads,
+        depth, _u32p(toks), _u8(lits), counts.ctypes.data_as(i64p)))
+    return toks, lits, counts, mx
 
 
 def sqz4_pack_payloads(payloads, lanes: int, pw: int,

@@ -1260,6 +1260,44 @@ uint64_t sqz4_decode_payload(const uint8_t* payload, uint64_t n,
     return i;
 }
 
+// Warm-start gate (sqzt v2 encoder policy, VERDICT r2 #5) — mirrors
+// formats/constants.py warm_gate_mask EXACTLY (tests assert agreement):
+// tail blocks are always seeded-pass candidates; full blocks only when at
+// least kMinHits of the first kProbe positions have their little-endian
+// 4-gram hash present in the dictionary's 2^kBits membership bitset.
+struct WarmGate {
+    static constexpr uint32_t kProbe = 2048;
+    static constexpr uint32_t kMinHits = 32;
+    static constexpr uint32_t kBits = 16;
+    std::vector<uint8_t> set;
+    uint64_t set_bits = 0;
+
+    WarmGate(const uint8_t* dict, uint64_t dlen) : set(1u << kBits, 0) {
+        for (uint64_t i = 0; i + 4 <= dlen; i++) {
+            uint32_t g;
+            std::memcpy(&g, dict + i, 4);
+            set[(g * 2654435761u) >> (32 - kBits)] = 1;
+        }
+        for (uint8_t v : set) set_bits += v;
+    }
+
+    bool candidate(const uint8_t* p, uint64_t len, uint64_t full) const {
+        if (len < full) return true;            // tail block
+        const uint64_t probe = len < kProbe ? len : kProbe;
+        if (probe < 4) return true;
+        uint64_t hits = 0;
+        for (uint64_t i = 0; i + 4 <= probe; i++) {
+            uint32_t g;
+            std::memcpy(&g, p + i, 4);
+            hits += set[(g * 2654435761u) >> (32 - kBits)];
+        }
+        // threshold above the bitset's expected false-positive hits
+        // (mirrors formats/constants.py exactly)
+        const uint64_t expected = (set_bits * (probe - 3)) >> kBits;
+        return hits >= expected + kMinHits;
+    }
+};
+
 }  // namespace
 
 // ----------------------------------------------------------------- C ABI
@@ -1519,6 +1557,11 @@ int64_t sqz_blocks_compress(const uint8_t* data, uint64_t n, int fmt,
     } else {
         warm = 0;
     }
+    // seeded passes only for gate candidates (VERDICT r2 #5): the pick
+    // stays size-based per candidate block; non-candidates skip the
+    // second encode entirely
+    std::unique_ptr<WarmGate> wgate;
+    if (warm) wgate.reset(new WarmGate(dict, dlen));
     std::vector<std::thread> pool;
     std::atomic<uint64_t> next{first};
     auto worker = [&]() {
@@ -1529,11 +1572,12 @@ int64_t sqz_blocks_compress(const uint8_t* data, uint64_t n, int fmt,
             const uint8_t* p = data + b * bs;
             uint64_t len = n - b * bs < bs ? n - b * bs : bs;
             uint8_t* dst = out + b * out_stride;
+            const bool cand = warm && wgate->candidate(p, len, bs);
             if (fmt == 0) {
                 out_sizes[b] = sqz_squeeze_compress_s(
                     p, len, win_bits, nullptr, nullptr,
                     nullptr, 0, dst, out_stride);
-                if (warm && out_sizes[b] >= 0) {
+                if (cand && out_sizes[b] >= 0) {
                     int64_t ws = sqz_squeeze_compress_s(
                         p, len, win_bits, seedt.data(), nullptr,
                         dict, dlen, alt.data(), out_stride);
@@ -1548,7 +1592,7 @@ int64_t sqz_blocks_compress(const uint8_t* data, uint64_t n, int fmt,
                 out_sizes[b] = sqz_sqz4_compress_s(
                     p, len, 1u << win_bits, lz, nullptr, nullptr,
                     nullptr, 0, dst, out_stride);
-                if (warm && out_sizes[b] >= 0) {
+                if (cand && out_sizes[b] >= 0) {
                     int64_t ws = sqz_sqz4_compress_s(
                         p, len, 1u << win_bits, lz, seed4.data(), nullptr,
                         dict, dlen, alt.data(), out_stride);
@@ -1940,6 +1984,116 @@ int64_t sqz4_fast_plan(const uint8_t* data, uint64_t n, uint32_t window,
     if (fail.load() != 0) return fail.load();
     int64_t mx = 0;
     for (uint64_t b = 0; b < nblocks; b++) mx = std::max(mx, op_counts[b]);
+    return mx;
+}
+
+// Token-level planning for the token-input encoder kernel (PERF.md round
+// 3): instead of the expanded (model, symbol) micro-op stream (~4.5 B per
+// input byte on the wire), emit one u32 TOKEN per parse decision plus a
+// dense literal-byte stream (~1.1 B/B total) — the kernel expands tokens
+// to fused coder pairs on the fly. Token word layout:
+//   bits 0..7   literal-run count (1..255) | match len (2..254) | 255 EOS
+//   bit  8      1 = match / EOS, 0 = literal run
+//   bits 9..13  match distance bit-length (1..15)
+//   bits 16..30 match distance (< 2^15)
+//   0           pad (terminates a lane defensively)
+// tok/lit arrays are [nblocks, tok_cap] u32 / [nblocks, lit_cap] u8,
+// caller-zeroed. counts rows per block: [n_tok, n_lit, n_pairs]; n_pairs
+// matches the fused op-stream pairing exactly (ceil((nbits+2)/2) per
+// match, 1 per literal byte, 5 for EOS+flush). A block whose parse
+// exceeds tok_cap/lit_cap gets n_pairs = -1 (the caller routes it to the
+// op-stream kernel); the return is max pairs over the fitting blocks.
+int64_t sqz4_tok_plan(const uint8_t* data, uint64_t n, uint32_t window,
+                      int blk_bits, int lz, uint64_t tok_cap,
+                      uint64_t lit_cap, int nthreads, int depth,
+                      uint32_t* toks, uint8_t* lits, int64_t* counts) {
+    const uint64_t bs = 1ull << blk_bits;
+    const uint64_t nblocks = n == 0 ? 1 : (n + bs - 1) / bs;
+    if (nthreads <= 0) nthreads = static_cast<int>(std::thread::hardware_concurrency());
+    if (nthreads < 1) nthreads = 1;
+    std::vector<std::thread> pool;
+    std::atomic<uint64_t> next{0};
+    std::atomic<int64_t> fail{0};
+    auto worker = [&]() {
+        FastMatchFinder mf(data, 0, window, 254, depth);
+        for (;;) {
+            uint64_t b = next.fetch_add(1);
+            if (b >= nblocks) return;
+            const uint8_t* blk = data + b * bs;
+            const uint64_t len = (n - b * bs) < bs ? (n - b * bs) : bs;
+            uint32_t* trow = toks + b * tok_cap;
+            uint8_t* lrow = lits + b * lit_cap;
+            uint64_t nt = 0, nl = 0, pairs = 0;
+            uint32_t run = 0;
+            bool over = false;
+            auto flush_run = [&]() {
+                if (run) {
+                    if (nt >= tok_cap) { over = true; return false; }
+                    trow[nt++] = run;       // literal-run token
+                    run = 0;
+                }
+                return true;
+            };
+            if (lz) {
+                mf.reset(blk, len);
+                uint64_t i = 0;
+                while (i < len && !over) {
+                    uint32_t mlen, dist;
+                    mf.find(i, &mlen, &dist);
+                    uint32_t nbits = 0;
+                    for (uint32_t d = dist; d != 0; d >>= 1) nbits++;
+                    if (mlen <= 3 && nbits > 3) mlen = 0;   // reject rule
+                    if (mlen >= 2) {
+                        if (!flush_run()) break;
+                        if (nt >= tok_cap) { over = true; break; }
+                        trow[nt++] = mlen | (1u << 8) | (nbits << 9)
+                                     | (dist << 16);
+                        pairs += 2 + (nbits > 2 ? (nbits - 1) / 2 : 0);
+                        for (uint32_t k = 0; k < mlen; k++) mf.insert(i + k);
+                        i += mlen;
+                    } else {
+                        if (nl >= lit_cap) { over = true; break; }
+                        lrow[nl++] = blk[i];
+                        pairs++;
+                        if (++run == 255 && !flush_run()) break;
+                        mf.insert(i);
+                        i++;
+                    }
+                }
+                if (!over) flush_run();
+            } else {
+                if (len > lit_cap || (len + 254) / 255 + 1 > tok_cap) {
+                    over = true;
+                } else {
+                    std::memcpy(lrow, blk, len);
+                    nl = len;
+                    pairs = len;
+                    for (uint64_t r = len; r > 0;) {
+                        uint32_t c = r < 255 ? static_cast<uint32_t>(r) : 255;
+                        trow[nt++] = c;
+                        r -= c;
+                    }
+                }
+            }
+            if (!over && nt >= tok_cap) over = true;
+            if (over) {
+                counts[b * 3 + 0] = 0;
+                counts[b * 3 + 1] = 0;
+                counts[b * 3 + 2] = -1;  // caller: op-stream path
+                continue;
+            }
+            trow[nt++] = 0xFFu | (1u << 8);     // EOS
+            pairs += 5;                          // (flag,size) + 4 flush
+            counts[b * 3 + 0] = static_cast<int64_t>(nt);
+            counts[b * 3 + 1] = static_cast<int64_t>(nl);
+            counts[b * 3 + 2] = static_cast<int64_t>(pairs);
+        }
+    };
+    for (int t = 0; t < nthreads; t++) pool.emplace_back(worker);
+    for (auto& th : pool) th.join();
+    if (fail.load() != 0) return fail.load();
+    int64_t mx = 0;
+    for (uint64_t b = 0; b < nblocks; b++) mx = std::max(mx, counts[b * 3 + 2]);
     return mx;
 }
 

@@ -30,9 +30,15 @@ import numpy as np
 def encode_data_pipelined(data: bytes, blk_bits: int, window: int, lz: bool,
                           cap: int, parse: str = "auto",
                           depth: int = None, lanes: int = None,
-                          interpret: bool = False) -> List[bytes]:
+                          interpret: bool = False,
+                          transport: str = "auto") -> List[bytes]:
     """Whole-buffer sqz4 encode with host/device overlap. Returns per-block
-    payloads (same contract as sqz4_pallas.encode_data_full, cold path)."""
+    payloads (same contract as sqz4_pallas.encode_data_full, cold path).
+
+    ``transport``: how planned work reaches the chip — 'tok' (token-input
+    kernel: ~1.1 B of transfer per input byte, the default for the fast
+    parse) or 'ops' (expanded micro-op streams, ~4.5 B/B, required for
+    the exact parse). SQZ_TRANSPORT overrides."""
     import jax.numpy as jnp
     from sqz_tpu import native
     from sqz_tpu.ops import sqz4_pallas as sp
@@ -40,6 +46,13 @@ def encode_data_pipelined(data: bytes, blk_bits: int, window: int, lz: bool,
     if blk_bits > 16:
         raise ValueError("sqz4 TPU kernels support blk_bits <= 16")
     parse = sp.parse_mode(parse)
+    env_t = os.environ.get("SQZ_TRANSPORT")
+    if env_t in ("tok", "ops"):
+        transport = env_t
+    elif transport == "auto":
+        transport = "tok" if parse == "fast" else "ops"
+    if transport == "tok" and parse != "fast":
+        raise ValueError("the token transport carries the fast parse only")
     if depth is None:
         depth = int(os.environ.get("SQZ_FAST_DEPTH", "32"))
     tc = sp.ENC_TC
@@ -51,8 +64,11 @@ def encode_data_pipelined(data: bytes, blk_bits: int, window: int, lz: bool,
     G = -(-NB // lanes)
     gbytes = bs * lanes                      # input bytes per group
     tp_cap = -(-(5 * bs // 2 + 64) // (4 * tc)) * 4 * tc
+    tok_cap = min(-(-(2 * bs // 3 + 96) // 32) * 32, 1 << 14)
+    lit_cap = max(bs, 128)
     cap_words = (-(-(cap + 3) // 4) + 31) // 32 * 32
     wide = blk_bits >= 15
+    bq = 32 if interpret else 1024
 
     # ---- stage 1 (planner thread): plan one group at a time; a depth-2
     # queue keeps at most one planned-but-undispatched group in memory
@@ -63,7 +79,30 @@ def encode_data_pipelined(data: bytes, blk_bits: int, window: int, lz: bool,
             for g in range(G):
                 chunk = data[g * gbytes:(g + 1) * gbytes]
                 nb = max(1, -(-len(chunk) // bs))
-                if parse == "fast":
+                if transport == "tok":
+                    toks, lits, counts, _mx = native.sqz4_tok_plan(
+                        chunk, window, blk_bits, lz, tok_cap, lit_cap,
+                        depth=depth)
+                    # straggler sort within the group + vectorized slabs
+                    fit = [b for b in range(nb) if counts[b, 2] >= 0]
+                    fit.sort(key=lambda b: int(counts[b, 2]))
+                    over = [b for b in range(nb) if counts[b, 2] < 0]
+                    if not fit:
+                        q.put((g, nb, None, over))
+                        continue
+                    Tt = max(96, min(-(-int(counts[fit, 0].max()) // bq)
+                                     * bq, tok_cap))
+                    lw_ = (int(counts[fit, 1].max()) + 3) // 4
+                    Lw = max(96, min(-(-lw_ // bq) * bq, lit_cap // 4))
+                    t_max = (-(-int(counts[fit, 2].max()) // bq) * bq
+                             if not interpret
+                             else int(counts[fit, 2].max()))
+                    tarr = np.zeros((1, lanes, Tt), np.uint32)
+                    larr = np.zeros((1, lanes, Lw * 4), np.uint8)
+                    tarr[0, :len(fit)] = toks[fit, :Tt]
+                    larr[0, :len(fit)] = lits[fit, :Lw * 4]
+                    q.put((g, nb, (fit, t_max, tarr, larr), over))
+                elif parse == "fast":
                     m8, s8, mx = native.sqz4_fast_plan(
                         chunk, window, blk_bits, lz, tp_cap, paired=fused,
                         depth=depth)
@@ -91,30 +130,67 @@ def encode_data_pipelined(data: bytes, blk_bits: int, window: int, lz: bool,
 
     # ---- stage 2 (main thread): upload + dispatch per group (async), then
     # drain results in order — downloads overlap later groups' compute
-    pending = []                             # (g, nb, lens_dev, words_dev)
+    pending = []
     while True:
         item = q.get()
         if item is None:
             break
         if isinstance(item, BaseException):
             raise item
-        g, nb, rows, ma, sa = item
-        if parse == "fast":
-            mw_dev = sp._pack_ops_words(jnp.asarray(ma.reshape(1, lanes, -1)))
-            sw_dev = sp._pack_ops_words(jnp.asarray(sa.reshape(1, lanes, -1)))
+        if transport == "tok":
+            g, nb, slab, over = item
+            if slab is None:
+                pending.append((g, nb, None, None, None, over))
+                continue
+            fit, t_max, tarr, larr = slab
+            tdev = sp._transpose_tok(jnp.asarray(tarr))
+            ldev = sp._pack_ops_words(jnp.asarray(larr))
+            words, lens = sp._encode_tok_pallas(tdev, ldev, t_max,
+                                                cap_words, interpret, wide)
+            pending.append((g, nb, fit, words, lens, over))
         else:
-            mw_dev = jnp.asarray(ma)         # already [1, rows, lanes]
-            sw_dev = jnp.asarray(sa)
-        words, lens = sp._encode_full_pallas(mw_dev, sw_dev, cap_words, tc,
-                                             interpret, wide, fused)
-        pending.append((g, nb, words, lens))
+            g, nb, rows, ma, sa = item
+            if parse == "fast":
+                mw_dev = sp._pack_ops_words(
+                    jnp.asarray(ma.reshape(1, lanes, -1)))
+                sw_dev = sp._pack_ops_words(
+                    jnp.asarray(sa.reshape(1, lanes, -1)))
+            else:
+                mw_dev = jnp.asarray(ma)     # already [1, rows, lanes]
+                sw_dev = jnp.asarray(sa)
+            words, lens = sp._encode_full_pallas(mw_dev, sw_dev, cap_words,
+                                                 tc, interpret, wide,
+                                                 fused)
+            pending.append((g, nb, words, lens))
 
     payloads: List[bytes] = []
-    for g, nb, words, lens in pending:
-        lens_np = np.asarray(lens)
-        if int(lens_np[:, 0].max(initial=0)) > cap_words * 4:
-            raise ValueError("compressed block exceeded the output capacity")
-        payloads.extend(sp.unpack_group_payloads(np.asarray(words), lens_np,
-                                                 nb))
+    for item in pending:
+        if transport == "tok":
+            g, nb, fit, words, lens, over = item
+            grp_out = [None] * nb
+            if fit is not None:
+                lens_np = np.asarray(lens)
+                if int(lens_np[:, 0].max(initial=0)) > cap_words * 4:
+                    raise ValueError(
+                        "compressed block exceeded the output capacity")
+                grp = sp.unpack_group_payloads(
+                    sp.fetch_words_trimmed(words, lens_np), lens_np,
+                    len(fit))
+                for i, b in enumerate(fit):
+                    grp_out[b] = grp[i]
+            for b in over:                   # cap overflow: op-stream path
+                blk = data[(g * lanes + b) * bs:(g * lanes + b + 1) * bs]
+                grp_out[b] = sp.encode_data_full(
+                    blk, blk_bits, window, lz, cap, tc, lanes,
+                    interpret=interpret, parse="fast")[0]
+            payloads.extend(grp_out)
+        else:
+            g, nb, words, lens = item
+            lens_np = np.asarray(lens)
+            if int(lens_np[:, 0].max(initial=0)) > cap_words * 4:
+                raise ValueError(
+                    "compressed block exceeded the output capacity")
+            payloads.extend(sp.unpack_group_payloads(
+                sp.fetch_words_trimmed(words, lens_np), lens_np, nb))
     t.join()
     return payloads

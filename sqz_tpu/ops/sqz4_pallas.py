@@ -417,7 +417,7 @@ def encode_groups(start: np.ndarray, size: np.ndarray, total: np.ndarray,
     lens = np.asarray(lens)
     if int(lens[:, 0].max(initial=0)) > cap_words * 4:
         raise ValueError("compressed block exceeded the output capacity")
-    return unpack_group_payloads(np.asarray(words), lens, NB)
+    return unpack_group_payloads(fetch_words_trimmed(words, lens), lens, NB)
 
 
 def unpack_group_payloads(words: np.ndarray, lens: np.ndarray, nb: int):
@@ -431,11 +431,129 @@ def unpack_group_payloads(words: np.ndarray, lens: np.ndarray, nb: int):
     return payloads
 
 
+def fetch_words_trimmed(words, lens_np: np.ndarray):
+    """Download a kernel output buffer trimmed to the used rows: payload
+    buffers are sized for the worst legal expansion (cap_words), but the
+    device->host transfer only needs ceil(max_len/4) rows — on the sandbox
+    tunnel that download otherwise dominates end-to-end encode (PERF.md
+    round 3). Rows bucket to 512 so the transfer shape stays cache-friendly
+    for jit re-use."""
+    used = (int(lens_np[:, 0].max(initial=0)) + 3) // 4
+    R = min(words.shape[1], max(512, -(-used // 512) * 512))
+    return np.asarray(words[:, :R])
+
+
 
 # ------------------------------------------------- self-contained encoder
 
 MOP_FLUSH = 254   # u8 op-stream marker for one flush emission
 MOP_PAD = 255
+
+
+def _fused_pair_body(m1, sym1, m2, sym2, carry, stage_ref, cb_ref, cs_ref,
+                     bits_ref, d0_ref, d1_ref, iota32, iota256, iota64,
+                     wide):
+    """Code ONE fused pair (the shared heart of the op-stream and
+    token-input encoder kernels): slot 1 holds only the cheap models
+    (flag / bits / dist / flush / pad), slot 2 uniquely holds 256-table
+    ops (byte / size / dist / flush / pad), so the 256-row extract +
+    suffix-update machinery runs once per pair."""
+    lh, ll, rh, rl, ocnt, wpos, ob0, ob1, ob2 = carry
+
+    # ------------- slot 1: flag | bits | dist | flush | pad
+    is_flag = m1 == 0
+    is_bits = m1 == 3
+    is_dist1 = (m1 >= 4) & (m1 < 36)
+    bitp1 = jnp.where(is_dist1, m1 - 4, _i(0))
+    flush1 = m1 == MOP_FLUSH
+    active1 = m1 < 36
+
+    bt = bits_ref[0:32, :]
+    oh32_at = iota32 == sym1
+    oh32_lt = iota32 == (sym1 - 1)
+    at32 = jnp.sum(jnp.where(oh32_at, bt, _i(0)), axis=0,
+                   keepdims=True, dtype=I32)
+    st32 = jnp.sum(jnp.where(oh32_lt, bt, _i(0)), axis=0,
+                   keepdims=True, dtype=I32)
+    tot32 = bt[31:32, :]
+    lit0 = bits_ref[32:33, :]
+    lit1 = bits_ref[33:34, :]
+    oh_bp1 = iota32 == bitp1
+    f0 = jnp.sum(jnp.where(oh_bp1, d0_ref[...], _i(0)), axis=0,
+                 keepdims=True, dtype=I32)
+    f1 = jnp.sum(jnp.where(oh_bp1, d1_ref[...], _i(0)), axis=0,
+                 keepdims=True, dtype=I32)
+    b0 = jnp.where(is_flag, lit0, f0)
+    b1 = jnp.where(is_flag, lit1, f1)
+    start1 = jnp.where(is_bits, st32,
+                       jnp.where(sym1 == 1, b0, _i(0)))
+    size1 = jnp.where(is_bits, at32 - st32,
+                      jnp.where(sym1 == 1, b1, b0))
+    total1 = jnp.where(is_bits, tot32, b0 + b1)
+
+    bits_ref[0:32, :] = bt + jnp.where(
+        is_bits & (iota32 >= sym1), _i(1), _i(0))
+    bits_ref[32:33, :] = lit0 + jnp.where(
+        is_flag & (sym1 == 0), _i(1), _i(0))
+    bits_ref[33:34, :] = lit1 + jnp.where(
+        is_flag & (sym1 == 1), _i(1), _i(0))
+
+    lh, ll, rh, rl, pre_h, pre_l, cnt = _enc_coder_step(
+        active1, flush1, i2u(start1), i2u(size1), i2u(total1),
+        lh, ll, rh, rl, wide)
+    ocnt, wpos, ob0, ob1, ob2 = _enc_append(
+        stage_ref, iota64, cnt, pre_h, pre_l, ocnt, wpos, ob0, ob1, ob2)
+
+    # ------------- slot 2: byte | size | dist | flush | pad
+    is_size = m2 == 1
+    is_byte = m2 == 2
+    is_dist2 = (m2 >= 4) & (m2 < 36)
+    bitp2 = jnp.where(is_dist2, m2 - 4, _i(0))
+    flush2 = m2 == MOP_FLUSH
+    active2 = m2 < 36
+    is256 = is_byte | is_size
+
+    tab256 = jnp.where(is_byte, cb_ref[...], cs_ref[...])
+    oh_at = iota256 == sym2
+    oh_lt = iota256 == (sym2 - 1)
+    at256 = jnp.sum(jnp.where(oh_at, tab256, _i(0)), axis=0,
+                    keepdims=True, dtype=I32)
+    st256 = jnp.sum(jnp.where(oh_lt, tab256, _i(0)), axis=0,
+                    keepdims=True, dtype=I32)
+    tot256 = tab256[255:256, :]
+    oh_bp2 = iota32 == bitp2
+    f0b = jnp.sum(jnp.where(oh_bp2, d0_ref[...], _i(0)), axis=0,
+                  keepdims=True, dtype=I32)
+    f1b = jnp.sum(jnp.where(oh_bp2, d1_ref[...], _i(0)), axis=0,
+                  keepdims=True, dtype=I32)
+    start2 = jnp.where(is256, st256,
+                       jnp.where(sym2 == 1, f0b, _i(0)))
+    size2 = jnp.where(is256, at256 - st256,
+                      jnp.where(sym2 == 1, f1b, f0b))
+    total2 = jnp.where(is256, tot256, f0b + f1b)
+
+    cb_ref[...] = cb_ref[...] + jnp.where(
+        is_byte & (iota256 >= sym2), _i(1), _i(0))
+    cs_ref[...] = cs_ref[...] + jnp.where(
+        is_size & (iota256 >= sym2), _i(1), _i(0))
+    # both slots' distance-bit updates in one RMW per table
+    d0_ref[...] = (d0_ref[...]
+                   + jnp.where(oh_bp1 & is_dist1 & (sym1 == 0),
+                               _i(1), _i(0))
+                   + jnp.where(oh_bp2 & is_dist2 & (sym2 == 0),
+                               _i(1), _i(0)))
+    d1_ref[...] = (d1_ref[...]
+                   + jnp.where(oh_bp1 & is_dist1 & (sym1 == 1),
+                               _i(1), _i(0))
+                   + jnp.where(oh_bp2 & is_dist2 & (sym2 == 1),
+                               _i(1), _i(0)))
+
+    lh, ll, rh, rl, pre_h, pre_l, cnt = _enc_coder_step(
+        active2, flush2, i2u(start2), i2u(size2), i2u(total2),
+        lh, ll, rh, rl, wide)
+    ocnt, wpos, ob0, ob1, ob2 = _enc_append(
+        stage_ref, iota64, cnt, pre_h, pre_l, ocnt, wpos, ob0, ob1, ob2)
+    return lh, ll, rh, rl, ocnt, wpos, ob0, ob1, ob2
 
 
 def _encode_full_kernel(m_ref, s_ref, *refs, wide: bool = False,
@@ -606,99 +724,10 @@ def _encode_full_kernel(m_ref, s_ref, *refs, wide: bool = False,
         m2 = u2i((mword >> sh2) & 0xFF)
         sym2 = u2i((sword >> sh2) & 0xFF)
 
-        # ------------- slot 1: flag | bits | dist | flush | pad
-        is_flag = m1 == 0
-        is_bits = m1 == 3
-        is_dist1 = (m1 >= 4) & (m1 < 36)
-        bitp1 = jnp.where(is_dist1, m1 - 4, _i(0))
-        flush1 = m1 == MOP_FLUSH
-        active1 = m1 < 36
-
-        bt = bits_ref[0:32, :]
-        oh32_at = iota32 == sym1
-        oh32_lt = iota32 == (sym1 - 1)
-        at32 = jnp.sum(jnp.where(oh32_at, bt, _i(0)), axis=0,
-                       keepdims=True, dtype=I32)
-        st32 = jnp.sum(jnp.where(oh32_lt, bt, _i(0)), axis=0,
-                       keepdims=True, dtype=I32)
-        tot32 = bt[31:32, :]
-        lit0 = bits_ref[32:33, :]
-        lit1 = bits_ref[33:34, :]
-        oh_bp1 = iota32 == bitp1
-        f0 = jnp.sum(jnp.where(oh_bp1, d0_ref[...], _i(0)), axis=0,
-                     keepdims=True, dtype=I32)
-        f1 = jnp.sum(jnp.where(oh_bp1, d1_ref[...], _i(0)), axis=0,
-                     keepdims=True, dtype=I32)
-        b0 = jnp.where(is_flag, lit0, f0)
-        b1 = jnp.where(is_flag, lit1, f1)
-        start1 = jnp.where(is_bits, st32,
-                           jnp.where(sym1 == 1, b0, _i(0)))
-        size1 = jnp.where(is_bits, at32 - st32,
-                          jnp.where(sym1 == 1, b1, b0))
-        total1 = jnp.where(is_bits, tot32, b0 + b1)
-
-        bits_ref[0:32, :] = bt + jnp.where(
-            is_bits & (iota32 >= sym1), _i(1), _i(0))
-        bits_ref[32:33, :] = lit0 + jnp.where(
-            is_flag & (sym1 == 0), _i(1), _i(0))
-        bits_ref[33:34, :] = lit1 + jnp.where(
-            is_flag & (sym1 == 1), _i(1), _i(0))
-
-        lh, ll, rh, rl, pre_h, pre_l, cnt = _enc_coder_step(
-            active1, flush1, i2u(start1), i2u(size1), i2u(total1),
-            lh, ll, rh, rl, wide)
-        ocnt, wpos, ob0, ob1, ob2 = _enc_append(
-            stage_ref, iota64, cnt, pre_h, pre_l, ocnt, wpos, ob0, ob1, ob2)
-
-        # ------------- slot 2: byte | size | dist | flush | pad
-        is_size = m2 == 1
-        is_byte = m2 == 2
-        is_dist2 = (m2 >= 4) & (m2 < 36)
-        bitp2 = jnp.where(is_dist2, m2 - 4, _i(0))
-        flush2 = m2 == MOP_FLUSH
-        active2 = m2 < 36
-        is256 = is_byte | is_size
-
-        tab256 = jnp.where(is_byte, cb_ref[...], cs_ref[...])
-        oh_at = iota256 == sym2
-        oh_lt = iota256 == (sym2 - 1)
-        at256 = jnp.sum(jnp.where(oh_at, tab256, _i(0)), axis=0,
-                        keepdims=True, dtype=I32)
-        st256 = jnp.sum(jnp.where(oh_lt, tab256, _i(0)), axis=0,
-                        keepdims=True, dtype=I32)
-        tot256 = tab256[255:256, :]
-        oh_bp2 = iota32 == bitp2
-        f0b = jnp.sum(jnp.where(oh_bp2, d0_ref[...], _i(0)), axis=0,
-                      keepdims=True, dtype=I32)
-        f1b = jnp.sum(jnp.where(oh_bp2, d1_ref[...], _i(0)), axis=0,
-                      keepdims=True, dtype=I32)
-        start2 = jnp.where(is256, st256,
-                           jnp.where(sym2 == 1, f0b, _i(0)))
-        size2 = jnp.where(is256, at256 - st256,
-                          jnp.where(sym2 == 1, f1b, f0b))
-        total2 = jnp.where(is256, tot256, f0b + f1b)
-
-        cb_ref[...] = cb_ref[...] + jnp.where(
-            is_byte & (iota256 >= sym2), _i(1), _i(0))
-        cs_ref[...] = cs_ref[...] + jnp.where(
-            is_size & (iota256 >= sym2), _i(1), _i(0))
-        # both slots' distance-bit updates in one RMW per table
-        d0_ref[...] = (d0_ref[...]
-                       + jnp.where(oh_bp1 & is_dist1 & (sym1 == 0),
-                                   _i(1), _i(0))
-                       + jnp.where(oh_bp2 & is_dist2 & (sym2 == 0),
-                                   _i(1), _i(0)))
-        d1_ref[...] = (d1_ref[...]
-                       + jnp.where(oh_bp1 & is_dist1 & (sym1 == 1),
-                                   _i(1), _i(0))
-                       + jnp.where(oh_bp2 & is_dist2 & (sym2 == 1),
-                                   _i(1), _i(0)))
-
-        lh, ll, rh, rl, pre_h, pre_l, cnt = _enc_coder_step(
-            active2, flush2, i2u(start2), i2u(size2), i2u(total2),
-            lh, ll, rh, rl, wide)
-        ocnt, wpos, ob0, ob1, ob2 = _enc_append(
-            stage_ref, iota64, cnt, pre_h, pre_l, ocnt, wpos, ob0, ob1, ob2)
+        carry = _fused_pair_body(
+            m1, sym1, m2, sym2, carry, stage_ref, cb_ref, cs_ref,
+            bits_ref, d0_ref, d1_ref, iota32, iota256, iota64, wide)
+        lh, ll, rh, rl, ocnt, wpos, ob0, ob1, ob2 = carry
 
         maxgap = jnp.max(u2i(wpos) - u2i(regs_ref[6:7, :]))
 
@@ -848,7 +877,7 @@ def encode_groups_full(m_ops: np.ndarray, s_ops: np.ndarray, cap: int,
     lens = np.asarray(lens)
     if int(lens[:, 0].max(initial=0)) > cap_words * 4:
         raise ValueError("compressed block exceeded the output capacity")
-    return unpack_group_payloads(np.asarray(words), lens, NB)
+    return unpack_group_payloads(fetch_words_trimmed(words, lens), lens, NB)
 
 
 
@@ -949,7 +978,8 @@ def encode_data_full(data: bytes, blk_bits: int, window: int, lz: bool,
             raise ValueError("compressed block exceeded the output capacity")
         # pathological expansion (adversarially seed-mismatched blocks):
         # redo just the overflowed blocks on the host, seeded identically
-        payloads = unpack_group_payloads(np.asarray(words), lens, NB)
+        payloads = unpack_group_payloads(fetch_words_trimmed(words, lens),
+                                         lens, NB)
         flat = lens[:, 0].reshape(-1)[:NB]
         dictionary = data[:bs][-window:] if lz else b""
         for b in np.nonzero(flat > cap_words * 4)[0]:
@@ -958,8 +988,324 @@ def encode_data_full(data: bytes, blk_bits: int, window: int, lz: bool,
                 blk, window, lz=lz, seed=seed if b else None,
                 dictionary=dictionary if b else b"")
         return payloads
-    return unpack_group_payloads(np.asarray(words), lens, NB)
+    return unpack_group_payloads(fetch_words_trimmed(words, lens), lens, NB)
 
+
+
+# ------------------------------------------------- token-input encoder
+
+TOK_DONE = np.uint32(0xFFFFFFFF)     # lane finished (post-flush sentinel)
+
+
+def _encode_tok_kernel(tok_all, lit_all, out_ref, lens_ref, regs_ref,
+                       stage_ref, cb_ref, cs_ref, bits_ref, d0_ref, d1_ref,
+                       stok_ref, slit_ref, bases_ref,
+                       *, t_max: int, wide: bool = False):
+    """Fused-pair encoder fed by TOKENS instead of expanded micro-ops
+    (PERF.md round 3): one u32 token per parse decision (layout in
+    native sqz4_tok_plan) plus a dense packed literal-byte stream —
+    ~4x less host->device traffic and ~4x less host emission work than
+    the op-stream layout. The kernel expands each token to the SAME
+    fused pair grammar the op-stream kernel consumes, so coded bytes are
+    identical for the same parse; the shared `_fused_pair_body` does the
+    model/coder work.
+
+    Per-lane expansion state rides in the fori carry: the current token
+    word, a phase counter (0 = flag pair, 1 = bits/dist0 pair, p >= 2 =
+    dist pairs, >= 16 = post-EOS flush pairs), the literal-run remainder,
+    and the token/literal stream cursors. Tokens and literal words are
+    fetched through 96-row sliding windows (the decoder's s1 idiom) since
+    lanes consume their streams at different rates; both advance <= 1
+    element per pair, so refreshes gate safely to every 8th pair.
+
+    bases rows: 0 = token window base, 1 = literal window base.
+    """
+    Tt, B = tok_all.shape[1], tok_all.shape[2]
+    Lw = lit_all.shape[1]
+    CW = out_ref.shape[1]
+    iota64 = jax.lax.broadcasted_iota(I32, (64, B), 0)
+    iota96 = jax.lax.broadcasted_iota(I32, (96, B), 0)
+    iota256 = jax.lax.broadcasted_iota(I32, (256, B), 0)
+    iota32 = jax.lax.broadcasted_iota(I32, (32, B), 0)
+
+    regs_ref[...] = jnp.zeros((16, B), U32)
+    regs_ref[2:4, :] = jnp.full((2, B), MASK32, U32)
+    out_ref[0] = jnp.zeros((CW, B), U32)
+    cb_ref[...] = iota256 + 1
+    cs_ref[...] = iota256 + 1
+    bits_ref[0:32, :] = iota32 + 1
+    bits_ref[32:34, :] = jnp.ones((2, B), I32)
+    d0_ref[...] = jnp.ones((32, B), I32)
+    d1_ref[...] = jnp.ones((32, B), I32)
+    bases_ref[...] = jnp.zeros((8, B), I32)
+    stok_ref[...] = tok_all[0, 0:96, :]
+    slit_ref[...] = lit_all[0, 0:96, :]
+
+    def flush_rounds(wpos, force):
+        s2base = u2i(regs_ref[6:7, :])
+        gap = u2i(wpos) - s2base
+        doit = gap >= jnp.int32(1 if force else 32)
+        half = (s2base >> 5) & 1
+        chunk = jnp.where(doit, s2base >> 5, jnp.int32(-1))
+        rows = jnp.where(half == 0, stage_ref[0:32], stage_ref[32:64])
+        for c in range(CW // 32):
+            out_ref[0, 32 * c:32 * c + 32] = jnp.where(
+                chunk == jnp.int32(c), rows,
+                out_ref[0, 32 * c:32 * c + 32])
+        regs_ref[6:7, :] = i2u(jnp.where(doit, s2base + 32, s2base))
+
+    def win_refresh(win_ref, base_row, src, rows, idx):
+        kb = idx >> 5
+        base = bases_ref[base_row:base_row + 1, :]
+        need = (idx - base) >= jnp.int32(64)
+        bases_ref[base_row:base_row + 1, :] = jnp.where(need, kb << 5, base)
+        zu = jnp.zeros((32, B), U32)
+        for slot in range(3):
+            sl = win_ref[32 * slot:32 * slot + 32]
+            sl = jnp.where(need, zu, sl)
+            for c in range(rows // 32):
+                sel = need & ((kb + jnp.int32(slot)) == jnp.int32(c))
+                sl = jnp.where(sel, src[0, 32 * c:32 * c + 32, :], sl)
+            win_ref[32 * slot:32 * slot + 32] = sl
+
+    def win_word(win_ref, base_row, idx):
+        off = idx - bases_ref[base_row:base_row + 1, :]
+        v = jnp.sum(jnp.where(iota96 == off, u2i(win_ref[...]), _i(0)),
+                    axis=0, keepdims=True, dtype=I32)
+        return i2u(v)
+
+    def step(t, carry):
+        (lh, ll, rh, rl, ocnt, wpos, ob0, ob1, ob2,
+         tok, phase, run, tidx, lidx) = carry
+
+        # ---- fetch the next token on lanes that consumed theirs
+        need = tok == _u(0)
+        tnew = win_word(stok_ref, 0, tidx)
+        fetched = jnp.where(need, tnew, tok)
+        tok = jnp.where(need & (fetched == 0), jnp.broadcast_to(
+            jnp.asarray(TOK_DONE, U32), fetched.shape), fetched)
+        tidx = tidx + need.astype(I32)
+        phase = jnp.where(need, _i(0), phase)
+
+        done = tok == _u(TOK_DONE)
+        isflush = (phase >= 16) & ~done
+        ismatch = (u2i((tok >> 8) & 1) == 1) & ~done & ~isflush
+        cnt_len = u2i(tok & 0xFF)
+        nb = u2i((tok >> 9) & 0x1F)
+        dist = u2i((tok >> 16) & 0x7FFF)
+        eos = ismatch & (cnt_len == 255)
+        islit = ~done & ~isflush & ~ismatch
+        run = jnp.where(need & islit, cnt_len, run)
+
+        # ---- literal byte for this pair's slot 2
+        lword = u2i(win_word(slit_ref, 1, lidx >> 2))
+        lbyte = (lword >> ((3 - (lidx & 3)) << 3)) & 0xFF
+
+        # ---- expand (token, phase) -> fused pair (m1, s1, m2, s2)
+        p0 = ismatch & (phase == 0)
+        p1 = ismatch & (phase == 1)
+        pk = ismatch & (phase >= 2)
+        k1 = 2 * phase - 3
+        k2 = 2 * phase - 2
+        m1 = jnp.where(islit, _i(0),
+             jnp.where(p0, _i(0),
+             jnp.where(p1, _i(3),
+             jnp.where(pk, 4 + k1,
+             jnp.where(isflush, _i(MOP_FLUSH), _i(MOP_PAD))))))
+        s1 = jnp.where(islit, _i(1),
+             jnp.where(p1, nb,
+             jnp.where(pk, (dist >> jnp.maximum(k1, 0)) & 1, _i(0))))
+        m2 = jnp.where(islit, _i(2),
+             jnp.where(p0, _i(1),
+             jnp.where(p1 & (nb >= 2), _i(4),
+             jnp.where(pk & (k2 <= nb - 2), 4 + k2,
+             jnp.where(isflush, _i(MOP_FLUSH), _i(MOP_PAD))))))
+        s2 = jnp.where(islit, lbyte,
+             jnp.where(p0, cnt_len,
+             jnp.where(p1, dist & 1,
+             jnp.where(pk, (dist >> jnp.maximum(k2, 0)) & 1, _i(0)))))
+
+        # ---- advance expansion state
+        litlast = islit & (run == 1)
+        run = jnp.where(islit, run - 1, run)
+        lidx = lidx + islit.astype(I32)
+        adv = (p1 & (nb <= 2)) | (pk & (k2 >= nb - 2))
+        phase2 = jnp.where(p0 & eos, _i(16),
+                 jnp.where(p0, _i(1),
+                 jnp.where(p1 & ~adv, _i(2),
+                 jnp.where(pk & ~adv, phase + 1,
+                 jnp.where(isflush, phase + 1, phase)))))
+        tok = jnp.where(litlast | (adv & ~eos), _u(0), tok)
+        tok = jnp.where(isflush & (phase2 >= 20), _u(TOK_DONE), tok)
+        phase = phase2
+
+        carry2 = _fused_pair_body(
+            m1, s1, m2, s2, (lh, ll, rh, rl, ocnt, wpos, ob0, ob1, ob2),
+            stage_ref, cb_ref, cs_ref, bits_ref, d0_ref, d1_ref,
+            iota32, iota256, iota64, wide)
+        lh, ll, rh, rl, ocnt, wpos, ob0, ob1, ob2 = carry2
+
+        # ---- gated maintenance: output retirement + stream windows.
+        # margins: ring threshold 40 + 8 pairs x <= 2 words = 56 < 64;
+        # windows: off <= 63 at check + 8 advances = 71 < 96
+        @pl.when((t & 7) == jnp.int32(7))
+        def _():
+            maxgap = jnp.max(u2i(wpos) - u2i(regs_ref[6:7, :]))
+
+            @pl.when(maxgap >= jnp.int32(40))
+            def _():
+                flush_rounds(wpos, force=False)
+
+            win_refresh(stok_ref, 0, tok_all, Tt, tidx)
+            win_refresh(slit_ref, 1, lit_all, Lw, lidx >> 2)
+
+        return (lh, ll, rh, rl, ocnt, wpos, ob0, ob1, ob2,
+                tok, phase, run, tidx, lidx)
+
+    # expansion-state carries load from VMEM rows (splat zeros would give
+    # Mosaic a replicated layout it cannot join with lane-varying updates)
+    carry0 = (regs_ref[0:1, :], regs_ref[1:2, :], regs_ref[2:3, :],
+              regs_ref[3:4, :], regs_ref[4:5, :], regs_ref[5:6, :],
+              regs_ref[7:8, :], regs_ref[8:9, :], regs_ref[9:10, :],
+              regs_ref[10:11, :], u2i(regs_ref[11:12, :]),
+              u2i(regs_ref[12:13, :]), u2i(regs_ref[13:14, :]),
+              u2i(regs_ref[14:15, :]))
+    carry = jax.lax.fori_loop(jnp.int32(0), jnp.int32(t_max), step, carry0)
+    lh, ll, rh, rl, ocnt, wpos, ob0, ob1, ob2 = carry[:9]
+
+    lens_ref[0, 0:1, :] = u2i((wpos << 2) + ocnt)
+    mask = (iota64 == (u2i(wpos) & 63)) & (ocnt > 0)
+    stage_ref[...] = jnp.where(mask, ob0, stage_ref[...])
+    wfin = wpos + b2u(ocnt > 0)
+    for _ in range(3):
+        flush_rounds(wfin, force=True)
+
+
+def _encode_tok_pallas_call(toks, lits, t_max: int, cap_words: int,
+                            interpret: bool, wide: bool):
+    G, Tt, B = toks.shape
+    Lw = lits.shape[1]
+    assert G == 1 and B % 128 == 0 and Tt % 32 == 0 and Lw % 32 == 0
+    assert Tt >= 96 and Lw >= 96 and cap_words % 32 == 0
+    z = np.int32(0)
+    return pl.pallas_call(
+        partial(_encode_tok_kernel, t_max=t_max, wide=wide),
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec((1, Tt, B), lambda g: (z, z, z),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Lw, B), lambda g: (z, z, z),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, cap_words, B), lambda g: (z, z, z),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, B), lambda g: (z, z, z),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((1, cap_words, B), U32),
+            jax.ShapeDtypeStruct((1, 8, B), I32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((16, B), U32),    # coder registers + expansion state
+            pltpu.VMEM((64, B), U32),    # output word ring
+            pltpu.VMEM((256, B), I32),   # csum byte
+            pltpu.VMEM((256, B), I32),   # csum size
+            pltpu.VMEM((34, B), I32),    # csum bits + lit freqs
+            pltpu.VMEM((32, B), I32),    # dist freq0
+            pltpu.VMEM((32, B), I32),    # dist freq1
+            pltpu.VMEM((96, B), U32),    # token window
+            pltpu.VMEM((96, B), U32),    # literal-word window
+            pltpu.VMEM((8, B), I32),     # window bases
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(toks, lits)
+
+
+@partial(jax.jit, static_argnames=("t_max", "cap_words", "interpret",
+                                   "wide"))
+def _encode_tok_pallas(toks, lits, t_max: int, cap_words: int,
+                       interpret: bool = False, wide: bool = False):
+    """toks: [1, Tt, B] u32 tokens; lits: [1, Lw, B] u32 packed literal
+    bytes (4 big-endian per word)."""
+    return _encode_tok_pallas_call(toks, lits, t_max, cap_words,
+                                   interpret, wide)
+
+
+@jax.jit
+def _transpose_tok(x):
+    """[1, B, Tt] u32 (contiguous host rows) -> [1, Tt, B] device layout."""
+    return x.transpose(0, 2, 1)
+
+
+def encode_data_tok(data: bytes, blk_bits: int, window: int, lz: bool,
+                    cap: int, tc: int = ENC_TC, lanes: int = ENC_LANES,
+                    interpret: bool = False, depth: int = None):
+    """Whole-buffer encode through the token-input kernel (cold sqzt
+    path). Blocks whose parse exceeds the token/literal caps re-route
+    through the op-stream kernel; payload bytes are identical either way
+    for the same parse. Returns per-block payloads."""
+    from sqz_tpu import native
+    if blk_bits > 16:
+        raise ValueError("sqz4 TPU kernels support blk_bits <= 16")
+    if depth is None:
+        depth = int(os.environ.get("SQZ_FAST_DEPTH", "32"))
+    bs = 1 << blk_bits
+    NB = max(1, -(-len(data) // bs))
+    tok_cap = min(-(-(2 * bs // 3 + 96) // 32) * 32, 1 << 14)
+    lit_cap = max(bs, 128)
+    toks, lits, counts, _mx = native.sqz4_tok_plan(
+        data, window, blk_bits, lz, tok_cap, lit_cap, depth=depth)
+    cap_words = (-(-(cap + 3) // 4) + 31) // 32 * 32
+    wide = blk_bits >= 15
+    payloads: list = [None] * NB
+    # straggler segregation (same rationale as decode_groups): group
+    # blocks by pair count so one literal-heavy block does not stretch a
+    # whole text group's loop bound / literal-slab width
+    fit_all = [b for b in range(NB) if counts[b, 2] >= 0]
+    fit_all.sort(key=lambda b: int(counts[b, 2]))
+    pend = []
+    for g0 in range(0, len(fit_all), lanes):
+        fit = fit_all[g0:g0 + lanes]
+        n = len(fit)
+        # bucket the static dims so the jit cache hits across groups
+        # (pad pairs are cheap idle lanes); interpret mode keeps exact
+        # sizes — every padded pair costs real interpreter time there
+        bq = 32 if interpret else 1024
+        Tt = max(96, min(-(-int(counts[fit, 0].max()) // bq) * bq, tok_cap))
+        lit_words = (int(counts[fit, 1].max()) + 3) // 4
+        Lw = max(96, min(-(-lit_words // bq) * bq, lit_cap // 4))
+        t_max = -(-int(counts[fit, 2].max()) // bq) * bq if not interpret \
+            else int(counts[fit, 2].max())
+        tarr = np.zeros((1, lanes, Tt), np.uint32)
+        larr = np.zeros((1, lanes, Lw * 4), np.uint8)
+        tarr[0, :n] = toks[fit, :Tt]
+        larr[0, :n] = lits[fit, :Lw * 4]
+        tdev = _transpose_tok(jnp.asarray(tarr))
+        ldev = _pack_ops_words(jnp.asarray(larr))
+        words, lens = _encode_tok_pallas(tdev, ldev, t_max, cap_words,
+                                         interpret, wide)
+        pend.append((fit, words, lens))
+    for fit, words, lens in pend:
+        lens_np = np.asarray(lens)
+        if int(lens_np[:, 0].max(initial=0)) > cap_words * 4:
+            raise ValueError("compressed block exceeded the output capacity")
+        grp = unpack_group_payloads(fetch_words_trimmed(words, lens_np),
+                                    lens_np, len(fit))
+        for i, b in enumerate(fit):
+            payloads[b] = grp[i]
+    over = [b for b in range(NB) if payloads[b] is None]
+    if over:
+        # cap-overflow blocks (pathological parses): op-stream fallback
+        for b in over:
+            blk = data[b * bs:(b + 1) * bs]
+            sub = encode_data_full(blk, blk_bits, window, lz, cap, tc,
+                                   lanes, interpret=interpret, parse="fast")
+            payloads[b] = sub[0]
+    return payloads
 
 
 # ---------------------------------------------------- squeeze bit packer

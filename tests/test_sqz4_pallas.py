@@ -262,3 +262,46 @@ def test_pipelined_encode_matches_serial():
     # multi-group grouping logic (planner/dispatch bookkeeping) without a
     # device: group arithmetic must tile blocks in order
     # (the on-hardware multi-group run is tools/check_pallas_enc.py --pipe)
+
+
+def test_token_kernel_matches_op_stream():
+    """The token-input encoder (in-kernel token->pair expansion, 96-row
+    stream windows) must emit byte-identical payloads to the op-stream
+    kernel for the same fast parse, across literal runs, matches, RLE,
+    and incompressible content."""
+    from sqz_tpu import native
+    if not native.available():
+        pytest.skip("native runtime unavailable")
+    from sqz_tpu.utils.corpus import load, random_bytes
+    rng = np.random.default_rng(11)
+    data = (load("laozi.txt")[:1024] + b"\0" * 512
+            + random_bytes(512, seed=4) + b"ab" * 256)
+    want = sp.encode_data_full(data, 9, 1 << 10, True, cap=512 + 2048,
+                               lanes=128, interpret=True, parse="fast")
+    got = sp.encode_data_tok(data, 9, 1 << 10, True, cap=512 + 2048,
+                             lanes=128, interpret=True)
+    assert got == want
+    # literal-only mode (lz=False -> pure literal-run tokens)
+    want = sp.encode_data_full(data[:512], 9, 1 << 10, False,
+                               cap=512 + 2048, lanes=128, interpret=True,
+                               parse="fast")
+    got = sp.encode_data_tok(data[:512], 9, 1 << 10, False, cap=512 + 2048,
+                             lanes=128, interpret=True)
+    assert got == want
+
+
+def test_pipelined_token_transport_matches():
+    """The pipelined engine's token transport must match the serial token
+    path block for block."""
+    from sqz_tpu import native
+    if not native.available():
+        pytest.skip("native runtime unavailable")
+    from sqz_tpu.ops.pipeline import encode_data_pipelined
+    from sqz_tpu.utils.corpus import load
+    data = load("confucius.txt")[:2048]
+    serial = sp.encode_data_tok(data, 9, 1 << 10, True, cap=512 + 2048,
+                                lanes=128, interpret=True)
+    piped = encode_data_pipelined(data, 9, 1 << 10, True, cap=512 + 2048,
+                                  lanes=128, interpret=True, parse="fast",
+                                  transport="tok")
+    assert piped == serial
