@@ -220,22 +220,32 @@ def main() -> None:
     # planning, transfers through the sandbox tunnel, kernels, payload
     # download/unpack. Round-trip verified through the native decoder.
     from sqz_tpu.ops.pipeline import encode_data_pipelined
-    fast_payloads = encode_data_pipelined(data, blk_bits, window, lz,
+    # a multiple of the kernel's 512-block group size so planner/device
+    # overlap actually engages (one group = nothing to pipeline)
+    e2e_bytes = int(os.environ.get("SQZ_BENCH_E2E_BYTES",
+                                   max(len(data), 4 * 512 * bs)))
+    e2e_data = _input_bytes(e2e_bytes)
+    fast_payloads = encode_data_pipelined(e2e_data, blk_bits, window, lz,
                                           cap=bs + 2048, parse="fast")
     t_e2e = float("inf")
     for _ in range(2):
         t0 = time.perf_counter()
-        fast_payloads = encode_data_pipelined(data, blk_bits, window, lz,
-                                              cap=bs + 2048, parse="fast")
+        fast_payloads = encode_data_pipelined(e2e_data, blk_bits, window,
+                                              lz, cap=bs + 2048,
+                                              parse="fast")
         t_e2e = min(t_e2e, time.perf_counter() - t0)
-    fast_ratio = sum(len(p) for p in fast_payloads) / len(data)
+    fast_ratio = sum(len(p) for p in fast_payloads) / len(e2e_data)
     exact_ratio = sum(len(p) for p in payloads) / len(data)
-    spot = list(range(0, NB, max(1, NB // 16)))       # round-trip spot-check
+    e2e_nb = len(fast_payloads)
+    e2e_sizes = [min(bs, len(e2e_data) - b * bs) for b in range(e2e_nb)]
+    spot = list(range(0, e2e_nb, max(1, e2e_nb // 16)))  # round-trip spots
     for b in spot:
         assert native.sqz4_decompress_payload(
-            fast_payloads[b], sizes[b]) == parts[b], f"fast block {b}"
-    print(f"# end-to-end pipelined encode (fast parse, incl. host plan + "
-          f"tunnel transfers + unpack): {len(data)/t_e2e/1e6:.1f} MB/s, "
+            fast_payloads[b], e2e_sizes[b]) == \
+            e2e_data[b * bs:b * bs + e2e_sizes[b]], f"fast block {b}"
+    print(f"# end-to-end pipelined encode ({len(e2e_data) >> 20} MiB, fast "
+          f"parse, incl. host plan + tunnel transfers + unpack): "
+          f"{len(e2e_data)/t_e2e/1e6:.1f} MB/s, "
           f"ratio {fast_ratio*100:.2f}% (exact-parse blocks "
           f"{exact_ratio*100:.2f}%)", file=sys.stderr)
 
@@ -263,8 +273,10 @@ def main() -> None:
     t_warm_host = time.perf_counter() - t0
     warm_ratio = sum(len(p) for p in warm_base) / len(data)
     warm_dev = sp.encode_data_full(data, blk_bits, window, lz,
-                                   cap=bs + 2048, warm=True)
-    dev_pick = [c if b == 0 or len(c) <= len(w) else w
+                                   cap=bs + 2048, warm=True, parse="exact")
+    from sqz_tpu.formats.constants import warm_gate_mask
+    gate = warm_gate_mask(parts, parts[0][-window:])
+    dev_pick = [c if b == 0 or not gate[b] or len(c) <= len(w) else w
                 for b, (c, w) in enumerate(zip(payloads, warm_dev))]
     assert dev_pick == warm_base, "device warm pick != native"
     blk0, seed_w = native.sqz4_decompress_payload(warm_base[0],
@@ -280,7 +292,8 @@ def main() -> None:
         t_warm_dec = time.perf_counter() - t0
         for b, o in zip(warm_idx, outs_w):
             assert o == data[b * bs:(b + 1) * bs], "warm block mismatch"
-    print(f"# warm (sqzt v2, per-block pick): ratio {warm_ratio*100:.2f}% "
+    print(f"# warm (sqzt v2, per-block pick, gate: {sum(gate)}/{NB} "
+          f"candidates): ratio {warm_ratio*100:.2f}% "
           f"(cold {ratio*100:.2f}%, whole-stream {ref_ratio*100:.2f}%), "
           f"{len(warm_idx)}/{NB} blocks warm; seeded device pass + "
           f"warm-set decode verified bit-exact vs the threaded native warm "

@@ -55,6 +55,10 @@ def compress(data: bytes, fmt: Format | str = Format.SQUEEZE,
     reference-semantics parse (streams byte-identical to the native
     engine). Other engines always parse exactly. SQZ_PARSE overrides."""
     fmt, engine = Format(fmt), Engine(engine)
+    if not 10 <= win_bits <= 15:
+        # squeeze's header field and the sqz4 window share this range
+        # (reference squeeze.h:19-20,113-115; sqzt stores win_bits verbatim)
+        raise ValueError(f"win_bits {win_bits} outside 10..15")
     if blocks:
         parts = sqzt.split_blocks(data, blk_bits)
         warm = warm and len(parts) > 1
@@ -109,6 +113,10 @@ def _compress_blocks(parts, fmt, engine, win_bits, lz, warm=False,
     dictionary = b""
     out = []
     fresh_mask = [True] + [False] * (len(parts) - 1)
+    gate = [False] * len(parts)
+    if warm:
+        from sqz_tpu.formats.constants import warm_gate_mask
+        gate = warm_gate_mask(parts, _warm_dictionary(parts[0], win_bits))
 
     def encode_one(p, use_seed, use_dict, want_state):
         if fmt is Format.SQUEEZE:
@@ -140,9 +148,12 @@ def _compress_blocks(parts, fmt, engine, win_bits, lz, warm=False,
             r, seed = r
             dictionary = _warm_dictionary(p, win_bits)
         if warm and i > 0:
-            w = encode_one(p, seed, dictionary, False)
-            if len(w) < len(r):
-                r = w
+            if gate[i]:   # seeded pass only for gate candidates (#5)
+                w = encode_one(p, seed, dictionary, False)
+                if len(w) < len(r):
+                    r = w
+                else:
+                    fresh_mask[i] = True
             else:
                 fresh_mask[i] = True
         out.append(r)

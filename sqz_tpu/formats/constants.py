@@ -143,6 +143,61 @@ PM_DIST0 = 4                   # n=2 each, 32 rows: per-bit distance models
 PM_ROWS = 36                   # PM_DIST0 + 32
 PM_SYMS = np.array([2, 256, 256, 32] + [2] * 32, dtype=np.int32)
 
+# Warm-start gate (sqzt v2 encoder policy, VERDICT r2 #5): the per-block
+# fresh/warm pick costs a second encode pass, so the seeded pass only runs
+# for blocks the gate marks as candidates: tail blocks (model seeding alone
+# helps short blocks), plus blocks whose first WARM_GATE_PROBE bytes share
+# at least WARM_GATE_MIN_HITS 4-grams with the shared dictionary (matches
+# into the dictionary are where warm ratio actually comes from, PERF.md
+# "Warm start"). SINGLE SOURCE: the native C++ executor mirrors this exact
+# hash/bitset; tests/test_warm_start.py asserts agreement.
+WARM_GATE_PROBE = 2048
+WARM_GATE_MIN_HITS = 32
+WARM_GATE_HASH_MUL = 2654435761     # Knuth multiplicative hash
+WARM_GATE_BITS = 16                 # 2^16-entry membership bitset
+
+
+def warm_gate_mask(parts, dictionary: bytes):
+    """Per-block seeded-pass candidacy under the warm gate. parts[0] is
+    never a candidate (it is always coded fresh)."""
+    import numpy as np
+    full = max((len(p) for p in parts), default=0)
+    gate = [False] * len(parts)
+    if len(parts) < 2:
+        return gate
+    bitset = np.zeros(1 << WARM_GATE_BITS, np.bool_)
+    d = np.frombuffer(dictionary, np.uint8)
+    if d.size >= 4:
+        g = (d[:-3].astype(np.uint32)
+             | (d[1:-2].astype(np.uint32) << 8)
+             | (d[2:-1].astype(np.uint32) << 16)
+             | (d[3:].astype(np.uint32) << 24))
+        h = (g * np.uint32(WARM_GATE_HASH_MUL)) >> np.uint32(
+            32 - WARM_GATE_BITS)
+        bitset[h] = True
+    set_bits = int(bitset.sum())
+    for i, p in enumerate(parts[1:], start=1):
+        if len(p) < full:
+            gate[i] = True          # tail block
+            continue
+        b = np.frombuffer(p[:WARM_GATE_PROBE], np.uint8)
+        if b.size < 4:
+            gate[i] = True
+            continue
+        g = (b[:-3].astype(np.uint32)
+             | (b[1:-2].astype(np.uint32) << 8)
+             | (b[2:-1].astype(np.uint32) << 16)
+             | (b[3:].astype(np.uint32) << 24))
+        h = (g * np.uint32(WARM_GATE_HASH_MUL)) >> np.uint32(
+            32 - WARM_GATE_BITS)
+        # threshold rides above the bitset's expected false-positive hits
+        # (density x probes) so an unrelated block fails even under a
+        # dense 32 KiB dictionary
+        expected = set_bits * (b.size - 3) >> WARM_GATE_BITS
+        gate[i] = int(bitset[h].sum()) >= expected + WARM_GATE_MIN_HITS
+    return gate
+
+
 # ------------------------------------------------------------------- sqzt --
 
 SQZT_MAGIC = b"sqzTPU01"

@@ -79,6 +79,8 @@ def unpack(blob: bytes) -> Tuple[int, int, int, int, List[bytes],
     """Returns (fmt, win_bits, blk_bits, original_size, payloads, checksum,
     fresh_mask). fresh_mask is None for cold containers; for warm (v2)
     containers it lists, per block, whether it was coded fresh."""
+    if len(blob) < SQZT_HEADER_BYTES:
+        raise ValueError("truncated sqzt header")
     magic, fmt, win_bits, blk_bits, flags, osize, nblocks = struct.unpack_from(
         "<8sBBBB4xQQ", blob, 0)
     if magic != SQZT_MAGIC:
@@ -90,6 +92,8 @@ def unpack(blob: bytes) -> Tuple[int, int, int, int, List[bytes],
     off += 8 * nblocks
     checksum = None
     if flags & FLAG_CHECKSUM:
+        if off + 8 > len(blob):
+            raise ValueError("truncated sqzt checksum")
         checksum = struct.unpack_from("<Q", blob, off)[0]
         off += 8
     fresh_mask = None

@@ -55,12 +55,16 @@ def use_pallas() -> bool:
                                         for d in jax.devices()))
 
 
-def _pick_smaller(cold: List[bytes], warm: List[bytes]):
+def _pick_smaller(cold: List[bytes], warm: List[bytes], gate=None):
     """Per-block fresh/warm choice (FORMAT.md §3.1). Block 0 is always the
-    cold payload (the warm pass codes it fresh too — identical bytes)."""
+    cold payload (the warm pass codes it fresh too — identical bytes).
+    ``gate``: warm-gate candidacy (VERDICT r2 #5) — non-candidates stay
+    fresh even when a seeded payload exists (policy parity with executors
+    that never coded one)."""
     out, mask = [], []
     for b, (c, w) in enumerate(zip(cold, warm)):
-        fresh = b == 0 or len(c) <= len(w)
+        fresh = (b == 0 or len(c) <= len(w)
+                 or (gate is not None and not gate[b]))
         out.append(c if fresh else w)
         mask.append(fresh)
     return out, mask
@@ -76,11 +80,16 @@ def compress_blocks(parts: Sequence[bytes], fmt, win_bits: int,
     'auto' default — sqzt's contract is round-trip + ratio, FORMAT.md §3)
     or 'exact' reference-semantics parse; SQZ_PARSE env overrides."""
     from sqz_tpu.api import Format, _warm_dictionary
+    from sqz_tpu.formats.constants import warm_gate_mask
     if blk_bits is None:
         blk_bits = (max((len(p) - 1).bit_length() for p in parts)
                     if any(parts) else 10)
     warm = warm and len(parts) > 1
-    dictionary = _warm_dictionary(parts[0], win_bits) if (warm and lz) else b""
+    dictionary = _warm_dictionary(parts[0], win_bits) if warm else b""
+    gate = warm_gate_mask(parts, dictionary) if warm else None
+    no_cand = warm and not any(gate)
+    if not lz:
+        dictionary = b""
     if fmt is Format.SQZ4:
         from sqz_tpu.ops import sqz4_jax
         from sqz_tpu import native
@@ -95,23 +104,42 @@ def compress_blocks(parts: Sequence[bytes], fmt, win_bits: int,
                 cap=(1 << blk_bits) + 2048, parse=parse)
             if not warm:
                 return cold
+            if no_cand:
+                return cold, [True] * len(parts)
+            if sum(gate) <= len(parts) // 4:
+                # few candidates (the common case, VERDICT r2 #5): host
+                # threads encode just those seeded, against the seed the
+                # decoder derives from the coded block 0
+                _blk0, seed = native.sqz4_decompress_payload(
+                    cold[0], len(parts[0]), return_state=True)
+                warm_p = list(cold)
+                for b in range(1, len(parts)):
+                    if gate[b]:
+                        warm_p[b] = native.sqz4_compress_payload(
+                            parts[b], 1 << win_bits, lz=lz, seed=seed,
+                            dictionary=dictionary)
+                return _pick_smaller(cold, warm_p, gate)
             warm_p = sqz4_pallas.encode_data_full(
                 data, blk_bits, 1 << win_bits, lz,
                 cap=(1 << blk_bits) + 2048, warm=True, parse=parse)
-            return _pick_smaller(cold, warm_p)
+            return _pick_smaller(cold, warm_p, gate)
         tokens = [_tokenize(p, 1 << win_bits, SQZ4_MIN_LEN, SQZ4_MAX_LEN,
                             reject=True, lz=lz) for p in parts]
         cold = sqz4_jax.encode_blocks(tokens, blk_bits)
         if not warm:
             return cold
+        if no_cand:
+            return cold, [True] * len(parts)
         wtokens = [tokens[0]] + [
             _tokenize(p, 1 << win_bits, SQZ4_MIN_LEN, SQZ4_MAX_LEN,
                       reject=True, lz=lz, dictionary=dictionary)
-            for p in parts[1:]]
+            if gate[i] else tokens[i]
+            for i, p in enumerate(parts[1:], start=1)]
         seed = sqz4_jax.seed_from_tokens(tokens[0])
-        seeds = [None] + [seed] * (len(parts) - 1)
+        seeds = [None] + [seed if gate[i] else None
+                          for i in range(1, len(parts))]
         warm_p = sqz4_jax.encode_blocks(wtokens, blk_bits, seeds=seeds)
-        return _pick_smaller(cold, warm_p)
+        return _pick_smaller(cold, warm_p, gate)
     else:
         from sqz_tpu import native
         if use_pallas() and native.available():
@@ -121,23 +149,38 @@ def compress_blocks(parts: Sequence[bytes], fmt, win_bits: int,
                 data, blk_bits, win_bits, cap=(1 << blk_bits) + 4096)
             if not warm:
                 return cold
+            if no_cand:
+                return cold, [True] * len(parts)
+            if sum(gate) <= len(parts) // 4:
+                _blk0, seed = native.squeeze_decompress_payload(
+                    cold[0], len(parts[0]), return_state=True)
+                warm_p = list(cold)
+                for b in range(1, len(parts)):
+                    if gate[b]:
+                        warm_p[b] = native.squeeze_compress_payload(
+                            parts[b], win_bits, seed=seed,
+                            dictionary=dictionary)
+                return _pick_smaller(cold, warm_p, gate)
             warm_p = sqz4_pallas.squeeze_encode_data(
                 data, blk_bits, win_bits, cap=(1 << blk_bits) + 4096,
                 warm=True)
-            return _pick_smaller(cold, warm_p)
+            return _pick_smaller(cold, warm_p, gate)
         from sqz_tpu.ops import squeeze_jax
         tokens = [_tokenize(p, 1 << win_bits, SQUEEZE_LEN_MIN, SQUEEZE_LEN_MAX,
                             reject=False, lz=True) for p in parts]
         cold = squeeze_jax.encode_blocks(tokens, blk_bits)
         if not warm:
             return cold
+        if no_cand:
+            return cold, [True] * len(parts)
         wtokens = [tokens[0]] + [
             _tokenize(p, 1 << win_bits, SQUEEZE_LEN_MIN, SQUEEZE_LEN_MAX,
                       reject=False, lz=True, dictionary=dictionary)
-            for p in parts[1:]]
+            if gate[i] else tokens[i]
+            for i, p in enumerate(parts[1:], start=1)]
         warm_p = squeeze_jax.encode_blocks(wtokens, blk_bits,
                                            warm_from_first=True)
-        return _pick_smaller(cold, warm_p)
+        return _pick_smaller(cold, warm_p, gate)
 
 
 def _warm_scatter(payloads, sizes, fresh_mask, decode_batch,
