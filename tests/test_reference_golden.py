@@ -120,16 +120,16 @@ def test_sqz4_bit_exact_vs_reference(ref_clis, tmp_path, name, data, win_bits):
 # Every mounted corpus file, whole, against the compiled reference — text,
 # binaries (ELF), and near-incompressible data (BMP) — via the NATIVE
 # engine (the oracle covers the semantics above; full files need native
-# speed; native==oracle is enforced elsewhere per block). The reference's
-# O(n*window) scan makes win_bits=15 cost ~1 min per binary, so win 10
-# coverage is text-only.
+# speed; native==oracle is enforced elsewhere per block). Both window
+# extremes are covered for every file: win 10's 1 KiB window keeps even
+# the reference's O(n*window) scan cheap, and win 15 costs ~1 min per
+# binary but is the headline config.
 
 def _full_cases():
     cases = []
     for p in corpus.available_corpus():
         cases.append((f"{p.name}_w15", p.name, 15))
-        if p.suffix == ".txt":
-            cases.append((f"{p.name}_w10", p.name, 10))
+        cases.append((f"{p.name}_w10", p.name, 10))
     return cases
 
 
