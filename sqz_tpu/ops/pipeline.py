@@ -173,9 +173,7 @@ def encode_data_pipelined(data: bytes, blk_bits: int, window: int, lz: bool,
                 if int(lens_np[:, 0].max(initial=0)) > cap_words * 4:
                     raise ValueError(
                         "compressed block exceeded the output capacity")
-                grp = sp.unpack_group_payloads(
-                    sp.fetch_words_trimmed(words, lens_np), lens_np,
-                    len(fit))
+                grp = _fetch_group(words, lens_np, len(fit), interpret)
                 for i, b in enumerate(fit):
                     grp_out[b] = grp[i]
             for b in over:                   # cap overflow: op-stream path
@@ -190,7 +188,21 @@ def encode_data_pipelined(data: bytes, blk_bits: int, window: int, lz: bool,
             if int(lens_np[:, 0].max(initial=0)) > cap_words * 4:
                 raise ValueError(
                     "compressed block exceeded the output capacity")
-            payloads.extend(sp.unpack_group_payloads(
-                sp.fetch_words_trimmed(words, lens_np), lens_np, nb))
+            payloads.extend(_fetch_group(words, lens_np, nb, interpret))
     t.join()
     return payloads
+
+
+def _fetch_group(words, lens_np, nb: int, interpret: bool):
+    """Download one group's payloads. SQZ_FETCH=compact uses the ragged
+    DMA compaction (tight ~ratio x input download, PERF.md round 3);
+    trim ships the rectangle cut at the longest lane. Interpret mode
+    (CPU tests) always takes the compact path — it is the shipped device
+    path and must stay covered."""
+    from sqz_tpu.ops import sqz4_pallas as sp
+    mode = os.environ.get("SQZ_FETCH", "compact" if interpret else "trim")
+    if mode == "compact":
+        return sp.fetch_payloads_compact(words, lens_np, nb,
+                                         interpret=interpret)
+    return sp.unpack_group_payloads(sp.fetch_words_trimmed(words, lens_np),
+                                    lens_np, nb)

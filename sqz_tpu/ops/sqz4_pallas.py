@@ -443,6 +443,96 @@ def fetch_words_trimmed(words, lens_np: np.ndarray):
     return np.asarray(words[:, :R])
 
 
+# ------------------------------------------------ ragged payload compaction
+#
+# fetch_words_trimmed trims the [rows, lanes] rectangle to the LONGEST
+# lane, so one incompressible block (e.g. a BMP tile) forces the whole
+# group's download back to ~1 B per input byte. On the ~33 MB/s half-duplex
+# sandbox tunnel the download is the binding e2e constraint (PERF.md round
+# 3), so this path packs the ragged per-lane payloads tightly ON DEVICE and
+# downloads only ~ratio x input bytes: one serial-grid Pallas kernel DMAs
+# lane b's full padded column to its 1024-word-aligned running offset, and
+# lane b+1's copy overwrites lane b's pad tail (grid steps are sequential,
+# each DMA waits before the next starts, so the overlapping writes are
+# ordered). An XLA gather formulation was measured 0.65 s/group — the
+# element-wise gather serializes; the DMA form moves the same 34 MiB at
+# HBM/VMEM bandwidth.
+
+_DMA_ALIGN = 1024   # Mosaic 1-D u32 tiling: offsets/lengths in 1024-word units
+
+
+def _compact_dma_kernel(csum_ref, flat_ref, out_ref, vmem, sem_in, sem_out,
+                       *, R: int):
+    # HBM -> VMEM -> HBM bounce (a direct HBM->HBM copy hung the chip on
+    # first execution — not a supported Mosaic DMA pair). Each grid step
+    # fully drains both copies before the next starts, so the overlapping
+    # destination writes (lane b's pad tail under lane b+1's data) are
+    # ordered.
+    b = pl.program_id(0)
+    dst = pl.multiple_of(csum_ref[b], _DMA_ALIGN)
+    ld = pltpu.make_async_copy(flat_ref.at[pl.ds(b * R, R)], vmem, sem_in)
+    ld.start()
+    ld.wait()
+    st = pltpu.make_async_copy(vmem, out_ref.at[pl.ds(dst, R)], sem_out)
+    st.start()
+    st.wait()
+
+
+@partial(jax.jit, static_argnums=(2, 3))
+def _compact_words_dma(csum, words, N: int, interpret: bool = False):
+    """words [1, R, B] u32 -> [N] u32: lane b's column at offset csum[b].
+    csum entries and N must be multiples of _DMA_ALIGN."""
+    _, R, B = words.shape
+    R_t = -(-R // _DMA_ALIGN) * _DMA_ALIGN
+    padded = jnp.pad(words, ((0, 0), (0, R_t - R), (0, 0)))
+    flat = padded[0].transpose(1, 0).reshape(-1)   # [B*R_t], lane-major
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        scratch_shapes=[pltpu.VMEM((R_t,), U32),
+                        pltpu.SemaphoreType.DMA(()),
+                        pltpu.SemaphoreType.DMA(())],
+    )
+    return pl.pallas_call(partial(_compact_dma_kernel, R=R_t),
+                          grid_spec=grid_spec,
+                          out_shape=jax.ShapeDtypeStruct((N,), U32),
+                          interpret=interpret)(csum, flat)
+
+
+_COMPACT_BUCKET = 1 << 19   # output size granularity (words): 2 MiB steps
+
+
+def fetch_payloads_compact(words, lens_np: np.ndarray, nb: int,
+                           interpret: bool = False):
+    """Compact the first ``nb`` lanes' payloads on device, download the
+    tight buffer, and return the per-lane payload byte strings (same
+    contract as fetch_words_trimmed + unpack_group_payloads for G == 1)."""
+    G, R, B = words.shape
+    assert G == 1 and nb <= B
+    blen = lens_np[0, 0, :nb].astype(np.int64)
+    wc = (blen + 3) // 4
+    # Mosaic 1-D DMA offsets align to 1024 words -> 4 KiB dest slots
+    wc_al = -(-np.maximum(wc, 1) // _DMA_ALIGN) * _DMA_ALIGN
+    starts = np.zeros(nb, np.int64)
+    starts[1:] = np.cumsum(wc_al)[:-1]
+    total_al = int(wc_al.sum())
+    # inactive lanes (>= nb) park their copies in the tail pad; N leaves a
+    # full column of slack past the last aligned slot so every copy stays
+    # in bounds (each lane writes its FULL padded column; the next lane's
+    # aligned offset overwrites the overhang)
+    R_t = -(-R // _DMA_ALIGN) * _DMA_ALIGN
+    N = -(-(total_al + R_t) // _COMPACT_BUCKET) * _COMPACT_BUCKET
+    csum = np.full(B, total_al, np.int32)
+    csum[:nb] = starts
+    buf = np.asarray(_compact_words_dma(jnp.asarray(csum), words, N,
+                                        interpret))
+    bb = buf.astype(">u4").tobytes()
+    return [bb[starts[b] * 4:starts[b] * 4 + int(blen[b])]
+            for b in range(nb)]
+
+
 
 # ------------------------------------------------- self-contained encoder
 

@@ -305,3 +305,28 @@ def test_pipelined_token_transport_matches():
                                   lanes=128, interpret=True, parse="fast",
                                   transport="tok")
     assert piped == serial
+
+
+def test_fetch_payloads_compact_matches_trimmed():
+    """The ragged DMA compaction (serial-grid Pallas kernel, 1024-word
+    aligned slots, overlap-overwritten pad tails) must return the same
+    payload bytes as the trimmed-rectangle download + unpack, including
+    partial groups and zero-length lanes."""
+    import jax.numpy as jnp
+    rng = np.random.default_rng(7)
+    B, R = 16, 512
+    blen = rng.integers(100, R * 4, B).astype(np.int32)
+    blen[3] = 0                              # zero-length payload lane
+    blen[7] = R * 4                          # full column
+    lens = np.zeros((1, 8, B), np.int32)
+    lens[0, 0] = blen
+    words = jnp.asarray(
+        rng.integers(0, 1 << 30, (1, R, B), dtype=np.uint32))
+    exp = sp.unpack_group_payloads(sp.fetch_words_trimmed(words, lens),
+                                   lens, B)
+    got = sp.fetch_payloads_compact(words, lens, B, interpret=True)
+    assert got == exp
+    # partial group: inactive tail lanes (garbage lens) must not corrupt
+    lens[0, 0, 10:] = 999999
+    got = sp.fetch_payloads_compact(words, lens, 10, interpret=True)
+    assert got == exp[:10]
