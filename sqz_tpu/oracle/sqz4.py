@@ -94,14 +94,19 @@ def _reject(length: int, dist: int) -> bool:
 def sqz4_encode_payload(data: bytes, window: int, lz: bool = True,
                         seed: ModelSeed | None = None,
                         return_state: bool = False,
-                        dictionary: bytes = b""):
+                        dictionary: bytes = b"",
+                        tokens=None):
     """Encode one block. ``seed`` warm-starts the models (sqzt v2);
     ``return_state`` additionally returns the final model snapshot (the
     seed for subsequent warm blocks); ``dictionary`` is the shared preset
-    history warm blocks may match into (FORMAT.md §3.1)."""
+    history warm blocks may match into (FORMAT.md §3.1). ``tokens``
+    overrides the parse with a caller-supplied token sequence (e.g. the
+    refmap parse, oracle/refmap.py) — tokens must be spec-valid."""
     pm = _Models(seed)
     enc = RangeEncoder()
-    if lz:
+    if tokens is not None:
+        pass
+    elif lz:
         tokens = greedy_tokens(data, window, SQZ4_MIN_LEN, SQZ4_MAX_LEN,
                                dictionary=dictionary,
                                reject=_reject)
@@ -130,8 +135,17 @@ def sqz4_encode_payload(data: bytes, window: int, lz: bool = True,
 
 
 def sqz4_compress(data: bytes, window: int = 1 << 15, lz: bool = True,
-                  container: bool = True) -> bytes:
-    payload = sqz4_encode_payload(data, window, lz=lz)
+                  container: bool = True, parse: str = "greedy") -> bytes:
+    """``parse="greedy"`` (default) uses the exact greedy matcher;
+    ``parse="refmap"`` uses the reference hash-map dictionary's decisions
+    (oracle/refmap.py — the map-wired src/sqz.c parse, COMPONENTS #4-5)."""
+    tokens = None
+    if parse == "refmap" and lz:
+        from sqz_tpu.oracle.refmap import refmap_tokens
+        tokens = list(refmap_tokens(data, window))
+    elif parse != "greedy":
+        raise ValueError(f"unknown parse {parse!r}")
+    payload = sqz4_encode_payload(data, window, lz=lz, tokens=tokens)
     if not container:
         return payload
     # driver container: magic + LE size (reference test.c:41-46)
