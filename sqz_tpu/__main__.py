@@ -33,14 +33,20 @@ def _add_common(p):
     p.add_argument("--warm", action="store_true",
                    help="sqzt v2 warm start: per-block fresh/seeded choice "
                         "(FORMAT.md §3.1); implies --blocks")
+    p.add_argument("--warm-anchors", action="store_true",
+                   help="sqzt v3 anchored warm start: beam-planned per-block "
+                        "anchor choice (FORMAT.md §3.2); implies --blocks")
+    p.add_argument("--anchor-beam", type=int, default=4,
+                   help="beam width for --warm-anchors planning")
 
 
 def _compress(args, data: bytes) -> bytes:
-    blocks = args.blocks or args.warm or args.engine == "tpu"
+    warm = "anchors" if args.warm_anchors else args.warm
+    blocks = args.blocks or bool(warm) or args.engine == "tpu"
     return sqz_tpu.compress(
         data, fmt=args.format, engine=args.engine, win_bits=args.win_bits,
         lz=not args.no_lz, blocks=blocks, blk_bits=args.blk_bits,
-        warm=args.warm)
+        warm=warm, anchor_beam=args.anchor_beam)
 
 
 def first_diff(a: bytes, b: bytes) -> int:

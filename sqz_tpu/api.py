@@ -42,11 +42,16 @@ def compress(data: bytes, fmt: Format | str = Format.SQUEEZE,
              engine: Engine | str = Engine.NATIVE,
              win_bits: int = 15, lz: bool = True,
              blocks: bool = False, blk_bits: int = 16,
-             checksum: bool = True, warm: bool = False,
-             parse: str = "auto") -> bytes:
+             checksum: bool = True, warm: "bool | str" = False,
+             parse: str = "auto", anchor_beam: int = 4) -> bytes:
     """``warm`` (sqzt v2, FORMAT.md §3.1): blocks 1+ start from block 0's
     final rescaled model state instead of fresh models, recovering most of
     the per-block reset ratio penalty. Requires ``blocks=True``.
+    ``warm="anchors"`` (sqzt v3, FORMAT.md §3.2) additionally lets each
+    warm block anchor on the nearest previous fresh block instead of
+    block 0 (1 recorded bit/block) and plans the fresh/anchor choices
+    with a beam search of width ``anchor_beam`` (formats/anchors.py) —
+    higher ratio on drifting or long-period data for ~beam× encode cost.
 
     ``parse`` ('auto' | 'fast' | 'exact'; TPU engine, sqz4, blocks=True):
     the sqzt container's contract is round-trip + ratio, so the TPU
@@ -59,16 +64,24 @@ def compress(data: bytes, fmt: Format | str = Format.SQUEEZE,
         # squeeze's header field and the sqz4 window share this range
         # (reference squeeze.h:19-20,113-115; sqzt stores win_bits verbatim)
         raise ValueError(f"win_bits {win_bits} outside 10..15")
+    if warm not in (False, True, "anchors"):
+        raise ValueError(f"warm must be bool or 'anchors', got {warm!r}")
     if blocks:
         parts = sqzt.split_blocks(data, blk_bits)
-        warm = warm and len(parts) > 1
-        res = _compress_blocks(parts, fmt, engine, win_bits, lz, warm,
-                               blk_bits, parse)
-        payloads, fresh_mask = res if warm else (res, None)
+        warm = warm if len(parts) > 1 else False
+        anchor_mask = None
+        if warm == "anchors":
+            payloads, fresh_mask, anchor_mask = _compress_anchored(
+                parts, fmt, engine, win_bits, lz, anchor_beam)
+        else:
+            res = _compress_blocks(parts, fmt, engine, win_bits, lz, warm,
+                                   blk_bits, parse)
+            payloads, fresh_mask = res if warm else (res, None)
         code = SQZT_FORMAT_SQUEEZE if fmt is Format.SQUEEZE else SQZT_FORMAT_SQZ4
         csum = sqzt.fnv1a64(data) if checksum else None
         return sqzt.pack(code, win_bits, blk_bits, len(data), payloads, csum,
-                         warm=warm, fresh_mask=fresh_mask)
+                         warm=bool(warm), fresh_mask=fresh_mask,
+                         anchor_mask=anchor_mask)
     if warm:
         raise ValueError("warm start requires blocks=True (sqzt container)")
     if engine is Engine.TPU:
@@ -89,6 +102,51 @@ def _warm_dictionary(block0: bytes, win_bits: int) -> bytes:
     """Shared preset history for warm blocks 1+ (FORMAT.md §3.1): the last
     min(2^win_bits, len(block 0)) bytes of block 0."""
     return block0[-(1 << win_bits):]
+
+
+def _encoder_for(fmt, engine, win_bits, lz):
+    """Per-block payload encoder ``(part, seed, dict, want_state) ->
+    payload | (payload, state)`` for the given format/engine."""
+    def encode_one(p, use_seed, use_dict, want_state):
+        if fmt is Format.SQUEEZE:
+            if engine is Engine.ORACLE:
+                from sqz_tpu.oracle.squeeze import squeeze_encode_payload
+                from sqz_tpu.oracle.bitstream import BitWriter
+                bw = BitWriter()
+                st = squeeze_encode_payload(p, win_bits, bw, seed=use_seed,
+                                            return_state=want_state,
+                                            dictionary=use_dict)
+                return (bw.getvalue(), st) if want_state else bw.getvalue()
+            return _native().squeeze_compress_payload(
+                p, win_bits, seed=use_seed, return_state=want_state,
+                dictionary=use_dict)
+        if engine is Engine.ORACLE:
+            from sqz_tpu.oracle.sqz4 import sqz4_encode_payload
+            return sqz4_encode_payload(p, 1 << win_bits, lz=lz,
+                                       seed=use_seed,
+                                       return_state=want_state,
+                                       dictionary=use_dict)
+        return _native().sqz4_compress_payload(
+            p, 1 << win_bits, lz=lz, seed=use_seed,
+            return_state=want_state, dictionary=use_dict)
+    return encode_one
+
+
+def _compress_anchored(parts, fmt, engine, win_bits, lz, beam):
+    """sqzt v3 planner entry (FORMAT.md §3.2). The beam planner prices
+    real payload encodes, so it runs on a host engine; per-block payloads
+    are engine-bit-identical (the cross-engine invariant), hence a TPU
+    caller gets byte-identical containers from the native fast path (the
+    device-batched anchored encode is ROADMAP work)."""
+    from sqz_tpu import native
+    from sqz_tpu.formats.anchors import plan_anchored
+    enc_engine = engine
+    if engine is Engine.TPU:
+        enc_engine = Engine.NATIVE if native.available() else Engine.ORACLE
+    encode_one = _encoder_for(fmt, enc_engine, win_bits, lz)
+    return plan_anchored(parts, encode_one,
+                         lambda blk: _warm_dictionary(blk, win_bits),
+                         beam=beam)
 
 
 def _compress_blocks(parts, fmt, engine, win_bits, lz, warm=False,
@@ -118,28 +176,7 @@ def _compress_blocks(parts, fmt, engine, win_bits, lz, warm=False,
         from sqz_tpu.formats.constants import warm_gate_mask
         gate = warm_gate_mask(parts, _warm_dictionary(parts[0], win_bits))
 
-    def encode_one(p, use_seed, use_dict, want_state):
-        if fmt is Format.SQUEEZE:
-            if engine is Engine.ORACLE:
-                from sqz_tpu.oracle.squeeze import squeeze_encode_payload
-                from sqz_tpu.oracle.bitstream import BitWriter
-                bw = BitWriter()
-                st = squeeze_encode_payload(p, win_bits, bw, seed=use_seed,
-                                            return_state=want_state,
-                                            dictionary=use_dict)
-                return (bw.getvalue(), st) if want_state else bw.getvalue()
-            return _native().squeeze_compress_payload(
-                p, win_bits, seed=use_seed, return_state=want_state,
-                dictionary=use_dict)
-        if engine is Engine.ORACLE:
-            from sqz_tpu.oracle.sqz4 import sqz4_encode_payload
-            return sqz4_encode_payload(p, 1 << win_bits, lz=lz,
-                                       seed=use_seed,
-                                       return_state=want_state,
-                                       dictionary=use_dict)
-        return _native().sqz4_compress_payload(
-            p, 1 << win_bits, lz=lz, seed=use_seed,
-            return_state=want_state, dictionary=use_dict)
+    encode_one = _encoder_for(fmt, engine, win_bits, lz)
 
     for i, p in enumerate(parts):
         want_state = warm and i == 0
@@ -166,7 +203,7 @@ def decompress(blob: bytes, fmt: Optional[Format | str] = None,
                engine: Engine | str = Engine.NATIVE) -> bytes:
     engine = Engine(engine)
     if blob[:8] == sqzt.SQZT_MAGIC:
-        code, win_bits, blk_bits, osize, payloads, csum, fresh = \
+        code, win_bits, blk_bits, osize, payloads, csum, fresh, anch = \
             sqzt.unpack(blob)
         warm = fresh is not None
         fmt = Format.SQUEEZE if code == SQZT_FORMAT_SQUEEZE else Format.SQZ4
@@ -174,29 +211,21 @@ def decompress(blob: bytes, fmt: Optional[Format | str] = None,
         if engine is Engine.TPU:
             from sqz_tpu.ops import engine as tpu_engine
             data = tpu_engine.decompress_blocks(payloads, sizes, fmt, fresh,
-                                                win_bits)
-        elif engine is Engine.NATIVE and warm:
+                                                win_bits, anchor_mask=anch)
+        elif engine is Engine.NATIVE and warm and anch is None:
+            # the native threaded executor handles the v2 (block-0 anchor)
+            # schedule itself; v3 runs the anchored python schedule below
             code = 0 if fmt is Format.SQUEEZE else 1
             data = _native().blocks_decompress(list(payloads), osize, code,
                                                blk_bits, fresh_mask=fresh,
                                                win_bits=win_bits)
+        elif warm:
+            data = _decompress_anchored(payloads, sizes, fmt, engine,
+                                        win_bits, fresh, anch)
         else:
-            out = bytearray()
-            seed = None
-            dictionary = b""
-            for i, (payload, size) in enumerate(zip(payloads, sizes)):
-                want_state = warm and i == 0
-                use_seed = (seed if (warm and i > 0 and not fresh[i])
-                            else None)
-                use_dict = dictionary if use_seed is not None else b""
-                r = _decode_one(payload, size, fmt, engine,
-                                seed=use_seed, return_state=want_state,
-                                dictionary=use_dict)
-                if want_state:
-                    r, seed = r
-                    dictionary = _warm_dictionary(r, win_bits)
-                out += r
-            data = bytes(out)
+            data = b"".join(
+                _decode_one(payload, size, fmt, engine)
+                for payload, size in zip(payloads, sizes))
         if csum is not None and sqzt.fnv1a64(data) != csum:
             raise ValueError("sqzt checksum mismatch (EILSEQ)")
         return data
@@ -238,7 +267,7 @@ def decompress_range(blob: bytes, start: int, length: int,
                          "use engine='native' or 'oracle'")
     if blob[:8] != sqzt.SQZT_MAGIC:
         raise ValueError("decompress_range requires an sqzt container")
-    code, win_bits, blk_bits, osize, payloads, _csum, fresh = \
+    code, win_bits, blk_bits, osize, payloads, _csum, fresh, anch = \
         sqzt.unpack(blob)
     warm = fresh is not None
     fmt = Format.SQUEEZE if code == SQZT_FORMAT_SQUEEZE else Format.SQZ4
@@ -250,28 +279,57 @@ def decompress_range(blob: bytes, start: int, length: int,
     sizes = _block_sizes(osize, blk_bits, len(payloads))
     b_lo = start >> blk_bits
     b_hi = (start + length - 1) >> blk_bits
-    need_seed = warm and any(not fresh[b]
-                             for b in range(max(b_lo, 1), b_hi + 1))
-    seed = None
-    dictionary = b""
-    blk0 = None
-    if need_seed:
-        r = _decode_one(payloads[0], sizes[0], fmt, engine,
-                        return_state=True)
-        blk0, seed = r
-        dictionary = _warm_dictionary(blk0, win_bits)
+    anchors = sqzt.resolve_anchors(fresh, anch) if warm \
+        else [None] * len(payloads)
+    # anchors whose state a covering warm block needs (v2: always block 0)
+    needed = {anchors[b] for b in range(b_lo, b_hi + 1)
+              if anchors[b] is not None}
+    states = {}
+    decoded = {}
+    for a in sorted(needed):
+        blk, seed = _decode_one(payloads[a], sizes[a], fmt, engine,
+                                return_state=True)
+        decoded[a] = blk
+        states[a] = (seed, _warm_dictionary(blk, win_bits))
     out = bytearray()
     for b in range(b_lo, b_hi + 1):
-        if b == 0:
-            out += blk0 if blk0 is not None else _decode_one(
-                payloads[0], sizes[0], fmt, engine)
-        else:
-            seeded = warm and not fresh[b]
+        if b in decoded:
+            out += decoded[b]
+        elif anchors[b] is not None:
+            seed, dictionary = states[anchors[b]]
             out += _decode_one(payloads[b], sizes[b], fmt, engine,
-                               seed=seed if seeded else None,
-                               dictionary=dictionary if seeded else b"")
+                               seed=seed, dictionary=dictionary)
+        else:
+            out += _decode_one(payloads[b], sizes[b], fmt, engine)
     off = start - (b_lo << blk_bits)
     return bytes(out[off:off + length])
+
+
+def _decompress_anchored(payloads, sizes, fmt, engine, win_bits,
+                         fresh, anch) -> bytes:
+    """Warm-container decode, v2 and v3 alike (FORMAT.md §3.1-3.2): fresh
+    blocks decode cold first (capturing seed/dict state of every block
+    used as an anchor), then warm blocks decode off their anchors. Both
+    passes are block-parallel for a parallel executor; this host reference
+    schedule runs them serially."""
+    anchors = sqzt.resolve_anchors(fresh, anch)
+    needed = {a for a in anchors if a is not None}
+    outs = [None] * len(payloads)
+    states = {}
+    for b in range(len(payloads)):                 # pass 1: fresh blocks
+        if fresh[b]:
+            if b in needed:
+                outs[b], seed = _decode_one(payloads[b], sizes[b], fmt,
+                                            engine, return_state=True)
+                states[b] = (seed, _warm_dictionary(outs[b], win_bits))
+            else:
+                outs[b] = _decode_one(payloads[b], sizes[b], fmt, engine)
+    for b, a in enumerate(anchors):                # pass 2: warm blocks
+        if a is not None:
+            seed, dictionary = states[a]
+            outs[b] = _decode_one(payloads[b], sizes[b], fmt, engine,
+                                  seed=seed, dictionary=dictionary)
+    return b"".join(outs)
 
 
 def _block_sizes(osize: int, blk_bits: int, nblocks: int):

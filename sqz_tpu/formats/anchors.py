@@ -1,0 +1,119 @@
+"""Anchored warm-start planner — sqzt v3 (FORMAT.md §3.2).
+
+v2 warm start anchors every warm block on block 0. On drifting or
+long-period data a later fresh block is often the better anchor: its
+final model state matches the local statistics and its dictionary can be
+phase-aligned with the block being coded (the only long-range-match
+mechanism available under the format's 2^15 window cap). v3 records, per
+warm block, ONE extra bit choosing between two anchors that are both
+decodable in the first parallel round: block 0 or the nearest previous
+fresh block.
+
+Because warm-vs-fresh choices change which blocks are available as
+anchors, a myopic per-block pick (the v2 policy) strands the anchor on
+stale content — measured on this host (tools/warm_anchor_lab.py,
+64 KiB blocks): greedy 'nearest' LOSES 2.9 pp on alternating content,
+greedy best-of-2 captures almost none of the drifting-content gain. The
+planner is therefore a small beam search over "which block is the
+current nearest-fresh anchor": beam 2 already recovers −4.0 pp on
+long-period data and beam 12 −2.1 pp on drifting content vs v2, never
+losing more than the one extra bitmap byte per 8 blocks.
+
+The plan records every choice in the container (fresh + anchor bitmaps),
+so any engine can decode without replicating the policy, and the policy
+is free to evolve without a format change.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, List, Optional, Tuple
+
+
+def plan_anchored(parts: List[bytes], encode_one: Callable,
+                  dictionary_of: Callable[[bytes], bytes],
+                  beam: int = 4,
+                  ) -> Tuple[List[bytes], List[bool], List[bool]]:
+    """Beam-DP over anchor evolutions.
+
+    ``encode_one(part, seed, dictionary, want_state)`` encodes one block
+    (``seed=None`` = fresh) and returns ``payload`` or ``(payload,
+    state)``; ``dictionary_of(part)`` is the preset-history rule
+    (FORMAT.md §3.1). Returns ``(payloads, fresh_mask, anchor_mask)``.
+
+    DP state = index of the nearest previous fresh block along the path.
+    Per block the choices are: code fresh (state := block), or code warm
+    off block 0 or off the state's block (1 recorded bit). Beam keeps the
+    ``beam`` cheapest states; warm payloads are cached per (block,
+    anchor) so beams share encodes.
+    """
+    n = len(parts)
+    cold: List[bytes] = [None] * n
+    state = [None] * n          # final model state of a fresh-coded block
+    dicts = [None] * n
+
+    def fresh_of(b: int):
+        if cold[b] is None:
+            cold[b], state[b] = encode_one(parts[b], None, b"", True)
+            dicts[b] = dictionary_of(parts[b])
+        return cold[b]
+
+    fresh_of(0)
+    if n == 1:
+        return [cold[0]], [True], [False]
+
+    wcache = {}
+
+    def warm_of(b: int, a: int) -> bytes:
+        if (b, a) not in wcache:
+            fresh_of(a)
+            wcache[(b, a)] = encode_one(parts[b], state[a], dicts[a], False)
+        return wcache[(b, a)]
+
+    # beams: anchor index -> (total cost, back-pointer chain)
+    # back-pointer chain: tuple of (choice, anchor_bit) per block 1..b,
+    # kept as an immutable linked list (prev, entry) to stay O(1) to extend
+    beams = {0: (len(cold[0]), None)}
+    for b in range(1, n):
+        nxt = {}
+        for a, (cost, path) in beams.items():
+            w0 = warm_of(b, 0)
+            wa = warm_of(b, a) if a != 0 else w0
+            # warm: strictly-better nearest wins the bit, else block 0
+            if len(wa) < len(w0):
+                wcost, wbit = cost + len(wa), True
+            else:
+                wcost, wbit = cost + len(w0), False
+            prev = nxt.get(a)
+            if prev is None or wcost < prev[0]:
+                nxt[a] = (wcost, (path, ("warm", wbit)))
+            fcost = cost + len(fresh_of(b))
+            prev = nxt.get(b)
+            if prev is None or fcost < prev[0]:
+                nxt[b] = (fcost, (path, ("fresh", False)))
+        beams = dict(sorted(nxt.items(), key=lambda kv: kv[1][0])[:beam])
+
+    # reconstruct the cheapest path
+    _, path = min(beams.values(), key=lambda v: v[0])
+    choices = []
+    while path is not None:
+        path, entry = path
+        choices.append(entry)
+    choices.reverse()
+    assert len(choices) == n - 1
+
+    payloads = [cold[0]]
+    fresh_mask = [True]
+    anchor_mask = [False]
+    last_fresh = 0
+    for b, (kind, bit) in enumerate(choices, start=1):
+        if kind == "fresh":
+            payloads.append(fresh_of(b))
+            fresh_mask.append(True)
+            anchor_mask.append(False)
+            last_fresh = b
+        else:
+            a = last_fresh if bit else 0
+            payloads.append(warm_of(b, a))
+            fresh_mask.append(False)
+            anchor_mask.append(bit and last_fresh != 0)
+    return payloads, fresh_mask, anchor_mask

@@ -24,6 +24,12 @@ FLAG_CHECKSUM = 1
 # from block 0's final (rescaled) state; block 0 itself is always fresh, so
 # the decoder re-derives the seed from block 0 — no bytes stored.
 FLAG_WARM = 2
+# sqzt v3 (FORMAT.md §3.2): anchored warm start. Valid only with FLAG_WARM.
+# A second bitmap (same size as the fresh bitmap) follows it: bit b set on
+# a WARM block means its seed/dictionary anchor is the nearest previous
+# FRESH block instead of block 0. Bits on fresh blocks MUST be 0 (one
+# canonical encoding per choice; decoders reject non-canonical bitmaps).
+FLAG_ANCHORS = 4
 
 FNV_INIT = 0xCBF29CE484222325
 FNV_PRIME = 0x100000001B3
@@ -45,16 +51,30 @@ def split_blocks(data: bytes, blk_bits: int) -> List[bytes]:
     return [data[o:o + bs] for o in range(0, len(data), bs)] or [b""]
 
 
+def _bitmap(bits: List[bool]) -> bytes:
+    bm = bytearray((len(bits) + 7) // 8)
+    for b, v in enumerate(bits):
+        if v:
+            bm[b >> 3] |= 1 << (b & 7)
+    return bytes(bm)
+
+
 def pack(fmt: int, win_bits: int, blk_bits: int, original_size: int,
          block_payloads: List[bytes],
          checksum: Optional[int] = None, warm: bool = False,
-         fresh_mask: Optional[List[bool]] = None) -> bytes:
+         fresh_mask: Optional[List[bool]] = None,
+         anchor_mask: Optional[List[bool]] = None) -> bytes:
     """``warm`` containers carry a fresh-bitmap after the checksum:
     bit b set = block b was coded FRESH (the encoder picks per block
-    whichever of fresh/warm coded smaller; block 0 is always fresh)."""
+    whichever of fresh/warm coded smaller; block 0 is always fresh).
+    ``anchor_mask`` (v3, FORMAT.md §3.2) adds the per-warm-block anchor
+    choice bitmap; an all-zero mask packs as a plain v2 container."""
     assert fmt in (SQZT_FORMAT_SQUEEZE, SQZT_FORMAT_SQZ4)
+    if anchor_mask is not None and not any(anchor_mask):
+        anchor_mask = None   # canonical: v3 flag only when an anchor differs
     flags = (FLAG_CHECKSUM if checksum is not None else 0) \
-        | (FLAG_WARM if warm else 0)
+        | (FLAG_WARM if warm else 0) \
+        | (FLAG_ANCHORS if (warm and anchor_mask is not None) else 0)
     head = struct.pack(
         "<8sBBBB4xQQ", SQZT_MAGIC, fmt, win_bits, blk_bits, flags,
         original_size, len(block_payloads))
@@ -66,19 +86,22 @@ def pack(fmt: int, win_bits: int, blk_bits: int, original_size: int,
         if fresh_mask is None:
             fresh_mask = [True] + [False] * (n - 1)
         assert len(fresh_mask) == n and fresh_mask[0]
-        bm = bytearray((n + 7) // 8)
-        for b, fresh in enumerate(fresh_mask):
-            if fresh:
-                bm[b >> 3] |= 1 << (b & 7)
-        tail += bytes(bm)
+        tail += _bitmap(fresh_mask)
+        if anchor_mask is not None:
+            assert len(anchor_mask) == n
+            assert all(not (a and f) for a, f in zip(anchor_mask, fresh_mask))
+            tail += _bitmap(anchor_mask)
     return head + table + tail + b"".join(block_payloads)
 
 
 def unpack(blob: bytes) -> Tuple[int, int, int, int, List[bytes],
-                                 Optional[int], "Optional[List[bool]]"]:
+                                 Optional[int], "Optional[List[bool]]",
+                                 "Optional[List[bool]]"]:
     """Returns (fmt, win_bits, blk_bits, original_size, payloads, checksum,
-    fresh_mask). fresh_mask is None for cold containers; for warm (v2)
-    containers it lists, per block, whether it was coded fresh."""
+    fresh_mask, anchor_mask). fresh_mask is None for cold containers; for
+    warm (v2+) containers it lists, per block, whether it was coded fresh.
+    anchor_mask is None unless FLAG_ANCHORS (v3): bit b set on a warm block
+    selects the nearest-previous-fresh anchor over block 0."""
     if len(blob) < SQZT_HEADER_BYTES:
         raise ValueError("truncated sqzt header")
     magic, fmt, win_bits, blk_bits, flags, osize, nblocks = struct.unpack_from(
@@ -97,6 +120,9 @@ def unpack(blob: bytes) -> Tuple[int, int, int, int, List[bytes],
         checksum = struct.unpack_from("<Q", blob, off)[0]
         off += 8
     fresh_mask = None
+    anchor_mask = None
+    if flags & FLAG_ANCHORS and not flags & FLAG_WARM:
+        raise ValueError("anchor flag without warm flag")
     if flags & FLAG_WARM:
         nbm = (nblocks + 7) // 8
         if off + nbm > len(blob):
@@ -106,6 +132,15 @@ def unpack(blob: bytes) -> Tuple[int, int, int, int, List[bytes],
         fresh_mask = [bool(bm[b >> 3] >> (b & 7) & 1) for b in range(nblocks)]
         if not fresh_mask or not fresh_mask[0]:
             raise ValueError("warm container: block 0 must be fresh")
+        if flags & FLAG_ANCHORS:
+            if off + nbm > len(blob):
+                raise ValueError("truncated sqzt anchor bitmap")
+            am = blob[off:off + nbm]
+            off += nbm
+            anchor_mask = [bool(am[b >> 3] >> (b & 7) & 1)
+                           for b in range(nblocks)]
+            if any(a and f for a, f in zip(anchor_mask, fresh_mask)):
+                raise ValueError("anchor bit set on a fresh block")
     payloads = []
     for s in sizes:
         if off + s > len(blob):
@@ -114,4 +149,22 @@ def unpack(blob: bytes) -> Tuple[int, int, int, int, List[bytes],
         off += s
     if off != len(blob):
         raise ValueError(f"container size mismatch: {off} != {len(blob)}")
-    return (fmt, win_bits, blk_bits, osize, payloads, checksum, fresh_mask)
+    return (fmt, win_bits, blk_bits, osize, payloads, checksum, fresh_mask,
+            anchor_mask)
+
+
+def resolve_anchors(fresh_mask: List[bool],
+                    anchor_mask: Optional[List[bool]]):
+    """Per-block anchor indices (FORMAT.md §3.2): None for fresh blocks;
+    for warm blocks, 0 (v2 semantics) or — when the anchor bit is set —
+    the index of the nearest previous fresh block."""
+    out = []
+    last_fresh = 0
+    for b, fresh in enumerate(fresh_mask):
+        if fresh:
+            out.append(None)
+            last_fresh = b
+        else:
+            use_near = anchor_mask is not None and anchor_mask[b]
+            out.append(last_fresh if use_near else 0)
+    return out

@@ -183,32 +183,47 @@ def compress_blocks(parts: Sequence[bytes], fmt, win_bits: int,
         return _pick_smaller(cold, warm_p, gate)
 
 
-def _warm_scatter(payloads, sizes, fresh_mask, decode_batch,
-                  blk0: bytes, seed, dictionary: bytes) -> bytes:
-    """Decode a warm container's blocks 1+ as two parallel batches (fresh
-    cold-decoded, warm seeded) and reassemble in block order."""
-    cold_idx = [b for b in range(1, len(payloads)) if fresh_mask[b]]
-    warm_idx = [b for b in range(1, len(payloads)) if not fresh_mask[b]]
+def _warm_scatter(payloads, sizes, fresh_mask, anchor_mask, decode_batch,
+                  decode_anchor, win_bits: int) -> bytes:
+    """Decode a warm container's blocks as parallel batches: anchor blocks
+    host-side first (their model state must be captured — v2: just block 0;
+    v3: every fresh block some warm block anchors on, FORMAT.md §3.2),
+    then one cold device batch for the remaining fresh blocks and one
+    seeded device batch per distinct anchor."""
+    from sqz_tpu.api import _warm_dictionary
+    from sqz_tpu.formats.container import resolve_anchors
+    anchors = resolve_anchors(fresh_mask, anchor_mask)
+    needed = sorted({a for a in anchors if a is not None})
     outs = [None] * len(payloads)
-    outs[0] = blk0
-    for idx, batch in ((cold_idx, decode_batch(
-            [payloads[b] for b in cold_idx],
-            [sizes[b] for b in cold_idx])),
-                       (warm_idx, decode_batch(
-            [payloads[b] for b in warm_idx],
-            [sizes[b] for b in warm_idx], seed, dictionary))):
+    states = {}
+    for a in needed:
+        outs[a], seed = decode_anchor(payloads[a], sizes[a])
+        states[a] = (seed, _warm_dictionary(outs[a], win_bits))
+    cold_idx = [b for b in range(len(payloads))
+                if fresh_mask[b] and b not in states]
+    batches = [(cold_idx, None)] + [
+        ([b for b, a in enumerate(anchors) if a == anc], anc)
+        for anc in needed]
+    for idx, anc in batches:
+        if not idx:
+            continue
+        seed, dictionary = states[anc] if anc is not None else (None, b"")
+        batch = decode_batch([payloads[b] for b in idx],
+                             [sizes[b] for b in idx], seed, dictionary)
         for b, blk in zip(idx, batch):
             outs[b] = blk
     return b"".join(outs)
 
 
 def decompress_blocks(payloads: Sequence[bytes], sizes: Sequence[int],
-                      fmt, fresh_mask=None, win_bits: int = 15) -> bytes:
+                      fmt, fresh_mask=None, win_bits: int = 15,
+                      anchor_mask=None) -> bytes:
     """``fresh_mask`` (sqzt v2, FORMAT.md §3.1): per-block fresh/warm
-    choice; None = cold container. Warm blocks decode seeded from block 0
-    (decoded host-side first); fresh blocks decode cold — the two sets run
-    as separate device batches."""
-    from sqz_tpu.api import Format, _warm_dictionary
+    choice; None = cold container. Warm blocks decode seeded from their
+    anchor (v2: block 0; v3 ``anchor_mask``: possibly a later fresh
+    block, FORMAT.md §3.2), anchors decoded host-side first; each anchor
+    group and the fresh set run as separate device batches."""
+    from sqz_tpu.api import Format
     from sqz_tpu import native
     blk_bits = max(max(s - 1 for s in sizes), 1).bit_length()
     warm = (fresh_mask is not None and len(payloads) > 1
@@ -228,25 +243,39 @@ def decompress_blocks(payloads: Sequence[bytes], sizes: Sequence[int],
 
         if not warm:
             return b"".join(decode_batch(list(payloads), sizes))
-        if native.available():
-            blk0, seed = native.sqz4_decompress_payload(
-                payloads[0], sizes[0], return_state=True)
-        else:
+
+        def decode_anchor(pl, sz):
+            if native.available():
+                return native.sqz4_decompress_payload(pl, sz,
+                                                      return_state=True)
             from sqz_tpu.oracle.sqz4 import sqz4_decode_payload
-            blk0, seed = sqz4_decode_payload(payloads[0], sizes[0],
-                                             return_state=True)
-        return _warm_scatter(payloads, sizes, fresh_mask, decode_batch,
-                             blk0, seed, _warm_dictionary(blk0, win_bits))
+            return sqz4_decode_payload(pl, sz, return_state=True)
+        return _warm_scatter(payloads, sizes, fresh_mask, anchor_mask,
+                             decode_batch, decode_anchor, win_bits)
     else:
-        if use_pallas() and native.available():
+        if use_pallas() and native.available() and anchor_mask is None:
             # Adaptive-Huffman decode is pointer-chasing with data-dependent
             # restructure cascades — measured at microseconds/symbol when
             # emulated with one-hot node gathers (PERF.md "design decisions");
             # the tpu engine runs the threaded native decoder for squeeze
-            # payloads and keeps the device scan for CPU meshes.
+            # payloads and keeps the device scan for CPU meshes. (v3
+            # anchored containers take the anchored scatter below — the
+            # threaded executor only knows the v2 block-0 schedule.)
             return native.blocks_decompress(
                 list(payloads), sum(sizes), 0, blk_bits,
                 fresh_mask=fresh_mask if warm else None, win_bits=win_bits)
+        if use_pallas() and native.available():
+            def decode_batch_nat(pls, szs, seed=None, dictionary=b""):
+                return [native.squeeze_decompress_payload(
+                            p, s, seed=seed, dictionary=dictionary)
+                        for p, s in zip(pls, szs)]
+
+            def decode_anchor_nat(pl, sz):
+                return native.squeeze_decompress_payload(
+                    pl, sz, return_state=True)
+            return _warm_scatter(payloads, sizes, fresh_mask, anchor_mask,
+                                 decode_batch_nat, decode_anchor_nat,
+                                 win_bits)
         from sqz_tpu.ops import squeeze_jax
 
         def decode_batch_sq(pls, szs, seed=None, dictionary=b""):
@@ -258,13 +287,14 @@ def decompress_blocks(payloads: Sequence[bytes], sizes: Sequence[int],
 
         if not warm:
             return b"".join(decode_batch_sq(list(payloads), sizes))
-        if native.available():
-            blk0, seed = native.squeeze_decompress_payload(
-                payloads[0], sizes[0], return_state=True)
-        else:
+
+        def decode_anchor_sq(pl, sz):
+            if native.available():
+                return native.squeeze_decompress_payload(pl, sz,
+                                                         return_state=True)
             from sqz_tpu.oracle.bitstream import BitReader
             from sqz_tpu.oracle.squeeze import squeeze_decode_payload
-            blk0, seed = squeeze_decode_payload(BitReader(payloads[0]),
-                                                sizes[0], return_state=True)
-        return _warm_scatter(payloads, sizes, fresh_mask, decode_batch_sq,
-                             blk0, seed, _warm_dictionary(blk0, win_bits))
+            return squeeze_decode_payload(BitReader(pl), sz,
+                                          return_state=True)
+        return _warm_scatter(payloads, sizes, fresh_mask, anchor_mask,
+                             decode_batch_sq, decode_anchor_sq, win_bits)

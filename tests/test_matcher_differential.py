@@ -95,7 +95,7 @@ def test_container_checksum_detects_payload_swap():
     data = b"the quick brown fox jumps over the lazy dog " * 40
     blob = sqz_tpu.compress(data, fmt="sqz4", engine="native",
                             blocks=True, blk_bits=10)
-    fmt, wb, bb, osize, payloads, csum, _warm = container.unpack(blob)
+    fmt, wb, bb, osize, payloads, csum, _warm, _anch = container.unpack(blob)
     assert csum == container.fnv1a64(data)
     # re-encode a modified first block of the same length: every block still
     # decodes, only the checksum notices
@@ -103,7 +103,7 @@ def test_container_checksum_detects_payload_swap():
     other[0] ^= 1
     swapped = sqz_tpu.compress(bytes(other), fmt="sqz4", engine="native",
                                blocks=True, blk_bits=10)
-    _, _, _, _, payloads2, _, _ = container.unpack(swapped)
+    _, _, _, _, payloads2, _, _, _ = container.unpack(swapped)
     forged = container.pack(fmt, wb, bb, osize,
                             [payloads2[0]] + payloads[1:], csum)
     with pytest.raises(ValueError, match="checksum"):

@@ -36,7 +36,7 @@ def test_warm_roundtrip_cross_engine(fmt):
             assert sqz_tpu.decompress(blob, engine=dec) == data, (eng, dec)
     assert blobs["oracle"] == blobs["native"]
     # the warm flag is set and survives unpack
-    *_, warm = container.unpack(blobs["native"])
+    *_, warm, _am = container.unpack(blobs["native"])
     assert warm
 
 
@@ -58,7 +58,7 @@ def test_warm_delta_vs_whole_file_sqz4():
     warm = sqz_tpu.compress(data, fmt="sqz4", engine="native", win_bits=15,
                             blocks=True, blk_bits=16, warm=True,
                             checksum=False)
-    _, _, _, _, payloads, _, _ = container.unpack(warm)
+    _, _, _, _, payloads, _, _, _ = container.unpack(warm)
     body = sum(len(p) for p in payloads)
     assert body <= len(whole) * 1.005, (body, len(whole))
 
@@ -101,7 +101,7 @@ def test_warm_dictionary_reach():
     warm = sqz_tpu.compress(data, fmt="sqz4", engine="native", win_bits=13,
                             blocks=True, blk_bits=12, warm=True,
                             checksum=False)
-    _, _, _, _, payloads, _, _ = container.unpack(warm)
+    _, _, _, _, payloads, _, _, _ = container.unpack(warm)
     assert len(payloads) == 2
     assert len(payloads[1]) < len(blk) // 50  # pure dictionary matches
     assert sqz_tpu.decompress(warm, engine="oracle") == data
@@ -155,7 +155,7 @@ def test_warm_per_block_choice_never_loses():
                             blocks=True, blk_bits=12)
     warm = sqz_tpu.compress(mix, fmt="sqz4", engine="native", win_bits=12,
                             blocks=True, blk_bits=12, warm=True)
-    *_, fresh = container.unpack(warm)
+    *_, fresh, _am = container.unpack(warm)
     assert fresh == [True, True]          # seeded coding lost -> fresh kept
     assert len(warm) <= len(cold) + 1     # bitmap byte only
     assert sqz_tpu.decompress(warm) == mix
@@ -163,7 +163,7 @@ def test_warm_per_block_choice_never_loses():
     text = _load("confucius.txt", 16384)
     wt = sqz_tpu.compress(text, fmt="sqz4", engine="native", win_bits=12,
                           blocks=True, blk_bits=12, warm=True)
-    *_, fresh_t = container.unpack(wt)
+    *_, fresh_t, _am2 = container.unpack(wt)
     assert not all(fresh_t[1:])
 
 
@@ -215,6 +215,6 @@ def test_warm_gate_skips_unrelated_content():
     data = random_bytes(16384, seed=13)
     blob = sqz_tpu.compress(data, fmt="sqz4", engine="native", win_bits=11,
                             blocks=True, blk_bits=12, warm=True)
-    _, _, _, _, _, _, fresh = container.unpack(blob)
+    _, _, _, _, _, _, fresh, _ = container.unpack(blob)
     assert fresh is None or all(fresh[:-1])   # only the tail may be warm
     assert sqz_tpu.decompress(blob, engine="native") == data
