@@ -354,7 +354,7 @@ def main() -> None:
         "squeeze_bitpack_MBps": round(len(data) / t_sq / 1e6, 1),
         "squeeze_host_decode_MBps": round(len(data) / t_sq_dec / 1e6, 1),
         "squeeze_ratio": round(sq_ratio, 6),
-        "e2e_pipelined_fast_enc_MBps": round(len(data) / t_e2e / 1e6, 1),
+        "e2e_pipelined_fast_enc_MBps": round(len(e2e_data) / t_e2e / 1e6, 1),
         "fast_parse_ratio": round(fast_ratio, 6),
     }))
 

@@ -85,16 +85,33 @@ def price(blocks, window, scheme: str):
     return total, fresh
 
 
-def report(tag, data, blk_bits):
+def price_beam(blocks, window, beam):
+    """The SHIPPED planner (formats/anchors.py), priced like the schemes."""
+    from sqz_tpu.formats.anchors import plan_anchored
+
+    def encode_one(p, seed, dic, want_state):
+        return native.sqz4_compress_payload(p, window, lz=True, seed=seed,
+                                            return_state=want_state,
+                                            dictionary=dic)
+    payloads, fresh_mask, _anch = plan_anchored(
+        blocks, encode_one, lambda b: dict_of(b, window), beam=beam)
+    return sum(map(len, payloads)), sum(fresh_mask)
+
+
+def report(tag, data, blk_bits, beams=(2, 12)):
     blocks = split(data, 1 << blk_bits)
     window = 1 << 15
     n = len(data)
     print(f"\n== {tag}: {n/2**20:.1f} MiB, {len(blocks)} blocks "
           f"of 2^{blk_bits} ==", flush=True)
     base = None
-    for scheme in ("v2", "nearest", "best2", "chain"):
+    rows = [(s, lambda s=s: price(blocks, window, s))
+            for s in ("v2", "nearest", "best2", "chain")]
+    rows += [(f"beam-{b}", lambda b=b: price_beam(blocks, window, b))
+             for b in beams]
+    for scheme, fn in rows:
         t0 = time.time()
-        total, fresh = price(blocks, window, scheme)
+        total, fresh = fn()
         r = 100.0 * total / n
         delta = "" if base is None else f"  ({r - base:+.3f} pp vs v2)"
         base = r if base is None else base
