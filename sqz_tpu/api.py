@@ -53,12 +53,15 @@ def compress(data: bytes, fmt: Format | str = Format.SQUEEZE,
     with a beam search of width ``anchor_beam`` (formats/anchors.py) —
     higher ratio on drifting or long-period data for ~beam× encode cost.
 
-    ``parse`` ('auto' | 'fast' | 'exact'; TPU engine, sqz4, blocks=True):
-    the sqzt container's contract is round-trip + ratio, so the TPU
-    pipeline defaults to the bounded approximate matcher ('fast', ~20x
-    planning throughput, ratio within ~0.5 pp). 'exact' restores the
+    ``parse`` ('auto' | 'fast' | 'exact'; sqz4, blocks=True): the sqzt
+    container's contract is round-trip + ratio, so the TPU pipeline
+    defaults to the bounded approximate matcher ('fast', ~20x planning
+    throughput, ratio within ~0.5 pp); 'exact' restores the
     reference-semantics parse (streams byte-identical to the native
-    engine). Other engines always parse exactly. SQZ_PARSE overrides."""
+    engine). The native engine defaults to 'exact'; an explicit 'fast'
+    runs its bounded matcher too (~5x encode throughput, incl. the warm
+    double-encode and the v3 anchor planner). The oracle and the squeeze
+    format always parse exactly. SQZ_PARSE overrides."""
     fmt, engine = Format(fmt), Engine(engine)
     if not 10 <= win_bits <= 15:
         # squeeze's header field and the sqz4 window share this range
@@ -72,7 +75,7 @@ def compress(data: bytes, fmt: Format | str = Format.SQUEEZE,
         anchor_mask = None
         if warm == "anchors":
             payloads, fresh_mask, anchor_mask = _compress_anchored(
-                parts, fmt, engine, win_bits, lz, anchor_beam)
+                parts, fmt, engine, win_bits, lz, anchor_beam, parse)
         else:
             res = _compress_blocks(parts, fmt, engine, win_bits, lz, warm,
                                    blk_bits, parse)
@@ -104,9 +107,11 @@ def _warm_dictionary(block0: bytes, win_bits: int) -> bytes:
     return block0[-(1 << win_bits):]
 
 
-def _encoder_for(fmt, engine, win_bits, lz):
+def _encoder_for(fmt, engine, win_bits, lz, parse="exact"):
     """Per-block payload encoder ``(part, seed, dict, want_state) ->
-    payload | (payload, state)`` for the given format/engine."""
+    payload | (payload, state)`` for the given format/engine.
+    ``parse="fast"`` (sqz4 + native only) uses the bounded approximate
+    matcher — spec-valid streams, sqzt-contract paths only."""
     def encode_one(p, use_seed, use_dict, want_state):
         if fmt is Format.SQUEEZE:
             if engine is Engine.ORACLE:
@@ -128,22 +133,43 @@ def _encoder_for(fmt, engine, win_bits, lz):
                                        dictionary=use_dict)
         return _native().sqz4_compress_payload(
             p, 1 << win_bits, lz=lz, seed=use_seed,
-            return_state=want_state, dictionary=use_dict)
+            return_state=want_state, dictionary=use_dict, parse=parse)
     return encode_one
 
 
-def _compress_anchored(parts, fmt, engine, win_bits, lz, beam):
+def _host_parse(parse: str, engine) -> str:
+    """Parse policy for host-engine sqzt paths (mirrors
+    sqz4_pallas.parse_mode for the device path): 'auto' = fast on the TPU
+    engine (its sqzt contract is round-trip + ratio), exact on native/
+    oracle (cross-engine bit-identical defaults). SQZ_PARSE overrides."""
+    import os
+    env = os.environ.get("SQZ_PARSE")
+    if env in ("fast", "exact"):
+        return env
+    if parse == "auto":
+        return "fast" if engine is Engine.TPU else "exact"
+    return parse
+
+
+def _compress_anchored(parts, fmt, engine, win_bits, lz, beam,
+                       parse="auto"):
     """sqzt v3 planner entry (FORMAT.md §3.2). The beam planner prices
     real payload encodes, so it runs on a host engine; per-block payloads
     are engine-bit-identical (the cross-engine invariant), hence a TPU
     caller gets byte-identical containers from the native fast path (the
-    device-batched anchored encode is ROADMAP work)."""
+    device-batched anchored encode is ROADMAP work). ``parse``: the TPU
+    engine defaults to the ~5x-cheaper bounded matcher for pricing AND
+    payloads (still engine-bit-identical — both run the same native
+    code); host engines default to exact."""
     from sqz_tpu import native
     from sqz_tpu.formats.anchors import plan_anchored
     enc_engine = engine
     if engine is Engine.TPU:
         enc_engine = Engine.NATIVE if native.available() else Engine.ORACLE
-    encode_one = _encoder_for(fmt, enc_engine, win_bits, lz)
+    use_parse = _host_parse(parse, engine)
+    if fmt is not Format.SQZ4 or enc_engine is not Engine.NATIVE or not lz:
+        use_parse = "exact"   # fast matcher exists only for native sqz4+lz
+    encode_one = _encoder_for(fmt, enc_engine, win_bits, lz, parse=use_parse)
     return plan_anchored(parts, encode_one,
                          lambda blk: _warm_dictionary(blk, win_bits),
                          beam=beam)
@@ -162,11 +188,15 @@ def _compress_blocks(parts, fmt, engine, win_bits, lz, warm=False,
         from sqz_tpu.ops import engine as tpu_engine
         return tpu_engine.compress_blocks(parts, fmt, win_bits, lz, warm,
                                           blk_bits=blk_bits, parse=parse)
+    host_parse = _host_parse(parse, engine)
+    if fmt is not Format.SQZ4 or engine is not Engine.NATIVE or not lz:
+        host_parse = "exact"   # fast matcher exists only for native sqz4+lz
     if engine is Engine.NATIVE and warm:
         # the native threaded executor runs the whole warm schedule itself
         code = 0 if fmt is Format.SQUEEZE else 1
         return _native().blocks_compress(b"".join(parts), code, win_bits,
-                                         blk_bits, lz=lz, warm=True)
+                                         blk_bits, lz=lz, warm=True,
+                                         parse=host_parse)
     seed = None
     dictionary = b""
     out = []
@@ -176,7 +206,7 @@ def _compress_blocks(parts, fmt, engine, win_bits, lz, warm=False,
         from sqz_tpu.formats.constants import warm_gate_mask
         gate = warm_gate_mask(parts, _warm_dictionary(parts[0], win_bits))
 
-    encode_one = _encoder_for(fmt, engine, win_bits, lz)
+    encode_one = _encoder_for(fmt, engine, win_bits, lz, parse=host_parse)
 
     for i, p in enumerate(parts):
         want_state = warm and i == 0

@@ -60,7 +60,7 @@ def _load() -> Optional[ctypes.CDLL]:
                                              u32p, u32p, u32p]
         lib.sqz_blocks_compress.restype = i64
         lib.sqz_blocks_compress.argtypes = [u8p, u64, i32, i32, i32, i32, i32,
-                                            i32, u8p, u64, i64p, u8p]
+                                            i32, i32, u8p, u64, i64p, u8p]
         lib.sqz_blocks_decompress.restype = i64
         lib.sqz_blocks_decompress.argtypes = [u8p, i64p, i64p, u64, i32, i32,
                                               i32, i32, i32, u8p, u8p, u64]
@@ -68,6 +68,9 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.sqz_sqz4_compress_s.restype = i64
         lib.sqz_sqz4_compress_s.argtypes = [u8p, u64, u32, i32, u32p_, u32p_,
                                             u8p, u64, u8p, u64]
+        lib.sqz_sqz4_compress_f.restype = i64
+        lib.sqz_sqz4_compress_f.argtypes = [u8p, u64, u32, i32, i32, u32p_,
+                                            u32p_, u8p, u64, u8p, u64]
         lib.sqz_sqz4_decompress_s.restype = i64
         lib.sqz_sqz4_decompress_s.argtypes = [u8p, u64, u64, u32p_, u32p_,
                                               u8p, u64, u8p, u64]
@@ -266,10 +269,29 @@ def squeeze_decompress_payload(payload: bytes, size: int, seed=None,
 
 def sqz4_compress_payload(data: bytes, window: int, lz: bool = True,
                           seed=None, return_state: bool = False,
-                          dictionary: bytes = b""):
+                          dictionary: bytes = b"", parse: str = "exact",
+                          depth: int = 32):
+    """``parse="fast"`` uses the bounded approximate matcher (PERF.md
+    round 3; ``depth`` hash-chain links): spec-valid streams, NOT
+    byte-identical to the exact parse — sqzt-container paths only
+    (round-trip + ratio contract, FORMAT.md §3)."""
     lib = _load()
     src = np.frombuffer(data, dtype=np.uint8) if data else np.zeros(1, np.uint8)
     out = np.empty(_cap_for(len(data)), dtype=np.uint8)
+    if parse == "fast" and lz:
+        sin = _seed4_in(seed)
+        sout = (np.zeros(SEED4_WORDS, dtype=np.uint32)
+                if return_state else None)
+        d, dn = _dict_in(dictionary)
+        rc = _check(lib.sqz_sqz4_compress_f(
+            _u8(src), len(data), window, int(lz), depth,
+            _u32p(sin) if sin is not None else None,
+            _u32p(sout) if sout is not None else None,
+            _u8(d) if d is not None else None, dn, _u8(out), out.size))
+        payload = out[:rc].tobytes()
+        if return_state:
+            return payload, _seed4_out(sout)
+        return payload
     if seed is None and not return_state and not dictionary:
         rc = _check(lib.sqz_sqz4_compress(_u8(src), len(data), window,
                                           int(lz), _u8(out), out.size))
@@ -350,11 +372,14 @@ def tokenize(data: bytes, window: int, min_len: int, max_len: int,
 
 def blocks_compress(data: bytes, fmt: int, win_bits: int, blk_bits: int,
                     lz: bool = True, nthreads: int = 0,
-                    warm: bool = False):
+                    warm: bool = False, parse: str = "exact",
+                    depth: int = 32):
     """Compress independent 2^blk_bits blocks in parallel; returns payloads
     (cold) or (payloads, fresh_mask) (warm). Warm (sqzt v2, FORMAT.md
     §3.1): each block 1+ is coded both fresh and seeded from block 0's
-    final state; the smaller wins and the mask records the choice."""
+    final state; the smaller wins and the mask records the choice.
+    ``parse="fast"`` (sqz4 only): bounded approximate matcher on every
+    block — sqzt-contract paths only."""
     lib = _load()
     n = len(data)
     bs = 1 << blk_bits
@@ -364,8 +389,10 @@ def blocks_compress(data: bytes, fmt: int, win_bits: int, blk_bits: int,
     out = np.empty(nblocks * stride, dtype=np.uint8)
     sizes = np.zeros(nblocks, dtype=np.int64)
     flags = np.ones(nblocks, dtype=np.uint8)
+    fast_depth = depth if (parse == "fast" and fmt == 1 and lz) else 0
     rc = _check(lib.sqz_blocks_compress(
         _u8(src), n, fmt, win_bits, blk_bits, int(lz), nthreads, int(warm),
+        fast_depth,
         _u8(out), stride, sizes.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         _u8(flags)))
     assert rc == nblocks

@@ -1156,7 +1156,8 @@ uint64_t sqz4_encode_payload(const uint8_t* data, uint64_t n, uint32_t window,
                              const uint32_t* seed = nullptr,
                              uint32_t* state_out = nullptr,
                              const uint8_t* dict = nullptr,
-                             uint64_t dlen = 0) {
+                             uint64_t dlen = 0,
+                             int fast_depth = 0) {
     Sqz4Models pm;
     if (seed != nullptr) seed4_load(pm, seed);
     RangeEncoder enc(out, cap);
@@ -1174,33 +1175,43 @@ uint64_t sqz4_encode_payload(const uint8_t* data, uint64_t n, uint32_t window,
             total = dlen + n;
             start = dlen;
         }
-        MatchFinder mf(base, total, window, kSqz4MinLen, kSqz4MaxLen);
-        for (uint64_t k = 0; k < start; k++) mf.insert(k);
-        uint64_t i = start;
-        while (i < total) {
-            uint32_t len, dist;
-            mf.find(i, &len, &dist);
-            uint32_t nbits = 0;
-            for (uint32_t d = dist; d != 0; d >>= 1) nbits++;
-            // short-far rejection (src/sqz.c:678-685)
-            if (len <= 3 && nbits > 3) len = 0;
-            if (len >= kSqz4MinLen) {
-                enc.encode(pm.literal, 0);
-                enc.encode(pm.size, static_cast<int>(len));
-                enc.encode(pm.bits, static_cast<int>(nbits));
-                uint32_t d = dist;
-                for (uint32_t b = 0; b + 1 < nbits; b++) {
-                    enc.encode(pm.dist[b], static_cast<int>(d & 1));
-                    d >>= 1;
+        // fast_depth > 0: bounded approximate matcher (PERF.md round 3) —
+        // streams stay spec-valid, only WHICH match is found changes
+        auto run = [&](auto& mf) {
+            for (uint64_t k = 0; k < start; k++) mf.insert(k);
+            uint64_t i = start;
+            while (i < total) {
+                uint32_t len, dist;
+                mf.find(i, &len, &dist);
+                uint32_t nbits = 0;
+                for (uint32_t d = dist; d != 0; d >>= 1) nbits++;
+                // short-far rejection (src/sqz.c:678-685)
+                if (len <= 3 && nbits > 3) len = 0;
+                if (len >= kSqz4MinLen) {
+                    enc.encode(pm.literal, 0);
+                    enc.encode(pm.size, static_cast<int>(len));
+                    enc.encode(pm.bits, static_cast<int>(nbits));
+                    uint32_t d = dist;
+                    for (uint32_t b = 0; b + 1 < nbits; b++) {
+                        enc.encode(pm.dist[b], static_cast<int>(d & 1));
+                        d >>= 1;
+                    }
+                    for (uint32_t k = 0; k < len; k++) mf.insert(i + k);
+                    i += len;
+                } else {
+                    enc.encode(pm.literal, 1);
+                    enc.encode(pm.byte, base[i]);
+                    mf.insert(i);
+                    i++;
                 }
-                for (uint32_t k = 0; k < len; k++) mf.insert(i + k);
-                i += len;
-            } else {
-                enc.encode(pm.literal, 1);
-                enc.encode(pm.byte, base[i]);
-                mf.insert(i);
-                i++;
             }
+        };
+        if (fast_depth > 0) {
+            FastMatchFinder mf(base, total, window, kSqz4MaxLen, fast_depth);
+            run(mf);
+        } else {
+            MatchFinder mf(base, total, window, kSqz4MinLen, kSqz4MaxLen);
+            run(mf);
         }
     } else {
         for (uint64_t i = 0; i < n; i++) {
@@ -1376,6 +1387,26 @@ int64_t sqz_sqz4_compress_s(const uint8_t* data, uint64_t n, uint32_t window,
     }
 }
 
+// Fast-parse variant (bounded approximate matcher, PERF.md round 3):
+// spec-valid streams, not byte-identical to the exact parse. For sqzt
+// paths where the contract is round-trip + ratio (FORMAT.md §3) — the
+// seeded/dictionary forms make the warm double-encode and the v3 anchor
+// planner ~5x cheaper than the exact matcher.
+int64_t sqz_sqz4_compress_f(const uint8_t* data, uint64_t n, uint32_t window,
+                            int lz, int depth, const uint32_t* seed,
+                            uint32_t* state_out,
+                            const uint8_t* dict, uint64_t dlen,
+                            uint8_t* out, uint64_t cap) {
+    try {
+        if (depth <= 0) return -EINVAL;
+        return static_cast<int64_t>(
+            sqz4_encode_payload(data, n, window, lz, out, cap, seed,
+                                state_out, dict, dlen, depth));
+    } catch (const CodecError& e) {
+        return -e.err;
+    }
+}
+
 int64_t sqz_sqz4_decompress_s(const uint8_t* payload, uint64_t n,
                               uint64_t size, const uint32_t* seed,
                               uint32_t* state_out,
@@ -1512,9 +1543,21 @@ int64_t sqz_tokenize(const uint8_t* data, uint64_t n, uint32_t window,
 // out + block_index * out_stride. Returns the block count or -errno.
 int64_t sqz_blocks_compress(const uint8_t* data, uint64_t n, int fmt,
                             int win_bits, int blk_bits, int lz, int nthreads,
-                            int warm,
+                            int warm, int fast_depth,
                             uint8_t* out, uint64_t out_stride,
                             int64_t* out_sizes, uint8_t* fresh_flags) {
+    // fast_depth > 0 (sqz4 only): bounded approximate matcher for every
+    // block — sqzt-contract paths (round-trip + ratio, FORMAT.md §3)
+    auto enc4 = [&](const uint8_t* p, uint64_t len, const uint32_t* seed,
+                    uint32_t* state_out, const uint8_t* d, uint64_t dl,
+                    uint8_t* dst, uint64_t cap) -> int64_t {
+        if (fast_depth > 0)
+            return sqz_sqz4_compress_f(p, len, 1u << win_bits, lz,
+                                       fast_depth, seed, state_out, d, dl,
+                                       dst, cap);
+        return sqz_sqz4_compress_s(p, len, 1u << win_bits, lz, seed,
+                                   state_out, d, dl, dst, cap);
+    };
     const uint64_t bs = 1ull << blk_bits;
     const uint64_t nblocks = n == 0 ? 1 : (n + bs - 1) / bs;
     if (nthreads <= 0) nthreads = static_cast<int>(std::thread::hardware_concurrency());
@@ -1546,9 +1589,8 @@ int64_t sqz_blocks_compress(const uint8_t* data, uint64_t n, int fmt,
                 return -e.err;
             }
         } else {
-            out_sizes[0] = sqz_sqz4_compress_s(data, len0, 1u << win_bits, lz,
-                                               nullptr, seed4.data(),
-                                               nullptr, 0, out, out_stride);
+            out_sizes[0] = enc4(data, len0, nullptr, seed4.data(),
+                                nullptr, 0, out, out_stride);
             if (out_sizes[0] < 0) return out_sizes[0];
         }
         dlen = len0 < (1ull << win_bits) ? len0 : (1ull << win_bits);
@@ -1589,13 +1631,11 @@ int64_t sqz_blocks_compress(const uint8_t* data, uint64_t n, int fmt,
                     }
                 }
             } else {
-                out_sizes[b] = sqz_sqz4_compress_s(
-                    p, len, 1u << win_bits, lz, nullptr, nullptr,
-                    nullptr, 0, dst, out_stride);
+                out_sizes[b] = enc4(p, len, nullptr, nullptr,
+                                    nullptr, 0, dst, out_stride);
                 if (cand && out_sizes[b] >= 0) {
-                    int64_t ws = sqz_sqz4_compress_s(
-                        p, len, 1u << win_bits, lz, seed4.data(), nullptr,
-                        dict, dlen, alt.data(), out_stride);
+                    int64_t ws = enc4(p, len, seed4.data(), nullptr,
+                                      dict, dlen, alt.data(), out_stride);
                     if (ws >= 0 && ws < out_sizes[b]) {
                         std::memcpy(dst, alt.data(),
                                     static_cast<size_t>(ws));
