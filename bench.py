@@ -249,6 +249,21 @@ def main() -> None:
           f"ratio {fast_ratio*100:.2f}% (exact-parse blocks "
           f"{exact_ratio*100:.2f}%)", file=sys.stderr)
 
+    # ---- shipping decode path: pipelined chunked decode (packer thread /
+    # kernel / record-assembly overlap — ops/pipeline.py). Wall-clock
+    # includes payload packing, transfers, kernels, and host assembly.
+    from sqz_tpu.ops.pipeline import decode_data_pipelined
+    decode_data_pipelined(fast_payloads, e2e_sizes, blk_bits)   # warm-up
+    t_e2e_dec = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        e2e_out = decode_data_pipelined(fast_payloads, e2e_sizes, blk_bits)
+        t_e2e_dec = min(t_e2e_dec, time.perf_counter() - t0)
+    assert b"".join(e2e_out) == e2e_data, "pipelined decode round-trip"
+    print(f"# end-to-end pipelined decode ({len(e2e_data) >> 20} MiB, incl. "
+          f"pack + tunnel transfers + assembly): "
+          f"{len(e2e_data)/t_e2e_dec/1e6:.1f} MB/s", file=sys.stderr)
+
     # ---- compression ratio: the block-parallel container's payload bytes
     # vs the original, and vs ONE whole-input reference-format stream (the
     # per-block model-reset penalty, attic/map_experiment/test.c:34-37 is
@@ -355,6 +370,7 @@ def main() -> None:
         "squeeze_host_decode_MBps": round(len(data) / t_sq_dec / 1e6, 1),
         "squeeze_ratio": round(sq_ratio, 6),
         "e2e_pipelined_fast_enc_MBps": round(len(e2e_data) / t_e2e / 1e6, 1),
+        "e2e_pipelined_dec_MBps": round(len(e2e_data) / t_e2e_dec / 1e6, 1),
         "fast_parse_ratio": round(fast_ratio, 6),
     }))
 

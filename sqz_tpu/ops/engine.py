@@ -233,7 +233,14 @@ def decompress_blocks(payloads: Sequence[bytes], sizes: Sequence[int],
             if not pls:
                 return []
             if use_pallas() and blk_bits <= 16:
-                from sqz_tpu.ops import sqz4_pallas
+                from sqz_tpu.ops import pipeline, sqz4_pallas
+                plan = sqz4_pallas.plan_decode_dispatch(len(pls), blk_bits)
+                if len(pls) > plan["lanes"] * plan["slots"]:
+                    # multi-dispatch batch: overlap packing, kernels, and
+                    # record assembly (ops/pipeline.py)
+                    return pipeline.decode_data_pipelined(
+                        pls, list(szs), blk_bits, seed=seed,
+                        dictionary=dictionary)
                 return sqz4_pallas.decode_groups(
                     pls, list(szs), blk_bits, seed=seed,
                     dictionary=dictionary)

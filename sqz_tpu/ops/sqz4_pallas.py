@@ -2728,15 +2728,32 @@ def decode_groups(payloads, sizes, blk_bits: int, interpret: bool = False,
         tok = np.asarray(tok)
         mrec = np.asarray(mrec)
         counts = np.asarray(counts)
-    # [G, W, LANES] -> per-block rows [NB, W]
+    outs = postprocess_decode(lit, tok, mrec, counts, payloads, sizes, bs,
+                              seed=seed, dictionary=dictionary)
+    unsorted = [None] * NB
+    for pos, b in enumerate(order):
+        unsorted[b] = outs[pos]
+    return unsorted
+
+
+def postprocess_decode(lit, tok, mrec, counts, payloads, sizes, bs,
+                       seed=None, dictionary: bytes = b""):
+    """Post-kernel host stage for one decode dispatch (or a concatenation):
+    [g, W, lanes] record arrays -> per-block output bytes (lane-major block
+    order). Validates error lanes, falls back to the host codec for
+    pathological overflow blocks, and assembles the rest. Shared by
+    decode_groups and the pipelined decoder (ops/pipeline.py)."""
+    from sqz_tpu import native
+    nb = len(payloads)
+    g, lanes = lit.shape[0], lit.shape[2]
     litb = np.ascontiguousarray(
-        lit.transpose(0, 2, 1).reshape(G * lanes, -1))[:NB]
-    litu8 = litb.astype(">u4").view(np.uint8).reshape(NB, -1)
+        lit.transpose(0, 2, 1).reshape(g * lanes, -1))[:nb]
+    litu8 = litb.astype(">u4").view(np.uint8).reshape(nb, -1)
     tokb = np.ascontiguousarray(
-        tok.transpose(0, 2, 1).reshape(G * lanes, -1))[:NB]
+        tok.transpose(0, 2, 1).reshape(g * lanes, -1))[:nb]
     mrecb = np.ascontiguousarray(
-        mrec.transpose(0, 2, 1).reshape(G * lanes, -1))[:NB]
-    cnt = counts.transpose(0, 2, 1).reshape(G * lanes, 8)[:NB]
+        mrec.transpose(0, 2, 1).reshape(g * lanes, -1))[:nb]
+    cnt = counts.transpose(0, 2, 1).reshape(g * lanes, 8)[:nb]
     optr, ntoks, err, ovf = cnt[:, 0], cnt[:, 2], cnt[:, 4], cnt[:, 6]
     szs_np = np.asarray(sizes, dtype=np.int64)
     bad = np.nonzero(err * (1 - ovf))[0]
@@ -2748,7 +2765,7 @@ def decode_groups(payloads, sizes, blk_bits: int, interpret: bool = False,
     if short.size:
         raise ValueError(f"block {short[0]}: produced "
                          f"{optr[short[0]]} of {szs_np[short[0]]}")
-    outs: list = [None] * NB
+    outs: list = [None] * nb
     ov_idx = np.nonzero(ovf)[0]
     if ov_idx.size and native.available():
         for b in ov_idx:  # pathological match density: host codec fallback
@@ -2773,7 +2790,4 @@ def decode_groups(payloads, sizes, blk_bits: int, interpret: bool = False,
                 outs[b] = assemble_tokens_numpy(
                     tokb[b], litu8[b].tobytes(), mrecb[b],
                     int(ntoks[b]), sizes[b], dictionary=dictionary)
-    unsorted = [None] * NB
-    for pos, b in enumerate(order):
-        unsorted[b] = outs[pos]
-    return unsorted
+    return outs
