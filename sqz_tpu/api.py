@@ -59,9 +59,10 @@ def compress(data: bytes, fmt: Format | str = Format.SQUEEZE,
     throughput, ratio within ~0.5 pp); 'exact' restores the
     reference-semantics parse (streams byte-identical to the native
     engine). The native engine defaults to 'exact'; an explicit 'fast'
-    runs its bounded matcher too (~5x encode throughput, incl. the warm
-    double-encode and the v3 anchor planner). The oracle and the squeeze
-    format always parse exactly. SQZ_PARSE overrides."""
+    runs its bounded matcher too (~4-5x encode throughput, incl. the warm
+    double-encode and the v3 anchor planner) — for squeeze as well, where
+    §1.5's exact policy only binds raw .sqz streams, not sqzt containers.
+    The oracle always parses exactly. SQZ_PARSE overrides."""
     fmt, engine = Format(fmt), Engine(engine)
     if not 10 <= win_bits <= 15:
         # squeeze's header field and the sqz4 window share this range
@@ -124,7 +125,7 @@ def _encoder_for(fmt, engine, win_bits, lz, parse="exact"):
                 return (bw.getvalue(), st) if want_state else bw.getvalue()
             return _native().squeeze_compress_payload(
                 p, win_bits, seed=use_seed, return_state=want_state,
-                dictionary=use_dict)
+                dictionary=use_dict, parse=parse)
         if engine is Engine.ORACLE:
             from sqz_tpu.oracle.sqz4 import sqz4_encode_payload
             return sqz4_encode_payload(p, 1 << win_bits, lz=lz,
@@ -167,8 +168,8 @@ def _compress_anchored(parts, fmt, engine, win_bits, lz, beam,
     if engine is Engine.TPU:
         enc_engine = Engine.NATIVE if native.available() else Engine.ORACLE
     use_parse = _host_parse(parse, engine)
-    if fmt is not Format.SQZ4 or enc_engine is not Engine.NATIVE or not lz:
-        use_parse = "exact"   # fast matcher exists only for native sqz4+lz
+    if enc_engine is not Engine.NATIVE or (fmt is Format.SQZ4 and not lz):
+        use_parse = "exact"   # the fast matcher is native-only
     encode_one = _encoder_for(fmt, enc_engine, win_bits, lz, parse=use_parse)
     return plan_anchored(parts, encode_one,
                          lambda blk: _warm_dictionary(blk, win_bits),
@@ -189,8 +190,8 @@ def _compress_blocks(parts, fmt, engine, win_bits, lz, warm=False,
         return tpu_engine.compress_blocks(parts, fmt, win_bits, lz, warm,
                                           blk_bits=blk_bits, parse=parse)
     host_parse = _host_parse(parse, engine)
-    if fmt is not Format.SQZ4 or engine is not Engine.NATIVE or not lz:
-        host_parse = "exact"   # fast matcher exists only for native sqz4+lz
+    if engine is not Engine.NATIVE or (fmt is Format.SQZ4 and not lz):
+        host_parse = "exact"   # the fast matcher is native-only
     if engine is Engine.NATIVE and warm:
         # the native threaded executor runs the whole warm schedule itself
         code = 0 if fmt is Format.SQUEEZE else 1

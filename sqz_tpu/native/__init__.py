@@ -77,6 +77,9 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.sqz_squeeze_compress_s.restype = i64
         lib.sqz_squeeze_compress_s.argtypes = [u8p, u64, i32, i64p, i64p,
                                                u8p, u64, u8p, u64]
+        lib.sqz_squeeze_compress_f.restype = i64
+        lib.sqz_squeeze_compress_f.argtypes = [u8p, u64, i32, i32, i64p,
+                                               i64p, u8p, u64, u8p, u64]
         lib.sqz_squeeze_decompress_s.restype = i64
         lib.sqz_squeeze_decompress_s.argtypes = [u8p, u64, u64, i64p, i64p,
                                                  u8p, u64, u8p, u64]
@@ -229,18 +232,29 @@ def _dict_in(dictionary):
 
 def squeeze_compress_payload(data: bytes, win_bits: int, seed=None,
                              return_state: bool = False,
-                             dictionary: bytes = b""):
+                             dictionary: bytes = b"", parse: str = "exact",
+                             depth: int = 32):
+    """``parse="fast"``: bounded approximate matcher (sqzt-contract paths
+    only — FORMAT.md §1.5's exact policy is normative for size parity of
+    raw .sqz streams and stays the default)."""
     lib = _load()
     src = np.frombuffer(data, dtype=np.uint8) if data else np.zeros(1, np.uint8)
     out = np.empty(_cap_for(len(data)), dtype=np.uint8)
     sin = _treeseed_in(seed)
     sout = np.zeros(TREE_SEED_WORDS, dtype=np.int64) if return_state else None
     d, dn = _dict_in(dictionary)
-    rc = _check(lib.sqz_squeeze_compress_s(
-        _u8(src), len(data), win_bits,
-        _i64p(sin) if sin is not None else None,
-        _i64p(sout) if sout is not None else None,
-        _u8(d) if d is not None else None, dn, _u8(out), out.size))
+    if parse == "fast":
+        rc = _check(lib.sqz_squeeze_compress_f(
+            _u8(src), len(data), win_bits, depth,
+            _i64p(sin) if sin is not None else None,
+            _i64p(sout) if sout is not None else None,
+            _u8(d) if d is not None else None, dn, _u8(out), out.size))
+    else:
+        rc = _check(lib.sqz_squeeze_compress_s(
+            _u8(src), len(data), win_bits,
+            _i64p(sin) if sin is not None else None,
+            _i64p(sout) if sout is not None else None,
+            _u8(d) if d is not None else None, dn, _u8(out), out.size))
     payload = out[:rc].tobytes()
     if return_state:
         return payload, _treeseed_out(sout)
@@ -378,8 +392,8 @@ def blocks_compress(data: bytes, fmt: int, win_bits: int, blk_bits: int,
     (cold) or (payloads, fresh_mask) (warm). Warm (sqzt v2, FORMAT.md
     §3.1): each block 1+ is coded both fresh and seeded from block 0's
     final state; the smaller wins and the mask records the choice.
-    ``parse="fast"`` (sqz4 only): bounded approximate matcher on every
-    block — sqzt-contract paths only."""
+    ``parse="fast"``: bounded approximate matcher on every block (both
+    formats) — sqzt-contract paths only."""
     lib = _load()
     n = len(data)
     bs = 1 << blk_bits
@@ -389,7 +403,7 @@ def blocks_compress(data: bytes, fmt: int, win_bits: int, blk_bits: int,
     out = np.empty(nblocks * stride, dtype=np.uint8)
     sizes = np.zeros(nblocks, dtype=np.int64)
     flags = np.ones(nblocks, dtype=np.uint8)
-    fast_depth = depth if (parse == "fast" and fmt == 1 and lz) else 0
+    fast_depth = depth if (parse == "fast" and (fmt == 0 or lz)) else 0
     rc = _check(lib.sqz_blocks_compress(
         _u8(src), n, fmt, win_bits, blk_bits, int(lz), nthreads, int(warm),
         fast_depth,

@@ -736,7 +736,7 @@ void squeeze_encode_payload(const uint8_t* data, uint64_t n, int win_bits,
                             W& bw, const int64_t* seed = nullptr,
                             int64_t* state_out = nullptr,
                             const uint8_t* dict = nullptr,
-                            uint64_t dlen = 0) {
+                            uint64_t dlen = 0, int fast_depth = 0) {
     HuffTree lit(512), pos(32);
     if (seed != nullptr) {
         lit.load_state(seed);
@@ -757,27 +757,38 @@ void squeeze_encode_payload(const uint8_t* data, uint64_t n, int win_bits,
         total = dlen + n;
         start = dlen;
     }
-    MatchFinder mf(base, total, 1u << win_bits, kSqueezeLenMin,
-                   kSqueezeLenMax);
-    for (uint64_t k = 0; k < start; k++) mf.insert(k);
-    uint64_t i = start;
-    while (i < total) {
-        uint32_t len, dist;
-        mf.find(i, &len, &dist);
-        if (len >= kSqueezeLenMin) {
-            int li = kIndex.len_index[len];
-            squeeze_encode_lit(bw, lit, kSymMin + li);
-            if (kLenXb[li]) bw.write_bits(len - kLenBase[li], kLenXb[li]);
-            int pi = kIndex.pos_index[dist];
-            squeeze_encode_pos(bw, pos, pi);
-            if (kPosXb[pi]) bw.write_bits(dist - kPosBase[pi], kPosXb[pi]);
-            for (uint32_t k = 0; k < len; k++) mf.insert(i + k);
-            i += len;
-        } else {
-            squeeze_encode_lit(bw, lit, base[i]);
-            mf.insert(i);
-            i++;
+    // fast_depth > 0: bounded approximate matcher (sqzt-contract paths
+    // only — §1.5's policy is normative for size parity of raw streams)
+    auto run = [&](auto& mf) {
+        for (uint64_t k = 0; k < start; k++) mf.insert(k);
+        uint64_t i = start;
+        while (i < total) {
+            uint32_t len, dist;
+            mf.find(i, &len, &dist);
+            if (len >= kSqueezeLenMin) {
+                int li = kIndex.len_index[len];
+                squeeze_encode_lit(bw, lit, kSymMin + li);
+                if (kLenXb[li]) bw.write_bits(len - kLenBase[li], kLenXb[li]);
+                int pi = kIndex.pos_index[dist];
+                squeeze_encode_pos(bw, pos, pi);
+                if (kPosXb[pi]) bw.write_bits(dist - kPosBase[pi], kPosXb[pi]);
+                for (uint32_t k = 0; k < len; k++) mf.insert(i + k);
+                i += len;
+            } else {
+                squeeze_encode_lit(bw, lit, base[i]);
+                mf.insert(i);
+                i++;
+            }
         }
+    };
+    if (fast_depth > 0) {
+        FastMatchFinder mf(base, total, 1u << win_bits, kSqueezeLenMax,
+                           fast_depth);
+        run(mf);
+    } else {
+        MatchFinder mf(base, total, 1u << win_bits, kSqueezeLenMin,
+                       kSqueezeLenMax);
+        run(mf);
     }
     bw.flush();
     if (state_out != nullptr) {
@@ -1437,6 +1448,25 @@ int64_t sqz_squeeze_compress_s(const uint8_t* data, uint64_t n, int win_bits,
     }
 }
 
+// Fast-parse squeeze encode (bounded approximate matcher): spec-valid
+// streams for sqzt-contract paths; §1.5 exact policy remains the default
+// (raw .sqz streams promise size parity with the reference).
+int64_t sqz_squeeze_compress_f(const uint8_t* data, uint64_t n, int win_bits,
+                               int depth, const int64_t* seed,
+                               int64_t* state_out,
+                               const uint8_t* dict, uint64_t dlen,
+                               uint8_t* out, uint64_t cap) {
+    try {
+        if (win_bits < 10 || win_bits > 15 || depth <= 0) return -EINVAL;
+        BitWriter bw(out, cap);
+        squeeze_encode_payload(data, n, win_bits, bw, seed, state_out,
+                               dict, dlen, depth);
+        return static_cast<int64_t>(bw.bytes());
+    } catch (const CodecError& e) {
+        return -e.err;
+    }
+}
+
 int64_t sqz_squeeze_decompress_s(const uint8_t* payload, uint64_t n,
                                  uint64_t size, const int64_t* seed,
                                  int64_t* state_out,
@@ -1558,6 +1588,15 @@ int64_t sqz_blocks_compress(const uint8_t* data, uint64_t n, int fmt,
         return sqz_sqz4_compress_s(p, len, 1u << win_bits, lz, seed,
                                    state_out, d, dl, dst, cap);
     };
+    auto encS = [&](const uint8_t* p, uint64_t len, const int64_t* seed,
+                    int64_t* state_out, const uint8_t* d, uint64_t dl,
+                    uint8_t* dst, uint64_t cap) -> int64_t {
+        if (fast_depth > 0)
+            return sqz_squeeze_compress_f(p, len, win_bits, fast_depth,
+                                          seed, state_out, d, dl, dst, cap);
+        return sqz_squeeze_compress_s(p, len, win_bits, seed, state_out,
+                                      d, dl, dst, cap);
+    };
     const uint64_t bs = 1ull << blk_bits;
     const uint64_t nblocks = n == 0 ? 1 : (n + bs - 1) / bs;
     if (nthreads <= 0) nthreads = static_cast<int>(std::thread::hardware_concurrency());
@@ -1577,17 +1616,9 @@ int64_t sqz_blocks_compress(const uint8_t* data, uint64_t n, int fmt,
     if (warm && nblocks > 1) {
         uint64_t len0 = n < bs ? n : bs;
         if (fmt == 0) {
-            // the direct payload call below bypasses sqz_squeeze_compress's
-            // win_bits gate — validate here (pos_index is 2^15 entries)
-            if (win_bits < 10 || win_bits > 15) return -EINVAL;
-            try {
-                BitWriter bw(out, out_stride);
-                squeeze_encode_payload(data, len0, win_bits, bw, nullptr,
-                                       seedt.data());
-                out_sizes[0] = static_cast<int64_t>(bw.bytes());
-            } catch (const CodecError& e) {
-                return -e.err;
-            }
+            out_sizes[0] = encS(data, len0, nullptr, seedt.data(),
+                                nullptr, 0, out, out_stride);
+            if (out_sizes[0] < 0) return out_sizes[0];
         } else {
             out_sizes[0] = enc4(data, len0, nullptr, seed4.data(),
                                 nullptr, 0, out, out_stride);
@@ -1616,13 +1647,11 @@ int64_t sqz_blocks_compress(const uint8_t* data, uint64_t n, int fmt,
             uint8_t* dst = out + b * out_stride;
             const bool cand = warm && wgate->candidate(p, len, bs);
             if (fmt == 0) {
-                out_sizes[b] = sqz_squeeze_compress_s(
-                    p, len, win_bits, nullptr, nullptr,
-                    nullptr, 0, dst, out_stride);
+                out_sizes[b] = encS(p, len, nullptr, nullptr,
+                                    nullptr, 0, dst, out_stride);
                 if (cand && out_sizes[b] >= 0) {
-                    int64_t ws = sqz_squeeze_compress_s(
-                        p, len, win_bits, seedt.data(), nullptr,
-                        dict, dlen, alt.data(), out_stride);
+                    int64_t ws = encS(p, len, seedt.data(), nullptr,
+                                      dict, dlen, alt.data(), out_stride);
                     if (ws >= 0 && ws < out_sizes[b]) {
                         std::memcpy(dst, alt.data(),
                                     static_cast<size_t>(ws));

@@ -88,6 +88,40 @@ def test_fast_anchored_compress_api():
     assert b_t == b_f
 
 
+def test_fast_squeeze_payload_roundtrip():
+    data = _tiled("confucius.txt", 256 << 10)
+    exact = native.squeeze_compress_payload(data, 15)
+    fast = native.squeeze_compress_payload(data, 15, parse="fast")
+    assert fast != exact
+    assert native.squeeze_decompress_payload(fast, len(data)) == data
+    assert len(fast) <= len(exact) + len(data) // 100
+
+
+def test_fast_squeeze_seeded_and_container():
+    data = _tiled("laozi.txt", 256 << 10)
+    blk0 = data[:64 << 10]
+    _, seed = native.squeeze_compress_payload(blk0, 15, return_state=True)
+    dic = blk0[-(1 << 15):]
+    w = native.squeeze_compress_payload(data[64 << 10:], 15, seed=seed,
+                                        dictionary=dic, parse="fast")
+    assert native.squeeze_decompress_payload(
+        w, len(data) - (64 << 10), seed=seed, dictionary=dic) == \
+        data[64 << 10:]
+    blob = sqz_tpu.compress(data, fmt="squeeze", engine="native",
+                            blocks=True, blk_bits=14, warm=True,
+                            parse="fast")
+    assert sqz_tpu.decompress(blob, engine="native") == data
+
+
+def test_fast_squeeze_exact_stream_unchanged():
+    """Raw .sqz streams promise size parity with the reference — the
+    default must remain the exact §1.5 policy."""
+    data = _tiled("laozi.txt", 32 << 10)
+    a = native.squeeze_compress_payload(data, 12)
+    b = native.squeeze_compress_payload(data, 12, parse="exact")
+    assert a == b
+
+
 def test_parse_exact_unchanged_by_new_path():
     """The exact path must be byte-stable: parse='exact' (and the
     default) still emits the reference-semantics stream."""
