@@ -316,6 +316,26 @@ def main() -> None:
           f"kernel rates match the cold headline — the seeded kernel does "
           f"identical work)", file=sys.stderr)
 
+    # ---- anchored warm start (sqzt v3, FORMAT.md §3.2): beam-planned
+    # per-warm-block anchor choice, priced with the fast host parse
+    import sqz_tpu
+    t0 = time.perf_counter()
+    anch_blob = sqz_tpu.compress(data, fmt="sqz4", engine="native",
+                                 blocks=True, blk_bits=blk_bits,
+                                 warm="anchors", parse="fast",
+                                 checksum=False, anchor_beam=2)
+    t_anch = time.perf_counter() - t0
+    from sqz_tpu.formats import container as sqzt_c
+    *_, a_payloads, _ac, a_fresh, a_anch = sqzt_c.unpack(anch_blob)
+    anch_ratio = sum(len(p) for p in a_payloads) / len(data)
+    assert sqz_tpu.decompress(anch_blob, engine="native") == data
+    print(f"# anchored warm (sqzt v3, beam 2, fast parse): ratio "
+          f"{anch_ratio*100:.2f}% (v2 warm {warm_ratio*100:.2f}%), "
+          f"{sum(a_fresh)}/{NB} fresh, "
+          f"{sum(a_anch) if a_anch else 0} nearest-fresh anchors, "
+          f"planner {len(data)/t_anch/1e6:.1f} MB/s host; round-trip "
+          f"verified", file=sys.stderr)
+
     # ---- squeeze format: host adaptive-Huffman planning (threaded native)
     # + device bitstream assembly; decode on the threaded native engine
     # (measured device decode rejected — PERF.md "design decisions")
@@ -365,6 +385,7 @@ def main() -> None:
         "dec_MBps": round(len(data) / t_dec / 1e6, 1),
         "ratio": round(ratio, 6),
         "warm_ratio": round(warm_ratio, 6),
+        "anchored_ratio": round(anch_ratio, 6),
         "ref_whole_stream_ratio": round(ref_ratio, 6),
         "squeeze_bitpack_MBps": round(len(data) / t_sq / 1e6, 1),
         "squeeze_host_decode_MBps": round(len(data) / t_sq_dec / 1e6, 1),

@@ -171,9 +171,11 @@ def _compress_anchored(parts, fmt, engine, win_bits, lz, beam,
     if enc_engine is not Engine.NATIVE or (fmt is Format.SQZ4 and not lz):
         use_parse = "exact"   # the fast matcher is native-only
     encode_one = _encoder_for(fmt, enc_engine, win_bits, lz, parse=use_parse)
+    from sqz_tpu.formats.constants import warm_gate_mask
     return plan_anchored(parts, encode_one,
                          lambda blk: _warm_dictionary(blk, win_bits),
-                         beam=beam)
+                         beam=beam,
+                         gate_of=lambda d: warm_gate_mask(parts, d))
 
 
 def _compress_blocks(parts, fmt, engine, win_bits, lz, warm=False,

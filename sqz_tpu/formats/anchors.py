@@ -32,6 +32,7 @@ from typing import Callable, List, Optional, Tuple
 def plan_anchored(parts: List[bytes], encode_one: Callable,
                   dictionary_of: Callable[[bytes], bytes],
                   beam: int = 4,
+                  gate_of: Optional[Callable[[bytes], List[bool]]] = None,
                   ) -> Tuple[List[bytes], List[bool], List[bool]]:
     """Beam-DP over anchor evolutions.
 
@@ -45,17 +46,32 @@ def plan_anchored(parts: List[bytes], encode_one: Callable,
     off block 0 or off the state's block (1 recorded bit). Beam keeps the
     ``beam`` cheapest states; warm payloads are cached per (block,
     anchor) so beams share encodes.
+
+    ``gate_of(dictionary) -> per-block candidacy`` (the v2 warm gate,
+    VERDICT r2 #5): when given, warm encodes against an anchor are only
+    priced for blocks whose content overlaps that anchor's dictionary —
+    hopeless seeded passes are skipped, never changing the fresh bound.
     """
     n = len(parts)
     cold: List[bytes] = [None] * n
     state = [None] * n          # final model state of a fresh-coded block
     dicts = [None] * n
+    gates = {}
 
     def fresh_of(b: int):
         if cold[b] is None:
             cold[b], state[b] = encode_one(parts[b], None, b"", True)
             dicts[b] = dictionary_of(parts[b])
         return cold[b]
+
+    def gated(b: int, a: int) -> bool:
+        """True when block b is worth a seeded pass against anchor a."""
+        if gate_of is None:
+            return True
+        if a not in gates:
+            fresh_of(a)
+            gates[a] = gate_of(dicts[a])
+        return gates[a][b]
 
     fresh_of(0)
     if n == 1:
@@ -76,16 +92,19 @@ def plan_anchored(parts: List[bytes], encode_one: Callable,
     for b in range(1, n):
         nxt = {}
         for a, (cost, path) in beams.items():
-            w0 = warm_of(b, 0)
-            wa = warm_of(b, a) if a != 0 else w0
+            w0 = warm_of(b, 0) if gated(b, 0) else None
+            wa = (warm_of(b, a) if gated(b, a) else None) if a != 0 else w0
             # warm: strictly-better nearest wins the bit, else block 0
-            if len(wa) < len(w0):
+            if wa is not None and (w0 is None or len(wa) < len(w0)):
                 wcost, wbit = cost + len(wa), True
-            else:
+            elif w0 is not None:
                 wcost, wbit = cost + len(w0), False
-            prev = nxt.get(a)
-            if prev is None or wcost < prev[0]:
-                nxt[a] = (wcost, (path, ("warm", wbit)))
+            else:
+                wcost = None
+            if wcost is not None:
+                prev = nxt.get(a)
+                if prev is None or wcost < prev[0]:
+                    nxt[a] = (wcost, (path, ("warm", wbit)))
             fcost = cost + len(fresh_of(b))
             prev = nxt.get(b)
             if prev is None or fcost < prev[0]:
