@@ -214,6 +214,22 @@ def main() -> None:
           f"MB/s, dec {len(data)/(t_dec+t_dec_dl)/1e6:.1f} MB/s",
           file=sys.stderr)
 
+    # Secondary sections below (pipelined e2e, warm, anchors, squeeze) are
+    # guarded: a verification failure there is reported loudly (stderr +
+    # "failed_sections" in the JSON) but must not prevent the primary
+    # metric from being emitted. The core round-trip asserts above remain
+    # fatal — a broken core metric is meaningless.
+    fails: list = []
+    extra: dict = {}
+
+    def _section(name, fn):
+        try:
+            fn()
+        except Exception as e:                       # noqa: BLE001
+            fails.append(f"{name}: {type(e).__name__}: {e}")
+            print(f"# SECTION FAILED [{name}]: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+
     # ---- shipping encode path: fast parse + pipelined engine (bounded
     # matcher, contiguous emission, device-side repack, planner-thread /
     # device overlap — PERF.md round 3). Wall-clock includes EVERYTHING:
@@ -225,44 +241,65 @@ def main() -> None:
     e2e_bytes = int(os.environ.get("SQZ_BENCH_E2E_BYTES",
                                    max(len(data), 4 * 512 * bs)))
     e2e_data = _input_bytes(e2e_bytes)
-    fast_payloads = encode_data_pipelined(e2e_data, blk_bits, window, lz,
-                                          cap=bs + 2048, parse="fast")
-    t_e2e = float("inf")
-    for _ in range(2):
-        t0 = time.perf_counter()
+
+    def _sec_e2e_enc():
         fast_payloads = encode_data_pipelined(e2e_data, blk_bits, window,
                                               lz, cap=bs + 2048,
                                               parse="fast")
-        t_e2e = min(t_e2e, time.perf_counter() - t0)
-    fast_ratio = sum(len(p) for p in fast_payloads) / len(e2e_data)
-    exact_ratio = sum(len(p) for p in payloads) / len(data)
-    e2e_nb = len(fast_payloads)
-    e2e_sizes = [min(bs, len(e2e_data) - b * bs) for b in range(e2e_nb)]
-    spot = list(range(0, e2e_nb, max(1, e2e_nb // 16)))  # round-trip spots
-    for b in spot:
-        assert native.sqz4_decompress_payload(
-            fast_payloads[b], e2e_sizes[b]) == \
-            e2e_data[b * bs:b * bs + e2e_sizes[b]], f"fast block {b}"
-    print(f"# end-to-end pipelined encode ({len(e2e_data) >> 20} MiB, fast "
-          f"parse, incl. host plan + tunnel transfers + unpack): "
-          f"{len(e2e_data)/t_e2e/1e6:.1f} MB/s, "
-          f"ratio {fast_ratio*100:.2f}% (exact-parse blocks "
-          f"{exact_ratio*100:.2f}%)", file=sys.stderr)
+        t_e2e = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fast_payloads = encode_data_pipelined(e2e_data, blk_bits,
+                                                  window, lz,
+                                                  cap=bs + 2048,
+                                                  parse="fast")
+            t_e2e = min(t_e2e, time.perf_counter() - t0)
+        fast_ratio = sum(len(p) for p in fast_payloads) / len(e2e_data)
+        exact_ratio = sum(len(p) for p in payloads) / len(data)
+        e2e_nb = len(fast_payloads)
+        e2e_sizes = [min(bs, len(e2e_data) - b * bs) for b in range(e2e_nb)]
+        spot = list(range(0, e2e_nb, max(1, e2e_nb // 16)))  # spot checks
+        for b in spot:
+            assert native.sqz4_decompress_payload(
+                fast_payloads[b], e2e_sizes[b]) == \
+                e2e_data[b * bs:b * bs + e2e_sizes[b]], f"fast block {b}"
+        print(f"# end-to-end pipelined encode ({len(e2e_data) >> 20} MiB, "
+              f"fast parse, incl. host plan + tunnel transfers + unpack): "
+              f"{len(e2e_data)/t_e2e/1e6:.1f} MB/s, "
+              f"ratio {fast_ratio*100:.2f}% (exact-parse blocks "
+              f"{exact_ratio*100:.2f}%)", file=sys.stderr)
+        extra["e2e_pipelined_fast_enc_MBps"] = round(
+            len(e2e_data) / t_e2e / 1e6, 1)
+        extra["fast_parse_ratio"] = round(fast_ratio, 6)
+        extra["_fast_payloads"] = fast_payloads
+        extra["_e2e_sizes"] = e2e_sizes
+
+    _section("e2e_pipelined_encode", _sec_e2e_enc)
 
     # ---- shipping decode path: pipelined chunked decode (packer thread /
     # kernel / record-assembly overlap — ops/pipeline.py). Wall-clock
     # includes payload packing, transfers, kernels, and host assembly.
     from sqz_tpu.ops.pipeline import decode_data_pipelined
-    decode_data_pipelined(fast_payloads, e2e_sizes, blk_bits)   # warm-up
-    t_e2e_dec = float("inf")
-    for _ in range(2):
-        t0 = time.perf_counter()
-        e2e_out = decode_data_pipelined(fast_payloads, e2e_sizes, blk_bits)
-        t_e2e_dec = min(t_e2e_dec, time.perf_counter() - t0)
-    assert b"".join(e2e_out) == e2e_data, "pipelined decode round-trip"
-    print(f"# end-to-end pipelined decode ({len(e2e_data) >> 20} MiB, incl. "
-          f"pack + tunnel transfers + assembly): "
-          f"{len(e2e_data)/t_e2e_dec/1e6:.1f} MB/s", file=sys.stderr)
+
+    def _sec_e2e_dec():
+        fast_payloads = extra["_fast_payloads"]      # encode section's
+        e2e_sizes = extra["_e2e_sizes"]
+        decode_data_pipelined(fast_payloads, e2e_sizes, blk_bits)  # warm-up
+        t_e2e_dec = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            e2e_out = decode_data_pipelined(fast_payloads, e2e_sizes,
+                                            blk_bits)
+            t_e2e_dec = min(t_e2e_dec, time.perf_counter() - t0)
+        assert b"".join(e2e_out) == e2e_data, "pipelined decode round-trip"
+        print(f"# end-to-end pipelined decode ({len(e2e_data) >> 20} MiB, "
+              f"incl. pack + tunnel transfers + assembly): "
+              f"{len(e2e_data)/t_e2e_dec/1e6:.1f} MB/s", file=sys.stderr)
+        extra["e2e_pipelined_dec_MBps"] = round(
+            len(e2e_data) / t_e2e_dec / 1e6, 1)
+
+    if "_fast_payloads" in extra:
+        _section("e2e_pipelined_decode", _sec_e2e_dec)
 
     # ---- compression ratio: the block-parallel container's payload bytes
     # vs the original, and vs ONE whole-input reference-format stream (the
@@ -282,100 +319,119 @@ def main() -> None:
     # dictionary from block 0, chosen PER BLOCK against the cold coding
     # (fresh bitmap). The seeded device pass runs at bench scale and the
     # per-block pick must agree with the threaded native warm executor.
-    t0 = time.perf_counter()
-    warm_base, mask = native.blocks_compress(data, 1, 15, blk_bits, lz=lz,
-                                             warm=True)
-    t_warm_host = time.perf_counter() - t0
-    warm_ratio = sum(len(p) for p in warm_base) / len(data)
-    warm_dev = sp.encode_data_full(data, blk_bits, window, lz,
-                                   cap=bs + 2048, warm=True, parse="exact")
-    from sqz_tpu.formats.constants import warm_gate_mask
-    gate = warm_gate_mask(parts, parts[0][-window:])
-    dev_pick = [c if b == 0 or not gate[b] or len(c) <= len(w) else w
-                for b, (c, w) in enumerate(zip(payloads, warm_dev))]
-    assert dev_pick == warm_base, "device warm pick != native"
-    blk0, seed_w = native.sqz4_decompress_payload(warm_base[0],
-                                                  min(bs, len(data)),
-                                                  return_state=True)
-    warm_idx = [b for b in range(1, NB) if not mask[b]]
-    t_warm_dec = 0.0
-    if warm_idx:
+    def _sec_warm():
         t0 = time.perf_counter()
-        outs_w = sp.decode_groups([warm_base[b] for b in warm_idx],
-                                  [sizes[b] for b in warm_idx], blk_bits,
-                                  seed=seed_w, dictionary=blk0[-window:])
-        t_warm_dec = time.perf_counter() - t0
-        for b, o in zip(warm_idx, outs_w):
-            assert o == data[b * bs:(b + 1) * bs], "warm block mismatch"
-    print(f"# warm (sqzt v2, per-block pick, gate: {sum(gate)}/{NB} "
-          f"candidates): ratio {warm_ratio*100:.2f}% "
-          f"(cold {ratio*100:.2f}%, whole-stream {ref_ratio*100:.2f}%), "
-          f"{len(warm_idx)}/{NB} blocks warm; seeded device pass + "
-          f"warm-set decode verified bit-exact vs the threaded native warm "
-          f"executor ({len(data)/t_warm_host/1e6:.1f} MB/s host 2-way; "
-          f"kernel rates match the cold headline — the seeded kernel does "
-          f"identical work)", file=sys.stderr)
+        warm_base, mask = native.blocks_compress(data, 1, 15, blk_bits,
+                                                 lz=lz, warm=True)
+        t_warm_host = time.perf_counter() - t0
+        warm_ratio = sum(len(p) for p in warm_base) / len(data)
+        warm_dev = sp.encode_data_full(data, blk_bits, window, lz,
+                                       cap=bs + 2048, warm=True,
+                                       parse="exact")
+        from sqz_tpu.formats.constants import warm_gate_mask
+        gate = warm_gate_mask(parts, parts[0][-window:])
+        dev_pick = [c if b == 0 or not gate[b] or len(c) <= len(w) else w
+                    for b, (c, w) in enumerate(zip(payloads, warm_dev))]
+        assert dev_pick == warm_base, "device warm pick != native"
+        blk0, seed_w = native.sqz4_decompress_payload(warm_base[0],
+                                                      min(bs, len(data)),
+                                                      return_state=True)
+        warm_idx = [b for b in range(1, NB) if not mask[b]]
+        if warm_idx:
+            outs_w = sp.decode_groups([warm_base[b] for b in warm_idx],
+                                      [sizes[b] for b in warm_idx],
+                                      blk_bits, seed=seed_w,
+                                      dictionary=blk0[-window:])
+            for b, o in zip(warm_idx, outs_w):
+                assert o == data[b * bs:(b + 1) * bs], "warm block mismatch"
+        print(f"# warm (sqzt v2, per-block pick, gate: {sum(gate)}/{NB} "
+              f"candidates): ratio {warm_ratio*100:.2f}% "
+              f"(cold {ratio*100:.2f}%, whole-stream {ref_ratio*100:.2f}%),"
+              f" {len(warm_idx)}/{NB} blocks warm; seeded device pass + "
+              f"warm-set decode verified bit-exact vs the threaded native "
+              f"warm executor ({len(data)/t_warm_host/1e6:.1f} MB/s host "
+              f"2-way; kernel rates match the cold headline — the seeded "
+              f"kernel does identical work)", file=sys.stderr)
+        extra["warm_ratio"] = round(warm_ratio, 6)
+
+    _section("warm_v2", _sec_warm)
 
     # ---- anchored warm start (sqzt v3, FORMAT.md §3.2): beam-planned
     # per-warm-block anchor choice, priced with the fast host parse
     import sqz_tpu
-    t0 = time.perf_counter()
-    anch_blob = sqz_tpu.compress(data, fmt="sqz4", engine="native",
-                                 blocks=True, blk_bits=blk_bits,
-                                 warm="anchors", parse="fast",
-                                 checksum=False, anchor_beam=2)
-    t_anch = time.perf_counter() - t0
-    from sqz_tpu.formats import container as sqzt_c
-    *_, a_payloads, _ac, a_fresh, a_anch = sqzt_c.unpack(anch_blob)
-    anch_ratio = sum(len(p) for p in a_payloads) / len(data)
-    assert sqz_tpu.decompress(anch_blob, engine="native") == data
-    print(f"# anchored warm (sqzt v3, beam 2, fast parse): ratio "
-          f"{anch_ratio*100:.2f}% (v2 warm {warm_ratio*100:.2f}%), "
-          f"{sum(a_fresh)}/{NB} fresh, "
-          f"{sum(a_anch) if a_anch else 0} nearest-fresh anchors, "
-          f"planner {len(data)/t_anch/1e6:.1f} MB/s host; round-trip "
-          f"verified", file=sys.stderr)
+
+    def _sec_anchors():
+        t0 = time.perf_counter()
+        anch_blob = sqz_tpu.compress(data, fmt="sqz4", engine="native",
+                                     blocks=True, blk_bits=blk_bits,
+                                     warm="anchors", parse="fast",
+                                     checksum=False, anchor_beam=2)
+        t_anch = time.perf_counter() - t0
+        from sqz_tpu.formats import container as sqzt_c
+        *_, a_payloads, _ac, a_fresh, a_anch = sqzt_c.unpack(anch_blob)
+        anch_ratio = sum(len(p) for p in a_payloads) / len(data)
+        assert sqz_tpu.decompress(anch_blob, engine="native") == data
+        print(f"# anchored warm (sqzt v3, beam 2, fast parse): ratio "
+              f"{anch_ratio*100:.2f}% "
+              f"(v2 warm {extra.get('warm_ratio', float('nan'))*100:.2f}%),"
+              f" {sum(a_fresh)}/{NB} fresh, "
+              f"{sum(a_anch) if a_anch else 0} nearest-fresh anchors, "
+              f"planner {len(data)/t_anch/1e6:.1f} MB/s host; round-trip "
+              f"verified", file=sys.stderr)
+        extra["anchored_ratio"] = round(anch_ratio, 6)
+
+    _section("warm_anchors_v3", _sec_anchors)
 
     # ---- squeeze format: host adaptive-Huffman planning (threaded native)
     # + device bitstream assembly; decode on the threaded native engine
     # (measured device decode rejected — PERF.md "design decisions")
-    sq_win = min(blk_bits, 15)
-    t0 = time.perf_counter()
-    sq_base = [native.squeeze_compress_payload(p, sq_win) for p in parts]
-    t_sq_base = time.perf_counter() - t0
-    tw_cap = -(-(4 * bs + 64) // tc) * tc
-    t0 = time.perf_counter()
-    sq_words, sq_mx = native.squeeze_plan_pack(data, sq_win, blk_bits,
-                                               sp.ENC_LANES, tw_cap)
-    sq_rows = max(-(-int(sq_mx) // tc) * tc, tc)
-    sq_host = time.perf_counter() - t0
-    sq_cap_words = (-(-(bs + 4096 + 3) // 4) + 31) // 32 * 32
-    sqd = jnp.asarray(np.ascontiguousarray(sq_words[:, :sq_rows]))
-    np.asarray(sqd[0, 0, 0])                         # fence upload
-    out, lens_sq = sp._bitpack_pallas(sqd, sq_cap_words, tc, False)
-    np.asarray(lens_sq)                              # warm-up fence
-    t_sq = float("inf")
-    for _ in range(2):
+    def _sec_squeeze():
+        sq_win = min(blk_bits, 15)
         t0 = time.perf_counter()
-        for _ in range(K):
-            out, lens_sq = sp._bitpack_pallas(sqd, sq_cap_words, tc, False)
-        np.asarray(lens_sq)                          # fence
-        t_sq = min(t_sq, (time.perf_counter() - t0) / K)
-    sq_payloads = sp.unpack_group_payloads(np.asarray(out),
-                                           np.asarray(lens_sq), NB)
-    assert sq_payloads == sq_base, "squeeze device stream != native"
-    t0 = time.perf_counter()
-    sq_out = native.blocks_decompress(sq_payloads, len(data), 0, blk_bits)
-    t_sq_dec = time.perf_counter() - t0
-    assert sq_out == data, "squeeze round-trip mismatch"
-    sq_ratio = sum(len(p) for p in sq_payloads) / len(data)
-    print(f"# squeeze: device bitpack {len(data)/t_sq/1e6:.1f} MB/s "
-          f"(host plan {len(data)/sq_host/1e6:.1f} MB/s, native 1-thread "
-          f"enc {len(data)/t_sq_base/1e6:.1f} MB/s), threaded host decode "
-          f"{len(data)/t_sq_dec/1e6:.1f} MB/s, ratio {sq_ratio*100:.2f}%",
-          file=sys.stderr)
+        sq_base = [native.squeeze_compress_payload(p, sq_win)
+                   for p in parts]
+        t_sq_base = time.perf_counter() - t0
+        tw_cap = -(-(4 * bs + 64) // tc) * tc
+        t0 = time.perf_counter()
+        sq_words, sq_mx = native.squeeze_plan_pack(data, sq_win, blk_bits,
+                                                   sp.ENC_LANES, tw_cap)
+        sq_rows = max(-(-int(sq_mx) // tc) * tc, tc)
+        sq_host = time.perf_counter() - t0
+        sq_cap_words = (-(-(bs + 4096 + 3) // 4) + 31) // 32 * 32
+        sqd = jnp.asarray(np.ascontiguousarray(sq_words[:, :sq_rows]))
+        np.asarray(sqd[0, 0, 0])                     # fence upload
+        out, lens_sq = sp._bitpack_pallas(sqd, sq_cap_words, tc, False)
+        np.asarray(lens_sq)                          # warm-up fence
+        t_sq = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            for _ in range(K):
+                out, lens_sq = sp._bitpack_pallas(sqd, sq_cap_words, tc,
+                                                  False)
+            np.asarray(lens_sq)                      # fence
+            t_sq = min(t_sq, (time.perf_counter() - t0) / K)
+        sq_payloads = sp.unpack_group_payloads(np.asarray(out),
+                                               np.asarray(lens_sq), NB)
+        assert sq_payloads == sq_base, "squeeze device stream != native"
+        t0 = time.perf_counter()
+        sq_out = native.blocks_decompress(sq_payloads, len(data), 0,
+                                          blk_bits)
+        t_sq_dec = time.perf_counter() - t0
+        assert sq_out == data, "squeeze round-trip mismatch"
+        sq_ratio = sum(len(p) for p in sq_payloads) / len(data)
+        print(f"# squeeze: device bitpack {len(data)/t_sq/1e6:.1f} MB/s "
+              f"(host plan {len(data)/sq_host/1e6:.1f} MB/s, native "
+              f"1-thread enc {len(data)/t_sq_base/1e6:.1f} MB/s), threaded "
+              f"host decode {len(data)/t_sq_dec/1e6:.1f} MB/s, ratio "
+              f"{sq_ratio*100:.2f}%", file=sys.stderr)
+        extra["squeeze_bitpack_MBps"] = round(len(data) / t_sq / 1e6, 1)
+        extra["squeeze_host_decode_MBps"] = round(
+            len(data) / t_sq_dec / 1e6, 1)
+        extra["squeeze_ratio"] = round(sq_ratio, 6)
 
-    print(json.dumps({
+    _section("squeeze", _sec_squeeze)
+
+    result = {
         "metric": "sqz4_block_parallel_encode_plus_decode_GBps_per_chip",
         "value": round(gbps, 6),
         "unit": "GB/s",
@@ -384,16 +440,12 @@ def main() -> None:
         "enc_MBps": round(len(data) / t_enc / 1e6, 1),
         "dec_MBps": round(len(data) / t_dec / 1e6, 1),
         "ratio": round(ratio, 6),
-        "warm_ratio": round(warm_ratio, 6),
-        "anchored_ratio": round(anch_ratio, 6),
         "ref_whole_stream_ratio": round(ref_ratio, 6),
-        "squeeze_bitpack_MBps": round(len(data) / t_sq / 1e6, 1),
-        "squeeze_host_decode_MBps": round(len(data) / t_sq_dec / 1e6, 1),
-        "squeeze_ratio": round(sq_ratio, 6),
-        "e2e_pipelined_fast_enc_MBps": round(len(e2e_data) / t_e2e / 1e6, 1),
-        "e2e_pipelined_dec_MBps": round(len(e2e_data) / t_e2e_dec / 1e6, 1),
-        "fast_parse_ratio": round(fast_ratio, 6),
-    }))
+    }
+    result.update({k: v for k, v in extra.items() if not k.startswith("_")})
+    if fails:
+        result["failed_sections"] = fails
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
