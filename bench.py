@@ -431,6 +431,71 @@ def main() -> None:
 
     _section("squeeze", _sec_squeeze)
 
+    # ---- device-resident literal-only path (ops/resident.py): tokens +
+    # literal stream computed ON DEVICE from raw HBM-resident bytes
+    # (reference HEAD literal-only semantics, src/sqz.c:591), coded and
+    # decoded with zero host planning — the checkpoint-shard use case.
+    # Rates are chip-resident: input upload and output download excluded
+    # (the data lives on the device in this scenario); fences as above.
+    def _sec_resident():
+        from sqz_tpu.ops import resident
+        B = max(128, min(NB, 512) // 128 * 128)      # one lane group
+        arr = np.frombuffer(data[:B * bs], np.uint8).reshape(B, bs)
+        blocks_d = jnp.asarray(arr)
+        lens_d = jnp.asarray(np.full((B,), bs, np.int32))
+        np.asarray(blocks_d[0, 0])                   # fence upload
+        eargs = resident.encode_group_args(blk_bits)
+        dargs = resident.decode_group_args(B, blk_bits,
+                                           eargs["cap_words"])
+        words, lens = resident.encode_literal_group(blocks_d, lens_d,
+                                                    **eargs)
+        np.asarray(lens[0, 0, 0])                    # warm-up fence
+        t_renc = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            for _ in range(K):
+                wd, ld = resident.encode_literal_group(blocks_d, lens_d,
+                                                       **eargs)
+            np.asarray(ld[0, 0, 0])                  # fence
+            t_renc = min(t_renc, (time.perf_counter() - t0) / K)
+        out, counts = resident.decode_literal_group(words, lens, lens_d,
+                                                    **dargs)
+        np.asarray(counts[0, 0, 0])                  # warm-up fence
+        t_rdec = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            for _ in range(K):
+                od, cd = resident.decode_literal_group(words, lens,
+                                                       lens_d, **dargs)
+            np.asarray(cd[0, 0, 0])                  # fence
+            t_rdec = min(t_rdec, (time.perf_counter() - t0) / K)
+        cnt = np.asarray(counts)
+        assert int(cnt[0, 4].max()) == 0, "resident decode error lane"
+        assert np.array_equal(cnt[0, 0], np.full((B,), bs)), \
+            "resident decode short block"
+        plens = np.asarray(lens)[0, 0]
+        res_ratio = float(plens.sum()) / (B * bs)
+        lens_np = np.asarray(lens)
+        res_payloads = sp.unpack_group_payloads(
+            sp.fetch_words_trimmed(words, lens_np), lens_np, B)
+        spots = list(range(0, B, max(1, B // 8)))    # round-trip spots
+        for b in spots:
+            assert np.array_equal(np.asarray(out[b]), arr[b]), \
+                f"resident block {b} mismatch"
+            assert res_payloads[b] == native.sqz4_compress_payload(
+                arr[b].tobytes(), window, lz=False), \
+                f"resident payload {b} != native"
+        nb_mb = B * bs / 1e6
+        print(f"# device-resident literal-only ({B} blocks, zero host "
+              f"planning): enc {nb_mb/t_renc:.1f} MB/s, dec "
+              f"{nb_mb/t_rdec:.1f} MB/s chip-resident, ratio "
+              f"{res_ratio*100:.2f}%; round-trip + native byte parity "
+              f"spot-checked", file=sys.stderr)
+        extra["resident_lit_enc_MBps"] = round(nb_mb / t_renc, 1)
+        extra["resident_lit_dec_MBps"] = round(nb_mb / t_rdec, 1)
+
+    _section("device_resident", _sec_resident)
+
     result = {
         "metric": "sqz4_block_parallel_encode_plus_decode_GBps_per_chip",
         "value": round(gbps, 6),

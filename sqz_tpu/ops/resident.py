@@ -1,0 +1,200 @@
+"""Device-resident sqz4 literal-only encode/decode — zero host planning.
+
+The reference HEAD encoder emits literals only (src/sqz.c:591 zeroes the
+match map at function entry), so its exact stream semantics need no match
+finder. That makes the literal-only mode fully TPU-resident: the token
+stream (one run token per <=255 literals + EOS, the layout of
+native sqz4_tok_plan's lz=0 branch) and the packed literal stream are
+computed from the raw bytes by fused XLA ops, and the token-input Mosaic
+kernel (sqz4_pallas._encode_tok_kernel) does the coding. No per-byte host
+work, no host->device op traffic — the input is already in HBM (the
+checkpoint-shard / activation-buffer use case) and only compressed bytes
+ever need to cross the link.
+
+Decode mirrors it: the encode output word layout IS the decode kernel's
+payload input layout, and for literal-only streams the decoder's dense
+literal stream IS the output, so a round trip never leaves the chip.
+
+Streams are bit-identical to the host/oracle coders' lz=False payloads
+(asserted in tests/test_resident.py against sqz4_compress_payload).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import numpy as np
+from jax import numpy as jnp
+
+from sqz_tpu.ops import sqz4_pallas as sp
+
+I32 = jnp.int32
+U32 = jnp.uint32
+
+EOS_TOKEN = np.uint32(0x1FF)         # 0xFF | (1 << 8): match flag + len 255
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _token_dim(bs: int) -> int:
+    # run tokens + EOS + one fetch-past-the-end slot, window-aligned
+    return max(96, _round_up(-(-bs // 255) + 2, 32))
+
+
+def _lit_word_dim(bs: int) -> int:
+    return max(96, _round_up(-(-bs // 4), 32))
+
+
+def _tokens_from_lengths(lengths, Tt: int):
+    """[B] i32 block lengths -> [1, Tt, B] u32 literal-run token streams
+    (run tokens of 255 then the remainder, EOS, zero-terminated) — the
+    exact lz=0 layout of native sqz4_tok_plan."""
+    B = lengths.shape[0]
+    t = jax.lax.broadcasted_iota(I32, (Tt, B), 0)
+    L = lengths[None, :].astype(I32)
+    runs = (L + 254) // 255
+    rem = jnp.clip(L - t * 255, 0, 255)
+    tok = jnp.where(t < runs, rem.astype(U32), jnp.asarray(0, U32))
+    return jnp.where(t == runs, jnp.asarray(EOS_TOKEN, U32), tok)[None]
+
+
+def _pack_literal_words(blocks, Lw: int):
+    """[B, bs] u8 blocks -> [1, Lw, B] u32 (4 big-endian bytes per word,
+    zero-padded to Lw rows) — the token kernel's literal stream layout."""
+    B, bs = blocks.shape
+    x = blocks.astype(U32).reshape(B, bs // 4, 4)
+    w = (x[..., 0] << 24) | (x[..., 1] << 16) | (x[..., 2] << 8) | x[..., 3]
+    w = w.transpose(1, 0)
+    if Lw > w.shape[0]:
+        w = jnp.pad(w, ((0, Lw - w.shape[0]), (0, 0)))
+    return w[None]
+
+
+@partial(jax.jit,
+         static_argnames=("Tt", "Lw", "t_max", "cap_words", "interpret",
+                          "wide"))
+def encode_literal_group(blocks, lengths, Tt: int, Lw: int, t_max: int,
+                         cap_words: int, interpret: bool, wide: bool):
+    """One lane group, fully on-device: raw [B, bs] u8 blocks (+ per-lane
+    valid lengths) -> (payload words [1, cap_words, B] u32, lens
+    [1, 8, B] i32). B must be a multiple of 128."""
+    toks = _tokens_from_lengths(lengths, Tt)
+    lits = _pack_literal_words(blocks, Lw)
+    return sp._encode_tok_pallas(toks, lits, t_max, cap_words, interpret,
+                                 wide)
+
+
+def _unpack_literal_bytes(lit_words, sizes, bs: int):
+    """[1, LW, B] u32 decoder literal stream -> [B, bs] u8 output blocks
+    (bytes past each lane's size zeroed). Literal-only streams have no
+    match records, so the literal stream is the decoded data."""
+    _, LW, B = lit_words.shape
+    w = lit_words[0].transpose(1, 0)                       # [B, LW]
+    by = jnp.stack([(w >> 24) & 0xFF, (w >> 16) & 0xFF,
+                    (w >> 8) & 0xFF, w & 0xFF], axis=-1)   # [B, LW, 4]
+    by = by.reshape(B, LW * 4)[:, :bs].astype(jnp.uint8)
+    pos = jax.lax.broadcasted_iota(I32, (B, bs), 1)
+    return jnp.where(pos < sizes[:, None], by, jnp.asarray(0, jnp.uint8))
+
+
+@partial(jax.jit,
+         static_argnames=("Pw", "t_max", "lw", "tw", "mw", "bs",
+                          "interpret", "wide"))
+def decode_literal_group(words, lens, sizes, Pw: int, t_max: int, lw: int,
+                         tw: int, mw: int, bs: int, interpret: bool,
+                         wide: bool):
+    """Mirror of encode_literal_group, fully on-device: encoder output
+    (words, lens) + expected sizes -> ([B, bs] u8 blocks, counts
+    [1, 8, B] i32). counts rows: 0 produced bytes, 4 error code, 6
+    overflow flag — callers wanting validation download this 16 KiB row
+    block, not the data."""
+    B = words.shape[2]
+    buf = words[:, :Pw, :]
+    z = jnp.zeros((B,), I32)
+    meta = jnp.stack([lens[0, 0, :].astype(I32),
+                      sizes.astype(I32), z, z, z, z, z, z])[None]
+    lit, _tok, _mrec, counts = sp._decode_pallas(
+        buf, meta, t_max, lw, tw, mw, interpret, wide, 1, None,
+        fused=True)
+    return _unpack_literal_bytes(lit, sizes, bs), counts
+
+
+def encode_literal_blocks(data: bytes, blk_bits: int,
+                          lanes: int = sp.ENC_LANES, cap: int = None,
+                          interpret: bool = False):
+    """Host-facing convenience wrapper: bytes -> per-block payloads via
+    the device-resident path (the only host work is the one raw upload
+    and the trimmed payload download)."""
+    if blk_bits > 16:
+        raise ValueError("sqz4 TPU kernels support blk_bits <= 16")
+    bs = 1 << blk_bits
+    if cap is None:
+        cap = bs + 2048
+    NB = max(1, -(-len(data) // bs))
+    arr = np.zeros((_round_up(NB, lanes) if NB > lanes else lanes, bs),
+                   np.uint8)
+    flat = np.frombuffer(data, np.uint8)
+    arr.reshape(-1)[:len(data)] = flat
+    lengths = np.zeros((arr.shape[0],), np.int32)
+    for b in range(NB):
+        lengths[b] = min(bs, len(data) - b * bs)
+    Tt, Lw = _token_dim(bs), _lit_word_dim(bs)
+    bq = 32 if interpret else 1024
+    cap_words = _round_up(-(-(cap + 3) // 4), 32)
+    wide = blk_bits >= 15
+    payloads: list = []
+    for g0 in range(0, arr.shape[0], lanes):
+        grp = jnp.asarray(arr[g0:g0 + lanes])
+        glen = lengths[g0:g0 + lanes]
+        t_max = _round_up(int(glen.max(initial=0)) + 5, bq)
+        words, lens = encode_literal_group(
+            grp, jnp.asarray(glen), Tt, Lw, t_max, cap_words, interpret,
+            wide)
+        lens_np = np.asarray(lens)
+        n = min(lanes, NB - g0)
+        if int(lens_np[:, 0, :n].max(initial=0)) > cap_words * 4:
+            raise ValueError("compressed block exceeded the output capacity")
+        payloads += sp.unpack_group_payloads(
+            sp.fetch_words_trimmed(words, lens_np), lens_np, n)
+    return payloads
+
+
+def encode_group_args(blk_bits: int, cap: int = None,
+                      interpret: bool = False) -> dict:
+    """Static kwargs for encode_literal_group at this block size."""
+    bs = 1 << blk_bits
+    if cap is None:
+        cap = bs + 2048
+    return dict(Tt=_token_dim(bs), Lw=_lit_word_dim(bs),
+                t_max=_round_up(bs + 5, 32 if interpret else 1024),
+                cap_words=_round_up(-(-(cap + 3) // 4), 32),
+                interpret=interpret, wide=blk_bits >= 15)
+
+
+def decode_group_args(B: int, blk_bits: int, cap_words: int,
+                      interpret: bool = False) -> dict:
+    """Static kwargs for decode_literal_group matching an encode group."""
+    bs = 1 << blk_bits
+    plan = sp.plan_decode_dispatch(B, blk_bits, lanes=B, slots=1,
+                                   interpret=interpret)
+    return dict(Pw=min(cap_words, plan["Pw"]), t_max=plan["t_max"],
+                lw=plan["lw"], tw=plan["tw"], mw=plan["mw"], bs=bs,
+                interpret=interpret, wide=blk_bits >= 15)
+
+
+def roundtrip_literal_device(blocks, lengths, blk_bits: int,
+                             cap: int = None, interpret: bool = False):
+    """Chip-resident round trip: [B, bs] u8 blocks -> encode -> decode,
+    returning (payload_lens [B] i32, out_blocks [B, bs] u8, counts) as
+    DEVICE arrays. Used by bench.py's device-resident row and the tests;
+    nothing crosses the link between the two kernels."""
+    B, bs = blocks.shape
+    assert bs == 1 << blk_bits
+    eargs = encode_group_args(blk_bits, cap, interpret)
+    words, lens = encode_literal_group(blocks, lengths, **eargs)
+    dargs = decode_group_args(B, blk_bits, eargs["cap_words"], interpret)
+    out, counts = decode_literal_group(words, lens, lengths, **dargs)
+    return lens[0, 0, :], out, counts

@@ -1,0 +1,84 @@
+"""Device-resident literal-only path (ops/resident.py): the token and
+literal streams are generated ON DEVICE from raw bytes (no host planning,
+reference HEAD literal-only semantics — src/sqz.c:591), coded by the
+token-input kernel, and decoded chip-resident. Streams must be
+bit-identical to the host coder's lz=False payloads."""
+
+import numpy as np
+import pytest
+
+from sqz_tpu import native
+from sqz_tpu.formats.container import split_blocks
+from sqz_tpu.ops import resident
+from sqz_tpu.utils import corpus
+
+pytestmark = pytest.mark.skipif(not native.available(),
+                                reason="native runtime not built")
+
+
+def test_resident_encode_bit_exact_vs_native():
+    data = corpus.texty(3 * 256 + 100, seed=7)
+    payloads = resident.encode_literal_blocks(data, 8, lanes=128,
+                                              interpret=True)
+    parts = split_blocks(data, 8)
+    want = [native.sqz4_compress_payload(p, 1 << 8, lz=False)
+            for p in parts]
+    assert payloads == want
+
+
+def test_resident_encode_empty_and_tiny():
+    for data in (b"", b"Z"):
+        payloads = resident.encode_literal_blocks(data, 8, lanes=128,
+                                                  interpret=True)
+        parts = split_blocks(data, 8)
+        want = [native.sqz4_compress_payload(p, 1 << 8, lz=False)
+                for p in parts]
+        assert payloads == want
+
+
+def test_resident_roundtrip_on_device():
+    import jax.numpy as jnp
+    bs, B, NB = 256, 128, 5
+    data = corpus.texty(4 * bs + 60, seed=3)   # tail block of 60 bytes
+    arr = np.zeros((B, bs), np.uint8)
+    lengths = np.zeros((B,), np.int32)
+    for b in range(NB):
+        blk = data[b * bs:(b + 1) * bs]
+        arr[b, :len(blk)] = np.frombuffer(blk, np.uint8)
+        lengths[b] = len(blk)
+    plens, out, counts = resident.roundtrip_literal_device(
+        jnp.asarray(arr), jnp.asarray(lengths), 8, interpret=True)
+    counts = np.asarray(counts)
+    assert int(counts[0, 4].max()) == 0, "decoder error lane set"
+    assert np.array_equal(np.asarray(counts)[0, 0, :NB], lengths[:NB])
+    out = np.asarray(out)
+    assert np.array_equal(out[:NB], arr[:NB])
+    # payload lengths match the host coder's streams
+    parts = split_blocks(data, 8)
+    want = [len(native.sqz4_compress_payload(p, 1 << 8, lz=False))
+            for p in parts]
+    assert np.asarray(plens)[:NB].tolist() == want
+
+
+def test_resident_group_payload_fetch_bit_exact():
+    """The bench's fetch path over a resident encode group: trimmed word
+    download + unpack must yield the native coder's exact bytes."""
+    import jax.numpy as jnp
+
+    from sqz_tpu.ops import sqz4_pallas as sp
+    bs, B, NB = 256, 128, 3
+    data = corpus.texty(NB * bs, seed=11)
+    arr = np.frombuffer(data, np.uint8).reshape(NB, bs)
+    full = np.zeros((B, bs), np.uint8)
+    full[:NB] = arr
+    lengths = np.zeros((B,), np.int32)
+    lengths[:NB] = bs
+    eargs = resident.encode_group_args(8, interpret=True)
+    words, lens = resident.encode_literal_group(
+        jnp.asarray(full), jnp.asarray(lengths), **eargs)
+    lens_np = np.asarray(lens)
+    payloads = sp.unpack_group_payloads(
+        sp.fetch_words_trimmed(words, lens_np), lens_np, NB)
+    for b in range(NB):
+        assert payloads[b] == native.sqz4_compress_payload(
+            arr[b].tobytes(), 1 << 8, lz=False), f"block {b}"
