@@ -162,6 +162,114 @@ def encode_literal_blocks(data: bytes, blk_bits: int,
     return payloads
 
 
+CELL = 128
+# one 128-byte cell continued from the previous byte: len 128, nbits 1,
+# dist 1 in the sqz4_tok_plan token layout
+RLE_MATCH = np.uint32(CELL | (1 << 8) | (1 << 9) | (1 << 16))
+
+
+def _rle_tokens_from_blocks(blocks, lengths, Tt: int):
+    """Cell-granular dist-1 RLE parse, entirely on-device: a 128-byte
+    cell whose bytes ALL equal the byte just before it becomes one
+    len-128/dist-1 match token (8 kernel pairs instead of 128 — the
+    overlapped-copy semantics of src/sqz.c:826-831 make every such byte
+    equal out[p-1]); other full cells are 128-literal run tokens, the
+    partial tail is a literal run, EOS closes. Returns ([1, Tt, B] u32
+    tokens, [B] i32 fused-pair counts)."""
+    B, bs = blocks.shape
+    C = bs // CELL
+    cells = blocks.reshape(B, C, CELL)
+    prev = jnp.concatenate(
+        [jnp.zeros((B, 1), jnp.uint8), cells[:, :-1, -1]], axis=1)
+    isrun = jnp.all(cells == prev[:, :, None], axis=2)
+    c = jnp.arange(C, dtype=I32)[None, :]
+    L = lengths[:, None].astype(I32)
+    isrun = isrun & (c > 0) & ((c + 1) * CELL <= L)     # full cells only
+    cell_tok = jnp.where(isrun, jnp.asarray(RLE_MATCH, U32),
+                         jnp.asarray(CELL, U32))        # [B, C]
+    nfull = lengths.astype(I32) // CELL
+    rem = lengths.astype(I32) - nfull * CELL
+    eslot = nfull + (rem > 0)
+    t = jax.lax.broadcasted_iota(I32, (Tt, B), 0)
+    ct = jnp.concatenate(
+        [cell_tok.transpose(1, 0),
+         jnp.zeros((Tt - C, B), U32)], axis=0)          # slot t = cell t
+    tok = jnp.where(t < nfull[None, :], ct, jnp.asarray(0, U32))
+    tok = jnp.where((t == nfull[None, :]) & (rem[None, :] > 0),
+                    rem[None, :].astype(U32), tok)
+    tok = jnp.where(t == eslot[None, :], jnp.asarray(EOS_TOKEN, U32), tok)
+    nrun = jnp.sum(isrun.astype(I32), axis=1)
+    pairs = 128 * (nfull - nrun) + 8 * nrun + rem + 5
+    return tok[None], pairs
+
+
+@partial(jax.jit, static_argnames=("Tt",))
+def rle_plan_device(blocks, lengths, Tt: int):
+    """Device parse pass: (tokens, literal words, per-lane pair counts).
+    The only host involvement in the RLE path is reading max(pairs) (one
+    i32) to pick the kernel's static step bound."""
+    toks, pairs = _rle_tokens_from_blocks(blocks, lengths, Tt)
+    lits = _pack_literal_words(blocks, max(96, blocks.shape[1] // 4))
+    return toks, lits, pairs
+
+
+def rle_group_args(blk_bits: int, cap: int = None,
+                   interpret: bool = False) -> dict:
+    """Static kwargs for the RLE-mode encode group (token dim covers one
+    slot per cell + tail + EOS)."""
+    bs = 1 << blk_bits
+    if cap is None:
+        cap = bs + 2048
+    return dict(Tt=max(96, _round_up(bs // CELL + 2, 32)),
+                cap_words=_round_up(-(-(cap + 3) // 4), 32),
+                interpret=interpret, wide=blk_bits >= 15)
+
+
+def encode_rle_group(blocks, lengths, Tt: int, cap_words: int,
+                     interpret: bool, wide: bool, t_max: int = None):
+    """One lane group through the RLE-resident path: device parse +
+    lit_skip token kernel over the RAW literal stream (no compaction
+    anywhere). Returns (words, lens) device arrays. Decode of these
+    streams goes through the standard decode path (they are ordinary
+    sqz4 payloads); only encode is chip-resident."""
+    toks, lits, pairs = rle_plan_device(blocks, lengths, Tt)
+    if t_max is None:
+        bq = 32 if interpret else 1024
+        t_max = max(bq, _round_up(int(np.asarray(jnp.max(pairs))), bq))
+    return sp._encode_tok_pallas(toks, lits, t_max, cap_words, interpret,
+                                 wide, lit_skip=True)
+
+
+def encode_rle_blocks(data: bytes, blk_bits: int, lanes: int = sp.ENC_LANES,
+                      cap: int = None, interpret: bool = False):
+    """Host-facing wrapper for the RLE-resident path: bytes -> per-block
+    sqz4 payloads (bit-exact with a host coder given the same cell
+    parse — asserted against the scan engine in tests)."""
+    if blk_bits > 16:
+        raise ValueError("sqz4 TPU kernels support blk_bits <= 16")
+    bs = 1 << blk_bits
+    NB = max(1, -(-len(data) // bs))
+    rows = _round_up(NB, lanes) if NB > lanes else lanes
+    arr = np.zeros((rows, bs), np.uint8)
+    arr.reshape(-1)[:len(data)] = np.frombuffer(data, np.uint8)
+    lengths = np.zeros((rows,), np.int32)
+    for b in range(NB):
+        lengths[b] = min(bs, len(data) - b * bs)
+    gargs = rle_group_args(blk_bits, cap, interpret)
+    payloads: list = []
+    for g0 in range(0, rows, lanes):
+        words, lens = encode_rle_group(
+            jnp.asarray(arr[g0:g0 + lanes]),
+            jnp.asarray(lengths[g0:g0 + lanes]), **gargs)
+        lens_np = np.asarray(lens)
+        n = min(lanes, NB - g0)
+        if int(lens_np[:, 0, :n].max(initial=0)) > gargs["cap_words"] * 4:
+            raise ValueError("compressed block exceeded the output capacity")
+        payloads += sp.unpack_group_payloads(
+            sp.fetch_words_trimmed(words, lens_np), lens_np, n)
+    return payloads
+
+
 def encode_group_args(blk_bits: int, cap: int = None,
                       interpret: bool = False) -> dict:
     """Static kwargs for encode_literal_group at this block size."""

@@ -1090,7 +1090,8 @@ TOK_DONE = np.uint32(0xFFFFFFFF)     # lane finished (post-flush sentinel)
 def _encode_tok_kernel(tok_all, lit_all, out_ref, lens_ref, regs_ref,
                        stage_ref, cb_ref, cs_ref, bits_ref, d0_ref, d1_ref,
                        stok_ref, slit_ref, bases_ref,
-                       *, t_max: int, wide: bool = False):
+                       *, t_max: int, wide: bool = False,
+                       lit_skip: bool = False):
     """Fused-pair encoder fed by TOKENS instead of expanded micro-ops
     (PERF.md round 3): one u32 token per parse decision (layout in
     native sqz4_tok_plan) plus a dense packed literal-byte stream —
@@ -1109,6 +1110,18 @@ def _encode_tok_kernel(tok_all, lit_all, out_ref, lens_ref, regs_ref,
     element per pair, so refreshes gate safely to every 8th pair.
 
     bases rows: 0 = token window base, 1 = literal window base.
+
+    ``lit_skip`` (the device-resident RLE path, ops/resident.py): the
+    literal stream is the RAW block (already HBM-resident) rather than a
+    host-compacted one, so match tokens must advance the literal cursor
+    past their covered bytes. The jump is drained at 16 bytes/pair while
+    the lane sits in a wait phase (15 — emits PAD pairs; coding for a
+    dist-1 cell match needs only 2 of the 8 pairs), bounding the
+    literal-window drift to 32 words per 8-pair refresh gate; the refresh
+    threshold drops to 32 so worst-case offset is 31 + 32 = 63 < 96.
+    Everything else (grammar, models, coded bytes) is identical — the
+    static flag compiles to a separate kernel and host-parse paths are
+    untouched.
     """
     Tt, B = tok_all.shape[1], tok_all.shape[2]
     Lw = lit_all.shape[1]
@@ -1144,10 +1157,10 @@ def _encode_tok_kernel(tok_all, lit_all, out_ref, lens_ref, regs_ref,
                 out_ref[0, 32 * c:32 * c + 32])
         regs_ref[6:7, :] = i2u(jnp.where(doit, s2base + 32, s2base))
 
-    def win_refresh(win_ref, base_row, src, rows, idx):
+    def win_refresh(win_ref, base_row, src, rows, idx, th: int = 64):
         kb = idx >> 5
         base = bases_ref[base_row:base_row + 1, :]
-        need = (idx - base) >= jnp.int32(64)
+        need = (idx - base) >= jnp.int32(th)
         bases_ref[base_row:base_row + 1, :] = jnp.where(need, kb << 5, base)
         zu = jnp.zeros((32, B), U32)
         for slot in range(3):
@@ -1165,8 +1178,12 @@ def _encode_tok_kernel(tok_all, lit_all, out_ref, lens_ref, regs_ref,
         return i2u(v)
 
     def step(t, carry):
-        (lh, ll, rh, rl, ocnt, wpos, ob0, ob1, ob2,
-         tok, phase, run, tidx, lidx) = carry
+        if lit_skip:
+            (lh, ll, rh, rl, ocnt, wpos, ob0, ob1, ob2,
+             tok, phase, run, tidx, lidx, skip) = carry
+        else:
+            (lh, ll, rh, rl, ocnt, wpos, ob0, ob1, ob2,
+             tok, phase, run, tidx, lidx) = carry
 
         # ---- fetch the next token on lanes that consumed theirs
         need = tok == _u(0)
@@ -1186,6 +1203,9 @@ def _encode_tok_kernel(tok_all, lit_all, out_ref, lens_ref, regs_ref,
         eos = ismatch & (cnt_len == 255)
         islit = ~done & ~isflush & ~ismatch
         run = jnp.where(need & islit, cnt_len, run)
+        if lit_skip:
+            # a fetched match token owes cnt_len raw-stream bytes
+            skip = jnp.where(need & ismatch & ~eos, cnt_len, skip)
 
         # ---- literal byte for this pair's slot 2
         lword = u2i(win_word(slit_ref, 1, lidx >> 2))
@@ -1194,7 +1214,8 @@ def _encode_tok_kernel(tok_all, lit_all, out_ref, lens_ref, regs_ref,
         # ---- expand (token, phase) -> fused pair (m1, s1, m2, s2)
         p0 = ismatch & (phase == 0)
         p1 = ismatch & (phase == 1)
-        pk = ismatch & (phase >= 2)
+        pk = ismatch & (phase >= 2) & (phase < 15) if lit_skip \
+            else ismatch & (phase >= 2)
         k1 = 2 * phase - 3
         k2 = 2 * phase - 2
         m1 = jnp.where(islit, _i(0),
@@ -1220,12 +1241,27 @@ def _encode_tok_kernel(tok_all, lit_all, out_ref, lens_ref, regs_ref,
         run = jnp.where(islit, run - 1, run)
         lidx = lidx + islit.astype(I32)
         adv = (p1 & (nb <= 2)) | (pk & (k2 >= nb - 2))
-        phase2 = jnp.where(p0 & eos, _i(16),
-                 jnp.where(p0, _i(1),
-                 jnp.where(p1 & ~adv, _i(2),
-                 jnp.where(pk & ~adv, phase + 1,
-                 jnp.where(isflush, phase + 1, phase)))))
-        tok = jnp.where(litlast | (adv & ~eos), _u(0), tok)
+        if lit_skip:
+            drain = jnp.minimum(skip, _i(16))
+            lidx = lidx + drain        # match lanes never read this pair
+            skip = skip - drain
+            skip_done = skip <= 0
+            pwait = ismatch & (phase == 15)
+            phase2 = jnp.where(p0 & eos, _i(16),
+                     jnp.where(p0, _i(1),
+                     jnp.where(p1 & ~adv, _i(2),
+                     jnp.where(pk & ~adv, phase + 1,
+                     jnp.where((adv | pwait) & ~skip_done, _i(15),
+                     jnp.where(isflush, phase + 1, phase))))))
+            fin = (adv | pwait) & skip_done & ~eos
+            tok = jnp.where(litlast | fin, _u(0), tok)
+        else:
+            phase2 = jnp.where(p0 & eos, _i(16),
+                     jnp.where(p0, _i(1),
+                     jnp.where(p1 & ~adv, _i(2),
+                     jnp.where(pk & ~adv, phase + 1,
+                     jnp.where(isflush, phase + 1, phase)))))
+            tok = jnp.where(litlast | (adv & ~eos), _u(0), tok)
         tok = jnp.where(isflush & (phase2 >= 20), _u(TOK_DONE), tok)
         phase = phase2
 
@@ -1247,10 +1283,12 @@ def _encode_tok_kernel(tok_all, lit_all, out_ref, lens_ref, regs_ref,
                 flush_rounds(wpos, force=False)
 
             win_refresh(stok_ref, 0, tok_all, Tt, tidx)
-            win_refresh(slit_ref, 1, lit_all, Lw, lidx >> 2)
+            win_refresh(slit_ref, 1, lit_all, Lw, lidx >> 2,
+                        th=32 if lit_skip else 64)
 
-        return (lh, ll, rh, rl, ocnt, wpos, ob0, ob1, ob2,
-                tok, phase, run, tidx, lidx)
+        out = (lh, ll, rh, rl, ocnt, wpos, ob0, ob1, ob2,
+               tok, phase, run, tidx, lidx)
+        return out + (skip,) if lit_skip else out
 
     # expansion-state carries load from VMEM rows (splat zeros would give
     # Mosaic a replicated layout it cannot join with lane-varying updates)
@@ -1260,6 +1298,8 @@ def _encode_tok_kernel(tok_all, lit_all, out_ref, lens_ref, regs_ref,
               regs_ref[10:11, :], u2i(regs_ref[11:12, :]),
               u2i(regs_ref[12:13, :]), u2i(regs_ref[13:14, :]),
               u2i(regs_ref[14:15, :]))
+    if lit_skip:
+        carry0 = carry0 + (u2i(regs_ref[15:16, :]),)
     carry = jax.lax.fori_loop(jnp.int32(0), jnp.int32(t_max), step, carry0)
     lh, ll, rh, rl, ocnt, wpos, ob0, ob1, ob2 = carry[:9]
 
@@ -1272,14 +1312,16 @@ def _encode_tok_kernel(tok_all, lit_all, out_ref, lens_ref, regs_ref,
 
 
 def _encode_tok_pallas_call(toks, lits, t_max: int, cap_words: int,
-                            interpret: bool, wide: bool):
+                            interpret: bool, wide: bool,
+                            lit_skip: bool = False):
     G, Tt, B = toks.shape
     Lw = lits.shape[1]
     assert G == 1 and B % 128 == 0 and Tt % 32 == 0 and Lw % 32 == 0
     assert Tt >= 96 and Lw >= 96 and cap_words % 32 == 0
     z = np.int32(0)
     return pl.pallas_call(
-        partial(_encode_tok_kernel, t_max=t_max, wide=wide),
+        partial(_encode_tok_kernel, t_max=t_max, wide=wide,
+                lit_skip=lit_skip),
         grid=(1,),
         in_specs=[
             pl.BlockSpec((1, Tt, B), lambda g: (z, z, z),
@@ -1316,13 +1358,15 @@ def _encode_tok_pallas_call(toks, lits, t_max: int, cap_words: int,
 
 
 @partial(jax.jit, static_argnames=("t_max", "cap_words", "interpret",
-                                   "wide"))
+                                   "wide", "lit_skip"))
 def _encode_tok_pallas(toks, lits, t_max: int, cap_words: int,
-                       interpret: bool = False, wide: bool = False):
+                       interpret: bool = False, wide: bool = False,
+                       lit_skip: bool = False):
     """toks: [1, Tt, B] u32 tokens; lits: [1, Lw, B] u32 packed literal
-    bytes (4 big-endian per word)."""
+    bytes (4 big-endian per word). ``lit_skip``: the literal stream is
+    the raw block and match tokens jump the cursor (resident RLE path)."""
     return _encode_tok_pallas_call(toks, lits, t_max, cap_words,
-                                   interpret, wide)
+                                   interpret, wide, lit_skip)
 
 
 @jax.jit

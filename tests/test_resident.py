@@ -60,6 +60,64 @@ def test_resident_roundtrip_on_device():
     assert np.asarray(plens)[:NB].tolist() == want
 
 
+def _cell_parse_tokens(blk: bytes):
+    """Reference reconstruction of the resident RLE cell parse: one
+    ("match", 128, 1) per full 128-byte cell that continues the previous
+    byte, literal tokens elsewhere."""
+    toks = []
+    C = resident.CELL
+    n = len(blk)
+    i = 0
+    while i < n:
+        cell = blk[i:i + C]
+        if (i >= C and len(cell) == C and
+                cell == bytes([blk[i - 1]]) * C):
+            toks.append(("match", C, 1))
+        else:
+            toks += [("lit", b) for b in cell]
+        i += C
+    return toks
+
+
+def _rle_cases():
+    text = corpus.texty(1024, seed=5)
+    return [
+        bytes(1024),                                   # all zeros
+        text,                                          # no run cells
+        bytes(512) + text[:512],                       # zeros then text
+        text[:256] + b"\xAA" * 512 + text[256:512],    # run mid-block
+        bytes(700),                                    # partial tail
+        (b"x" * 127 + b"y") * 8,                       # period breaks cells
+    ]
+
+
+def test_resident_rle_bit_exact_vs_scan_engine():
+    """RLE-resident payloads must equal the scan engine's bytes for the
+    same cell parse (stream identity is parse-determined)."""
+    from sqz_tpu.ops import sqz4_jax
+    for data in _rle_cases():
+        payloads = resident.encode_rle_blocks(data, 10, lanes=128,
+                                              interpret=True)
+        parts = split_blocks(data, 10)
+        want = sqz4_jax.encode_blocks(
+            [_cell_parse_tokens(p) for p in parts], blk_bits=10)
+        assert payloads == want, f"case {data[:16]!r}"
+        # and they are ordinary sqz4 payloads: native decode round-trips
+        for p, blk in zip(payloads, parts):
+            assert native.sqz4_decompress_payload(p, len(blk)) == blk
+
+
+def test_resident_rle_ratio_beats_literal_only_on_runs():
+    # 1 KiB interpret-mode blocks keep the test fast; at that size the
+    # coder's fixed 8-byte flush dominates (66 vs 126 B measured), so the
+    # margin here is conservative — at 64 KiB blocks the gap is ~10x
+    data = bytes(4096)
+    rle = resident.encode_rle_blocks(data, 10, lanes=128, interpret=True)
+    lit = resident.encode_literal_blocks(data, 10, lanes=128,
+                                         interpret=True)
+    assert sum(len(p) for p in rle) < 0.7 * sum(len(p) for p in lit)
+
+
 def test_resident_group_payload_fetch_bit_exact():
     """The bench's fetch path over a resident encode group: trimmed word
     download + unpack must yield the native coder's exact bytes."""
