@@ -163,30 +163,53 @@ def encode_literal_blocks(data: bytes, blk_bits: int,
 
 
 CELL = 128
-# one 128-byte cell continued from the previous byte: len 128, nbits 1,
-# dist 1 in the sqz4_tok_plan token layout
-RLE_MATCH = np.uint32(CELL | (1 << 8) | (1 << 9) | (1 << 16))
+# candidate periods for the device cell parse: dist-d matches with d a
+# power of two <= CELL (nbits = bit_length(d); smaller d preferred —
+# fewer distance-bit pairs and a warmer pm_dist model)
+RLE_DISTS = (1, 2, 4, 8, 16, 32, 64, 128)
+
+
+def _match_token(dist: int) -> np.uint32:
+    nbits = int(dist).bit_length()
+    return np.uint32(CELL | (1 << 8) | (nbits << 9) | (dist << 16))
 
 
 def _rle_tokens_from_blocks(blocks, lengths, Tt: int):
-    """Cell-granular dist-1 RLE parse, entirely on-device: a 128-byte
-    cell whose bytes ALL equal the byte just before it becomes one
-    len-128/dist-1 match token (8 kernel pairs instead of 128 — the
-    overlapped-copy semantics of src/sqz.c:826-831 make every such byte
-    equal out[p-1]); other full cells are 128-literal run tokens, the
-    partial tail is a literal run, EOS closes. Returns ([1, Tt, B] u32
-    tokens, [B] i32 fused-pair counts)."""
+    """Cell-granular periodic parse, entirely on-device: a 128-byte cell
+    that continues a period-d repeat (bytes[i] == bytes[i-d] for the
+    whole cell, d in RLE_DISTS — the overlapped-copy semantics of
+    src/sqz.c:826-831) becomes one len-128/dist-d match token (8 kernel
+    pairs instead of 128; d=1 is plain RLE, d=4 the reference's classic
+    4-byte-pattern synthetic case); other full cells are 128-literal run
+    tokens, the partial tail is a literal run, EOS closes. Returns
+    ([1, Tt, B] u32 tokens, [B] i32 fused-pair counts)."""
     B, bs = blocks.shape
     C = bs // CELL
-    cells = blocks.reshape(B, C, CELL)
-    prev = jnp.concatenate(
-        [jnp.zeros((B, 1), jnp.uint8), cells[:, :-1, -1]], axis=1)
-    isrun = jnp.all(cells == prev[:, :, None], axis=2)
     c = jnp.arange(C, dtype=I32)[None, :]
+    cells = blocks.reshape(B, C, CELL)
+    cell_tok = jnp.full((B, C), CELL, U32)              # literal default
+    matched = jnp.zeros((B, C), bool)
+    # cell [s, s+128) continues period d iff bytes[i] == bytes[i-d]
+    # across it; split cell-aligned (no gathers — TPU gathers are
+    # element-serial): (a) intra-cell periodicity, (b) the first d bytes
+    # stitch to the previous cell's last d bytes
+    for d in reversed(RLE_DISTS):                       # small d wins
+        if d < CELL:
+            intra = jnp.all(cells[:, :, d:] == cells[:, :, :-d], axis=2)
+            stitch = jnp.all(
+                cells[:, 1:, :d] == cells[:, :-1, CELL - d:], axis=2)
+        else:                                           # d == CELL
+            intra = jnp.ones((B, C), bool)
+            stitch = jnp.all(cells[:, 1:, :] == cells[:, :-1, :], axis=2)
+        ok = intra & jnp.concatenate(
+            [jnp.zeros((B, 1), bool), stitch], axis=1)  # cell 0 never
+        cell_tok = jnp.where(ok, jnp.asarray(_match_token(d), U32),
+                             cell_tok)
+        matched = matched | ok
     L = lengths[:, None].astype(I32)
-    isrun = isrun & (c > 0) & ((c + 1) * CELL <= L)     # full cells only
-    cell_tok = jnp.where(isrun, jnp.asarray(RLE_MATCH, U32),
-                         jnp.asarray(CELL, U32))        # [B, C]
+    full = (c > 0) & ((c + 1) * CELL <= L)              # full cells only
+    isrun = matched & full
+    cell_tok = jnp.where(isrun, cell_tok, jnp.asarray(CELL, U32))
     nfull = lengths.astype(I32) // CELL
     rem = lengths.astype(I32) - nfull * CELL
     eslot = nfull + (rem > 0)

@@ -61,18 +61,23 @@ def test_resident_roundtrip_on_device():
 
 
 def _cell_parse_tokens(blk: bytes):
-    """Reference reconstruction of the resident RLE cell parse: one
-    ("match", 128, 1) per full 128-byte cell that continues the previous
-    byte, literal tokens elsewhere."""
+    """Reference reconstruction of the resident periodic cell parse: one
+    ("match", 128, d) per full 128-byte cell that continues a period-d
+    repeat (smallest d in RLE_DISTS wins), literal tokens elsewhere."""
     toks = []
     C = resident.CELL
     n = len(blk)
     i = 0
     while i < n:
         cell = blk[i:i + C]
-        if (i >= C and len(cell) == C and
-                cell == bytes([blk[i - 1]]) * C):
-            toks.append(("match", C, 1))
+        d_hit = None
+        if i >= C and len(cell) == C:
+            for d in resident.RLE_DISTS:
+                if all(blk[j] == blk[j - d] for j in range(i, i + C)):
+                    d_hit = d
+                    break
+        if d_hit is not None:
+            toks.append(("match", C, d_hit))
         else:
             toks += [("lit", b) for b in cell]
         i += C
@@ -88,6 +93,9 @@ def _rle_cases():
         text[:256] + b"\xAA" * 512 + text[256:512],    # run mid-block
         bytes(700),                                    # partial tail
         (b"x" * 127 + b"y") * 8,                       # period breaks cells
+        b"abcd" * 256,                                 # 4-byte pattern
+        (text[:32] * 40)[:1024],                       # period 32
+        b"ab" * 100 + b"abc" * 200 + b"\0" * 224,      # mixed periods
     ]
 
 
