@@ -15,6 +15,7 @@ See FORMAT.md for the normative wire-format spec.
 
 from sqz_tpu.api import (  # noqa: F401
     compress,
+    compress_resident,
     decompress,
     decompress_range,
     Format,

@@ -232,6 +232,41 @@ def _compress_blocks(parts, fmt, engine, win_bits, lz, warm=False,
     return out
 
 
+def compress_resident(data, blk_bits: int = 16, mode: str = "rle",
+                      checksum: bool = False,
+                      interpret: bool = False) -> bytes:
+    """Compress bytes OR a device-resident 1-D uint8 array into a
+    standard ``sqzt`` container via the zero-host-planning resident path
+    (ops/resident.py): literal-only reference HEAD semantics
+    (src/sqz.c:591) with, in ``mode="rle"``, the device periodic cell
+    parse layered on top. For TPU-resident data (checkpoint shards,
+    activation buffers) nothing but the compressed payload bytes crosses
+    the host link. The result decodes with every engine
+    (``decompress`` / ``decompress_range``).
+
+    ``checksum`` requires hashing the ORIGINAL bytes on the host — for
+    device arrays that forces a full download, so it defaults off here;
+    the per-block decoder validations (EILSEQ/size/bounds) still apply.
+    """
+    from sqz_tpu.ops import resident
+    payloads = resident.encode_resident_blocks(data, blk_bits, mode,
+                                               interpret=interpret)
+    if isinstance(data, (bytes, bytearray, memoryview)):
+        raw = bytes(data)
+        osize = len(raw)
+    else:
+        osize = int(data.size)
+        raw = None
+    csum = None
+    if checksum:
+        if raw is None:
+            import numpy as _np
+            raw = _np.asarray(data, dtype=_np.uint8).tobytes()
+        csum = sqzt.fnv1a64(raw)
+    return sqzt.pack(SQZT_FORMAT_SQZ4, 15, blk_bits, osize, payloads,
+                     csum)
+
+
 def decompress(blob: bytes, fmt: Optional[Format | str] = None,
                engine: Engine | str = Engine.NATIVE) -> bytes:
     engine = Engine(engine)

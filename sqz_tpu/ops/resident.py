@@ -128,38 +128,8 @@ def encode_literal_blocks(data: bytes, blk_bits: int,
     """Host-facing convenience wrapper: bytes -> per-block payloads via
     the device-resident path (the only host work is the one raw upload
     and the trimmed payload download)."""
-    if blk_bits > 16:
-        raise ValueError("sqz4 TPU kernels support blk_bits <= 16")
-    bs = 1 << blk_bits
-    if cap is None:
-        cap = bs + 2048
-    NB = max(1, -(-len(data) // bs))
-    arr = np.zeros((_round_up(NB, lanes) if NB > lanes else lanes, bs),
-                   np.uint8)
-    flat = np.frombuffer(data, np.uint8)
-    arr.reshape(-1)[:len(data)] = flat
-    lengths = np.zeros((arr.shape[0],), np.int32)
-    for b in range(NB):
-        lengths[b] = min(bs, len(data) - b * bs)
-    Tt, Lw = _token_dim(bs), _lit_word_dim(bs)
-    bq = 32 if interpret else 1024
-    cap_words = _round_up(-(-(cap + 3) // 4), 32)
-    wide = blk_bits >= 15
-    payloads: list = []
-    for g0 in range(0, arr.shape[0], lanes):
-        grp = jnp.asarray(arr[g0:g0 + lanes])
-        glen = lengths[g0:g0 + lanes]
-        t_max = _round_up(int(glen.max(initial=0)) + 5, bq)
-        words, lens = encode_literal_group(
-            grp, jnp.asarray(glen), Tt, Lw, t_max, cap_words, interpret,
-            wide)
-        lens_np = np.asarray(lens)
-        n = min(lanes, NB - g0)
-        if int(lens_np[:, 0, :n].max(initial=0)) > cap_words * 4:
-            raise ValueError("compressed block exceeded the output capacity")
-        payloads += sp.unpack_group_payloads(
-            sp.fetch_words_trimmed(words, lens_np), lens_np, n)
-    return payloads
+    return encode_resident_blocks(data, blk_bits, "lit", lanes, cap,
+                                  interpret)
 
 
 CELL = 128
@@ -263,34 +233,73 @@ def encode_rle_group(blocks, lengths, Tt: int, cap_words: int,
                                  wide, lit_skip=True)
 
 
+def _prep_blocks(data, blk_bits: int, lanes: int):
+    """bytes OR a 1-D u8 array (host or device-resident) -> ([rows, bs]
+    device u8 blocks, [rows] np.int32 valid lengths, NB, total bytes).
+    Device arrays are padded/reshaped on-device — no download."""
+    bs = 1 << blk_bits
+    if isinstance(data, (bytes, bytearray, memoryview)):
+        n = len(data)
+        NB = max(1, -(-n // bs))
+        rows = max(lanes, _round_up(NB, lanes))
+        arr = np.zeros((rows, bs), np.uint8)
+        arr.reshape(-1)[:n] = np.frombuffer(data, np.uint8)
+        blocks = jnp.asarray(arr)
+    else:
+        flat = jnp.asarray(data, dtype=jnp.uint8).reshape(-1)
+        n = int(flat.shape[0])
+        NB = max(1, -(-n // bs))
+        rows = max(lanes, _round_up(NB, lanes))
+        blocks = jnp.pad(flat, (0, rows * bs - n)).reshape(rows, bs)
+    lengths = np.zeros((rows,), np.int32)
+    for b in range(NB):
+        lengths[b] = max(0, min(bs, n - b * bs))
+    return blocks, lengths, NB, n
+
+
+def encode_resident_blocks(data, blk_bits: int, mode: str = "rle",
+                           lanes: int = sp.ENC_LANES, cap: int = None,
+                           interpret: bool = False):
+    """Resident-path encode of bytes or a (device) u8 array to per-block
+    sqz4 payloads. ``mode``: 'lit' = literal-only (reference HEAD
+    semantics, fully plan-free); 'rle' = the device periodic cell parse
+    on top of it. The only downloads are the payload bytes (and one i32
+    step bound in 'rle' mode)."""
+    if blk_bits > 16:
+        raise ValueError("sqz4 TPU kernels support blk_bits <= 16")
+    if mode not in ("lit", "rle"):
+        raise ValueError(f"unknown resident mode {mode!r}")
+    blocks, lengths, NB, _n = _prep_blocks(data, blk_bits, lanes)
+    if mode == "rle":
+        gargs = rle_group_args(blk_bits, cap, interpret)
+    else:
+        gargs = encode_group_args(blk_bits, cap, interpret)
+    payloads: list = []
+    for g0 in range(0, blocks.shape[0], lanes):
+        grp = blocks[g0:g0 + lanes]
+        glen = lengths[g0:g0 + lanes]
+        if mode == "rle":
+            words, lens = encode_rle_group(grp, jnp.asarray(glen), **gargs)
+        else:
+            words, lens = encode_literal_group(grp, jnp.asarray(glen),
+                                               **gargs)
+        lens_np = np.asarray(lens)
+        nb_g = min(lanes, NB - g0)
+        if int(lens_np[:, 0, :nb_g].max(initial=0)) > \
+                gargs["cap_words"] * 4:
+            raise ValueError("compressed block exceeded the output capacity")
+        payloads += sp.unpack_group_payloads(
+            sp.fetch_words_trimmed(words, lens_np), lens_np, nb_g)
+    return payloads
+
+
 def encode_rle_blocks(data: bytes, blk_bits: int, lanes: int = sp.ENC_LANES,
                       cap: int = None, interpret: bool = False):
     """Host-facing wrapper for the RLE-resident path: bytes -> per-block
     sqz4 payloads (bit-exact with a host coder given the same cell
     parse — asserted against the scan engine in tests)."""
-    if blk_bits > 16:
-        raise ValueError("sqz4 TPU kernels support blk_bits <= 16")
-    bs = 1 << blk_bits
-    NB = max(1, -(-len(data) // bs))
-    rows = _round_up(NB, lanes) if NB > lanes else lanes
-    arr = np.zeros((rows, bs), np.uint8)
-    arr.reshape(-1)[:len(data)] = np.frombuffer(data, np.uint8)
-    lengths = np.zeros((rows,), np.int32)
-    for b in range(NB):
-        lengths[b] = min(bs, len(data) - b * bs)
-    gargs = rle_group_args(blk_bits, cap, interpret)
-    payloads: list = []
-    for g0 in range(0, rows, lanes):
-        words, lens = encode_rle_group(
-            jnp.asarray(arr[g0:g0 + lanes]),
-            jnp.asarray(lengths[g0:g0 + lanes]), **gargs)
-        lens_np = np.asarray(lens)
-        n = min(lanes, NB - g0)
-        if int(lens_np[:, 0, :n].max(initial=0)) > gargs["cap_words"] * 4:
-            raise ValueError("compressed block exceeded the output capacity")
-        payloads += sp.unpack_group_payloads(
-            sp.fetch_words_trimmed(words, lens_np), lens_np, n)
-    return payloads
+    return encode_resident_blocks(data, blk_bits, "rle", lanes, cap,
+                                  interpret)
 
 
 def encode_group_args(blk_bits: int, cap: int = None,

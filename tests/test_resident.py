@@ -126,6 +126,27 @@ def test_resident_rle_ratio_beats_literal_only_on_runs():
     assert sum(len(p) for p in rle) < 0.7 * sum(len(p) for p in lit)
 
 
+def test_compress_resident_container_all_engines():
+    """compress_resident produces a standard sqzt container: bytes and
+    device-array inputs agree, every engine decodes it, and
+    decompress_range works on it."""
+    import jax.numpy as jnp
+
+    import sqz_tpu
+    data = bytes(512) + corpus.texty(700, seed=9) + b"ab" * 200
+    for mode in ("rle", "lit"):
+        blob_b = sqz_tpu.compress_resident(data, blk_bits=10, mode=mode,
+                                           checksum=True, interpret=True)
+        arr = jnp.asarray(np.frombuffer(data, np.uint8))
+        blob_a = sqz_tpu.compress_resident(arr, blk_bits=10, mode=mode,
+                                           checksum=True, interpret=True)
+        assert blob_a == blob_b, mode
+        assert sqz_tpu.decompress(blob_b, engine="native") == data, mode
+        assert sqz_tpu.decompress(blob_b, engine="oracle") == data, mode
+        assert sqz_tpu.decompress_range(blob_b, 1000, 300) == \
+            data[1000:1300], mode
+
+
 def test_resident_group_payload_fetch_bit_exact():
     """The bench's fetch path over a resident encode group: trimmed word
     download + unpack must yield the native coder's exact bytes."""
