@@ -265,3 +265,69 @@ def encode_data_sharded_pallas(data: bytes, blk_bits: int, window: int,
                 blk, window, lz=True, seed=seed if b else None,
                 dictionary=dictionary if b else b"")
     return out
+
+
+# ------------------------------------------- device-resident over a mesh
+
+def sharded_resident_fn(mesh: Mesh, Tt: int, Lw: int, t_max: int,
+                        cap_words: int, interpret: bool, wide: bool,
+                        rle: bool):
+    """shard_map program for the device-resident encode (ops/resident.py):
+    each device parses and codes ITS OWN resident blocks — the
+    distributed-checkpoint use case (sharded arrays compress in place,
+    only payload bytes ever leave the devices; no reference counterpart,
+    SURVEY.md §2.6). RLE mode uses the literal-worst-case step bound —
+    the per-group pair count is not host-readable inside the jitted mesh
+    program."""
+    from sqz_tpu.ops import resident
+    from sqz_tpu.ops.sqz4_pallas import _encode_tok_pallas_call
+
+    def local(blocks, lengths):
+        if rle:
+            toks, _pairs = resident._rle_tokens_from_blocks(
+                blocks, lengths, Tt)
+        else:
+            toks = resident._tokens_from_lengths(lengths, Tt)
+        lits = resident._pack_literal_words(blocks, Lw)
+        words, lens = _encode_tok_pallas_call(
+            toks, lits, t_max, cap_words, interpret, wide, lit_skip=rle)
+        all_lens = jax.lax.all_gather(lens, "blocks", tiled=True)
+        return words, all_lens
+
+    return jax.jit(shard_map(
+        local, mesh=mesh,
+        in_specs=(P("blocks", None), P("blocks")),
+        out_specs=(P("blocks", None, None), P(None)),
+        **{_VMA_KW: False},
+    ))
+
+
+def encode_resident_sharded(data, blk_bits: int, mesh: Mesh,
+                            mode: str = "rle", lanes: int = 128,
+                            interpret: bool = False) -> List[bytes]:
+    """Device-resident encode with blocks sharded over the mesh: bytes or
+    a (device-resident) 1-D u8 array in, ordered per-block sqz4 payloads
+    out on host 0 (None elsewhere). ``lanes``: per-device lane-group
+    width (multiple of 128)."""
+    from sqz_tpu.ops import resident
+    from sqz_tpu.parallel import multihost
+    if mode not in ("lit", "rle"):
+        raise ValueError(f"unknown resident mode {mode!r}")
+    bs = 1 << blk_bits
+    n = mesh.devices.size
+    blocks, lengths, NB, _sz = resident._prep_blocks(
+        data, blk_bits, n * lanes)
+    Tt = resident.rle_group_args(blk_bits)["Tt"] if mode == "rle" \
+        else resident._token_dim(bs)
+    Lw = resident._lit_word_dim(bs)
+    eargs = resident.encode_group_args(blk_bits, interpret=interpret)
+    fn = sharded_resident_fn(mesh, Tt, Lw, eargs["t_max"],
+                             eargs["cap_words"], interpret,
+                             eargs["wide"], mode == "rle")
+    words, lens = fn(blocks, jnp.asarray(lengths))
+    lens_flat = np.asarray(lens)[:, 0, :].reshape(-1)
+    if (lens_flat[:NB] > eargs["cap_words"] * 4).any():
+        raise ValueError("compressed block exceeded the output capacity")
+    return multihost.gather_payloads_to_host0(
+        multihost.addressable_block_payloads(words, lens_flat, NB),
+        lens_flat, NB)

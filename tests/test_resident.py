@@ -126,6 +126,24 @@ def test_resident_rle_ratio_beats_literal_only_on_runs():
     assert sum(len(p) for p in rle) < 0.7 * sum(len(p) for p in lit)
 
 
+def test_resident_sharded_over_mesh():
+    """encode_resident_sharded on the 8-virtual-device CPU mesh must
+    produce exactly the single-device resident payloads, both modes."""
+    import jax.numpy as jnp
+
+    from sqz_tpu.parallel.mesh import make_mesh
+    from sqz_tpu.parallel.shard import encode_resident_sharded
+    mesh = make_mesh(8)
+    data = bytes(512) + corpus.texty(2048, seed=13) + b"abcd" * 256 + \
+        bytes(1024) + corpus.texty(420, seed=14)
+    for mode in ("rle", "lit"):
+        got = encode_resident_sharded(data, 10, mesh, mode=mode,
+                                      lanes=128, interpret=True)
+        want = resident.encode_resident_blocks(data, 10, mode,
+                                               lanes=128, interpret=True)
+        assert got == want, mode
+
+
 def test_compress_resident_container_all_engines():
     """compress_resident produces a standard sqzt container: bytes and
     device-array inputs agree, every engine decodes it, and
