@@ -51,6 +51,31 @@ def main() -> None:
     lz = os.environ.get("SQZ_BENCH_LZ", "1") == "1"
     window = 1 << 15
 
+    # device-init watchdog: the sandbox tunnel can wedge so that
+    # jax.devices() blocks forever — in that state emit an explicit
+    # failure JSON instead of hanging the driver's end-of-round run
+    # (observed 2026-08-17: multi-hour axon hang)
+    import threading
+
+    dev_timeout = float(os.environ.get("SQZ_BENCH_DEVICE_TIMEOUT", "900"))
+    probe: dict = {}
+
+    def _probe():
+        import jax as _jax
+        probe["devices"] = list(_jax.devices())
+
+    th = threading.Thread(target=_probe, daemon=True)
+    th.start()
+    th.join(dev_timeout)
+    if "devices" not in probe:
+        print(json.dumps({
+            "metric": "sqz4_block_parallel_encode_plus_decode_GBps_per_chip",
+            "value": 0.0, "unit": "GB/s", "vs_baseline": 0.0,
+            "error": f"device init exceeded {dev_timeout:.0f}s "
+                     f"(tunnel wedged) — no measurement possible",
+        }))
+        sys.exit(1)
+
     import jax
     import jax.numpy as jnp
 
