@@ -38,9 +38,17 @@ def _add_common(p):
                         "anchor choice (FORMAT.md §3.2); implies --blocks")
     p.add_argument("--anchor-beam", type=int, default=4,
                    help="beam width for --warm-anchors planning")
+    p.add_argument("--resident", choices=["lit", "rle"],
+                   help="device-resident encode (ops/resident.py): zero "
+                        "host planning; 'lit' = literal-only reference "
+                        "HEAD semantics, 'rle' adds the device periodic "
+                        "cell parse. sqz4/sqzt only; implies --blocks")
 
 
 def _compress(args, data: bytes) -> bytes:
+    if getattr(args, "resident", None):
+        return sqz_tpu.compress_resident(data, blk_bits=args.blk_bits,
+                                         mode=args.resident, checksum=True)
     warm = "anchors" if args.warm_anchors else args.warm
     blocks = args.blocks or bool(warm) or args.engine == "tpu"
     return sqz_tpu.compress(

@@ -248,7 +248,11 @@ def compress_resident(data, blk_bits: int = 16, mode: str = "rle",
     device arrays that forces a full download, so it defaults off here;
     the per-block decoder validations (EILSEQ/size/bounds) still apply.
     """
+    import os as _os
+
     from sqz_tpu.ops import resident
+    interpret = interpret or _os.environ.get(
+        "SQZ_RESIDENT_INTERPRET") == "1"    # off-TPU testing hook
     payloads = resident.encode_resident_blocks(data, blk_bits, mode,
                                                interpret=interpret)
     if isinstance(data, (bytes, bytearray, memoryview)):

@@ -165,6 +165,20 @@ def test_compress_resident_container_all_engines():
             data[1000:1300], mode
 
 
+def test_cli_resident_compress_roundtrip(tmp_path, monkeypatch):
+    from sqz_tpu.__main__ import main as cli_main
+    monkeypatch.setenv("SQZ_RESIDENT_INTERPRET", "1")
+    data = bytes(400) + corpus.texty(500, seed=21)
+    src = tmp_path / "in.bin"
+    dst = tmp_path / "out.sqzt"
+    back = tmp_path / "back.bin"
+    src.write_bytes(data)
+    assert cli_main(["compress", str(src), str(dst), "--resident", "rle",
+                     "--blk-bits", "10"]) == 0
+    assert cli_main(["decompress", str(dst), str(back)]) == 0
+    assert back.read_bytes() == data
+
+
 def test_resident_group_payload_fetch_bit_exact():
     """The bench's fetch path over a resident encode group: trimmed word
     download + unpack must yield the native coder's exact bytes."""
