@@ -422,6 +422,14 @@ def main() -> None:
                                                    sp.ENC_LANES, tw_cap)
         sq_rows = max(-(-int(sq_mx) // tc) * tc, tc)
         sq_host = time.perf_counter() - t0
+        # fast-parse plan (the sqzt-path default for the device engine):
+        # bounded matcher, ~4x the exact plan rate (PERF.md)
+        t0 = time.perf_counter()
+        native.squeeze_plan_pack(data, sq_win, blk_bits, sp.ENC_LANES,
+                                 tw_cap, parse="fast")
+        sq_host_f = time.perf_counter() - t0
+        extra["squeeze_fast_plan_MBps"] = round(
+            len(data) / sq_host_f / 1e6, 1)
         sq_cap_words = (-(-(bs + 4096 + 3) // 4) + 31) // 32 * 32
         sqd = jnp.asarray(np.ascontiguousarray(sq_words[:, :sq_rows]))
         np.asarray(sqd[0, 0, 0])                     # fence upload
@@ -445,7 +453,8 @@ def main() -> None:
         assert sq_out == data, "squeeze round-trip mismatch"
         sq_ratio = sum(len(p) for p in sq_payloads) / len(data)
         print(f"# squeeze: device bitpack {len(data)/t_sq/1e6:.1f} MB/s "
-              f"(host plan {len(data)/sq_host/1e6:.1f} MB/s, native "
+              f"(host plan {len(data)/sq_host/1e6:.1f} MB/s exact / "
+              f"{len(data)/sq_host_f/1e6:.1f} MB/s fast, native "
               f"1-thread enc {len(data)/t_sq_base/1e6:.1f} MB/s), threaded "
               f"host decode {len(data)/t_sq_dec/1e6:.1f} MB/s, ratio "
               f"{sq_ratio*100:.2f}%", file=sys.stderr)

@@ -92,7 +92,7 @@ def _load() -> Optional[ctypes.CDLL]:
                                        i32, i32, i32, u32p, u32p, u32p, i64p]
         lib.squeeze_plan_pack.restype = i64
         lib.squeeze_plan_pack.argtypes = [u8p, u64, i32, i32, u64, u64,
-                                          i32, i32, u32p]
+                                          i32, i32, i32, u32p]
         lib.sqz4_fast_plan.restype = i64
         lib.sqz4_fast_plan.argtypes = [u8p, u64, u32, i32, i32, u64, i32,
                                        i32, i32, i32, u32p, u8p, u8p, i64p]
@@ -591,11 +591,14 @@ def fnv1a64(data: bytes) -> int:
 
 def squeeze_plan_pack(data: bytes, win_bits: int, blk_bits: int,
                       lanes: int, tw_cap: int, nthreads: int = 0,
-                      warm: bool = False):
+                      warm: bool = False, parse: str = "exact",
+                      depth: int = 32):
     """Adaptive-Huffman encode per block recording bitstream writes in the
     TPU packer's [G, tw_cap, lanes] u32 layout (0 = pad). Returns
     (words, max_writes). ``warm``: sqzt v2 tree seeding + shared
-    dictionary for blocks 1+ (FORMAT.md §3.1)."""
+    dictionary for blocks 1+ (FORMAT.md §3.1). ``parse="fast"``: bounded
+    approximate matcher (sqzt-contract paths only — spec-valid streams,
+    not byte-identical to the exact parse)."""
     lib = _load()
     n = len(data)
     bs = 1 << blk_bits
@@ -603,7 +606,9 @@ def squeeze_plan_pack(data: bytes, win_bits: int, blk_bits: int,
     G = -(-nblocks // lanes)
     src = np.frombuffer(data, dtype=np.uint8) if data else np.zeros(1, np.uint8)
     words = np.zeros((G, tw_cap, lanes), dtype=np.uint32)
+    fast_depth = depth if parse == "fast" else 0
     mx = _check(lib.squeeze_plan_pack(
         _u8(src), n, win_bits, blk_bits, lanes, tw_cap, nthreads, int(warm),
+        fast_depth,
         words.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32))))
     return words, mx

@@ -2219,7 +2219,8 @@ uint64_t sqz_fnv1a64(const uint8_t* data, uint64_t n) {
 // [G, Tw, lanes] layout (0 = pad). Returns max writes per block or -errno.
 int64_t squeeze_plan_pack(const uint8_t* data, uint64_t n, int win_bits,
                           int blk_bits, uint64_t lanes, uint64_t tw_cap,
-                          int nthreads, int warm, uint32_t* words) {
+                          int nthreads, int warm, int fast_depth,
+                          uint32_t* words) {
     // workers call squeeze_encode_payload directly (no win_bits gate
     // downstream); pos_index is 2^15 entries — validate up front
     if (win_bits < 10 || win_bits > 15) return -EINVAL;
@@ -2242,7 +2243,7 @@ int64_t squeeze_plan_pack(const uint8_t* data, uint64_t n, int win_bits,
         try {
             WriteRecorder rec(ws);
             squeeze_encode_payload(data, len0, win_bits, rec, nullptr,
-                                   seedt.data());
+                                   seedt.data(), nullptr, 0, fast_depth);
         } catch (const CodecError& e) {
             return -e.err;
         }
@@ -2268,7 +2269,7 @@ int64_t squeeze_plan_pack(const uint8_t* data, uint64_t n, int win_bits,
                 WriteRecorder rec(ws);
                 squeeze_encode_payload(blk, len, win_bits, rec,
                                        warm ? seedt.data() : nullptr,
-                                       nullptr, dict, dlen);
+                                       nullptr, dict, dlen, fast_depth);
             } catch (const CodecError& e) {
                 fail_.store(-e.err);
                 return;

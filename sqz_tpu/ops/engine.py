@@ -76,9 +76,9 @@ def compress_blocks(parts: Sequence[bytes], fmt, win_bits: int,
     """Cold: payloads. Warm: (payloads, fresh_mask) — both a fresh and a
     seeded pass run, keeping the smaller payload per block.
 
-    ``parse`` (sqz4 Pallas path only): 'fast' approximate matcher (the
-    'auto' default — sqzt's contract is round-trip + ratio, FORMAT.md §3)
-    or 'exact' reference-semantics parse; SQZ_PARSE env overrides."""
+    ``parse`` (Pallas paths): 'fast' approximate matcher (the 'auto'
+    default — sqzt's contract is round-trip + ratio, FORMAT.md §3) or
+    'exact' reference-semantics parse; SQZ_PARSE env overrides."""
     from sqz_tpu.api import Format, _warm_dictionary
     from sqz_tpu.formats.constants import warm_gate_mask
     if blk_bits is None:
@@ -146,7 +146,8 @@ def compress_blocks(parts: Sequence[bytes], fmt, win_bits: int,
             from sqz_tpu.ops import sqz4_pallas
             data = b"".join(parts)
             cold = sqz4_pallas.squeeze_encode_data(
-                data, blk_bits, win_bits, cap=(1 << blk_bits) + 4096)
+                data, blk_bits, win_bits, cap=(1 << blk_bits) + 4096,
+                parse=parse)
             if not warm:
                 return cold
             if no_cand:
@@ -163,7 +164,7 @@ def compress_blocks(parts: Sequence[bytes], fmt, win_bits: int,
                 return _pick_smaller(cold, warm_p, gate)
             warm_p = sqz4_pallas.squeeze_encode_data(
                 data, blk_bits, win_bits, cap=(1 << blk_bits) + 4096,
-                warm=True)
+                warm=True, parse=parse)
             return _pick_smaller(cold, warm_p, gate)
         from sqz_tpu.ops import squeeze_jax
         tokens = [_tokenize(p, 1 << win_bits, SQUEEZE_LEN_MIN, SQUEEZE_LEN_MAX,

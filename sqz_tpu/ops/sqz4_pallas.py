@@ -1571,18 +1571,25 @@ def _bitpack_pallas(ops, cap_words: int, tc: int = ENC_TC,
 
 def squeeze_encode_data(data: bytes, blk_bits: int, win_bits: int, cap: int,
                         tc: int = ENC_TC, lanes: int = ENC_LANES,
-                        interpret: bool = False, warm: bool = False):
+                        interpret: bool = False, warm: bool = False,
+                        parse: str = "auto"):
     """squeeze whole-buffer encode: host adaptive-Huffman planning (native,
     threaded) + device bitstream assembly. ``warm``: sqzt v2 (the planning
-    stage handles seeding; the bit packer is state-free)."""
+    stage handles seeding; the bit packer is state-free). ``parse``:
+    'fast' bounded matcher ('auto' default — this is an sqzt-only path,
+    same policy as the sqz4 engine; the squeeze matcher is ~2/3 of the
+    plan cost, measured 2.5x on text — PERF.md) or 'exact'."""
     from sqz_tpu import native
     bs = 1 << blk_bits
     NB = max(1, -(-len(data) // bs))
+    parse = parse_mode(parse)
+    depth = int(os.environ.get("SQZ_FAST_DEPTH", "32"))
     # worst case ~1 write/bit-run: <= 4 per literal (sym path chunk, NYT,
     # raw) and a few per match; 4 per byte + EOS margin is generous
     tw_cap = -(-(4 * bs + 64) // tc) * tc
     words, mx = native.squeeze_plan_pack(data, win_bits, blk_bits,
-                                         lanes, tw_cap, warm=warm)
+                                         lanes, tw_cap, warm=warm,
+                                         parse=parse, depth=depth)
     rows = max(-(-int(mx) // tc) * tc, tc)
     cap_words = (-(-(cap + 3) // 4) + 31) // 32 * 32
     out, lens = _bitpack_pallas(jnp.asarray(np.ascontiguousarray(

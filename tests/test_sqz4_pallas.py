@@ -240,8 +240,19 @@ def test_squeeze_bitpack_matches_native():
     want = [native.squeeze_compress_payload(data[o:o + bs], 10)
             for o in range(0, len(data), bs)]
     got = sp.squeeze_encode_data(data, 10, 10, cap=bs + 4096, tc=64,
-                                 interpret=True)
+                                 interpret=True, parse="exact")
     assert got == want
+    # the fast-parse plan (sqzt default for this path) must equal the
+    # native fast payload coder byte-for-byte — same bounded matcher
+    want_f = [native.squeeze_compress_payload(data[o:o + bs], 10,
+                                              parse="fast")
+              for o in range(0, len(data), bs)]
+    got_f = sp.squeeze_encode_data(data, 10, 10, cap=bs + 4096, tc=64,
+                                   interpret=True, parse="fast")
+    assert got_f == want_f
+    for p, o in zip(got_f, range(0, len(data), bs)):
+        part = data[o:o + bs]
+        assert native.squeeze_decompress_payload(p, len(part)) == part
 
 
 def test_pipelined_encode_matches_serial():
