@@ -99,6 +99,16 @@ def compress_blocks(parts: Sequence[bytes], fmt, win_bits: int,
             from sqz_tpu.ops import sqz4_pallas
             data = b"".join(parts)
             assert all(len(p) == 1 << blk_bits for p in parts[:-1])
+            if (not warm and len(parts) > sqz4_pallas.ENC_LANES
+                    and os.environ.get("SQZ_PIPELINE", "1") == "1"):
+                # multi-group cold input: planner-thread / device overlap
+                # (ops/pipeline.py) — payloads are byte-identical to the
+                # serial path for the same parse (asserted in
+                # tests/test_sqz4_pallas.py::test_pipelined_encode_matches_serial)
+                from sqz_tpu.ops import pipeline
+                return pipeline.encode_data_pipelined(
+                    data, blk_bits, 1 << win_bits, lz,
+                    cap=(1 << blk_bits) + 2048, parse=parse)
             cold = sqz4_pallas.encode_data_full(
                 data, blk_bits, 1 << win_bits, lz,
                 cap=(1 << blk_bits) + 2048, parse=parse)
