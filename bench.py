@@ -539,13 +539,18 @@ def main() -> None:
         spd = jnp.asarray(sp_arr)
         np.asarray(spd[0, 0])                        # fence upload
         gargs = resident.rle_group_args(blk_bits)
-        words_r, lens_r = resident.encode_rle_group(spd, lens_d, **gargs)
+        _, _, r_pairs = resident.rle_plan_device(spd, lens_d, gargs["Tt"])
+        t_max_r = max(1024, -(-int(np.asarray(r_pairs).max()) // 1024)
+                      * 1024)
+        words_r, lens_r = resident.encode_rle_group(spd, lens_d,
+                                                    t_max=t_max_r, **gargs)
         np.asarray(lens_r[0, 0, 0])                  # warm-up fence
         t_rle = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()
             for _ in range(K):
-                wr, lr = resident.encode_rle_group(spd, lens_d, **gargs)
+                wr, lr = resident.encode_rle_group(spd, lens_d,
+                                                   t_max=t_max_r, **gargs)
             np.asarray(lr[0, 0, 0])                  # fence
             t_rle = min(t_rle, (time.perf_counter() - t0) / K)
         lensr_np = np.asarray(lens_r)
