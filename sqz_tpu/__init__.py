@@ -18,6 +18,7 @@ from sqz_tpu.api import (  # noqa: F401
     compress_resident,
     decompress,
     decompress_range,
+    decompress_resident,
     Format,
     Engine,
 )

@@ -271,6 +271,22 @@ def compress_resident(data, blk_bits: int = 16, mode: str = "rle",
                      csum)
 
 
+def decompress_resident(blob: bytes, interpret: bool = False):
+    """Restore path for compress_resident: decode an sqzt sqz4 container
+    to a DEVICE-RESIDENT 1-D uint8 array — the standard decode kernel
+    plus a three-pass on-device cell assembly (ops/resident.py), so
+    checkpoint shards restore to HBM without the host assembling bytes.
+    Works on any cold sqz4 sqzt container: blocks whose streams are not
+    cell-parsed are detected exactly (token-count completeness check)
+    and decode via the host transparently."""
+    import os as _os
+
+    from sqz_tpu.ops import resident
+    interpret = interpret or _os.environ.get(
+        "SQZ_RESIDENT_INTERPRET") == "1"
+    return resident.decompress_resident(blob, interpret=interpret)
+
+
 def decompress(blob: bytes, fmt: Optional[Format | str] = None,
                engine: Engine | str = Engine.NATIVE) -> bytes:
     engine = Engine(engine)

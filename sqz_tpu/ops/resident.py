@@ -302,6 +302,191 @@ def encode_rle_blocks(data: bytes, blk_bits: int, lanes: int = sp.ENC_LANES,
                                   interpret)
 
 
+# ------------------------------------- resident RLE decode (restore path)
+
+def _row_u32_at(words, idx):
+    """words [R, B], idx [B] i32 -> per-lane words[idx[b], b] as i32
+    (one-hot compare-reduce; TPU gathers are element-serial)."""
+    R, B = words.shape
+    rows = jax.lax.broadcasted_iota(I32, (R, B), 0)
+    return jnp.sum(jnp.where(rows == idx[None, :], words.astype(I32),
+                             jnp.asarray(0, I32)), axis=0)
+
+
+def _classify_cells(tokw, mrecw, sizes, C: int):
+    """Pass 1: walk cells through the decoder's token-bit stream. A cell
+    is a match-cell iff its first token is a match; a match must be a
+    len-128/power-of-2-dist cell match or the stream is not cell-parsed
+    (bad -> host fallback). Returns (ismatch [C,B], dist [C,B], bad [B]).
+
+    tokw: [TW, B] u32 token-bit words (LSB-first, one bit per decoded
+    token); mrecw: [MW, B] match records (len<<16|dist) in match order.
+    """
+    B = tokw.shape[1]
+
+    def step(carry, c):
+        tcur, mcur, bad = carry
+        remaining = jnp.maximum(sizes.astype(I32) - c * CELL, 0)
+        active = remaining > 0
+        word = _row_u32_at(tokw, tcur >> 5)
+        bit = (word >> (tcur & 31)) & 1
+        ismatch = active & (bit == 1)
+        rec = _row_u32_at(mrecw, mcur)
+        dist = rec & 0xFFFF
+        mlen = (rec >> 16) & 0xFFFF
+        okd = (dist > 0) & (dist <= CELL) & ((dist & (dist - 1)) == 0)
+        bad = bad | (ismatch & ((mlen != CELL) | ~okd
+                                | (remaining < CELL)))
+        tcur = tcur + jnp.where(ismatch, jnp.asarray(1, I32),
+                                jnp.where(active,
+                                          jnp.minimum(remaining, CELL),
+                                          jnp.asarray(0, I32)))
+        mcur = mcur + ismatch.astype(I32)
+        return (tcur, mcur, bad), (ismatch, jnp.where(ismatch, dist, 0))
+
+    z = jnp.zeros((B,), I32)
+    (tcur, _, bad), (ism, dist) = jax.lax.scan(
+        step, (z, z, jnp.zeros((B,), bool)), jnp.arange(C, dtype=I32))
+    return ism, dist, bad, tcur
+
+
+def _preplace_literal_cells(litw, islit, C: int):
+    """Pass 2: place the decoder's dense literal stream at its output
+    cells. Literal cells appear in stream order, so output cell c reads
+    source literal cell cumsum_excl(islit)[c] — realized as a one-hot
+    f32 einsum on the MXU (exact for byte values), chunked to bound the
+    select tensor. Returns [C, B, CELL] u8 (match cells garbage)."""
+    LW, B = litw.shape
+    w = litw[:C * 32].astype(I32).reshape(C, 32, B)
+    by = jnp.stack([(w >> 24) & 0xFF, (w >> 16) & 0xFF,
+                    (w >> 8) & 0xFF, w & 0xFF], axis=2)      # [C,32,4,B]
+    lit_cells = by.reshape(C, CELL, B).astype(jnp.float32)
+    isl = islit.astype(I32)
+    src = jnp.cumsum(isl, axis=0) - isl                       # [C, B]
+    s_i = jnp.arange(C, dtype=I32)
+    chunks = []
+    CH = 64
+    for c0 in range(0, C, CH):
+        sel = ((src[c0:c0 + CH][:, None, :] == s_i[None, :, None])
+               & islit[c0:c0 + CH][:, None, :]).astype(jnp.float32)
+        chunks.append(jnp.einsum("ksb,swb->kwb", sel, lit_cells,
+                                 preferred_element_type=jnp.float32))
+    pre = jnp.concatenate(chunks, axis=0)                     # [C, CELL, B]
+    return pre.transpose(0, 2, 1).astype(jnp.uint8)           # [C, B, CELL]
+
+
+def _fill_cells(pre, ismatch, dist):
+    """Pass 3: resolve periodic fills cell-by-cell (a match cell's bytes
+    derive from the previous OUTPUT cell's tail — an inherent chain, but
+    only C steps of [B, CELL] work). dist is a power of two <= CELL, so
+    each candidate fill is a static tile + select."""
+    B = pre.shape[1]
+
+    def step(prev, xs):
+        pre_c, ism, d = xs
+        fill = pre_c
+        for dc in RLE_DISTS:
+            tiled = jnp.tile(prev[:, CELL - dc:], (1, CELL // dc))
+            fill = jnp.where((d == dc)[:, None], tiled, fill)
+        out = jnp.where(ism[:, None], fill, pre_c)
+        return out, out
+
+    zero = jnp.zeros((B, CELL), pre.dtype)
+    _, out = jax.lax.scan(step, zero, (pre, ismatch, dist))
+    return out                                                # [C, B, CELL]
+
+
+@partial(jax.jit,
+         static_argnames=("Pw", "t_max", "lw", "tw", "mw", "bs",
+                          "interpret", "wide"))
+def decode_rle_group(buf, plens, sizes, Pw: int, t_max: int, lw: int,
+                     tw: int, mw: int, bs: int, interpret: bool,
+                     wide: bool):
+    """Chip-resident decode of CELL-parsed sqz4 payloads: the standard
+    decode kernel, then the three-pass device assembly. Returns
+    ([B, bs] u8 blocks, counts [1,8,B], bad [B] — lanes whose stream is
+    not cell-parsed (host fallback) or errored)."""
+    B = buf.shape[2]
+    z = jnp.zeros((B,), I32)
+    meta = jnp.stack([plens.astype(I32), sizes.astype(I32),
+                      z, z, z, z, z, z])[None]
+    lit, tok, mrec, counts = sp._decode_pallas(
+        buf[:, :Pw, :], meta, t_max, lw, tw, mw, interpret, wide, 1,
+        None, fused=True)
+    C = bs // CELL
+    ism, dist, bad, tcur = _classify_cells(tok[0], mrec[0], sizes, C)
+    # completeness: the cell model predicts exactly ntok tokens; a stream
+    # with matches NOT at cell starts consumes fewer (each covers >1
+    # byte), so equality here proves every cell was classified exactly
+    bad = bad | (tcur != counts[0, 2])
+    c_i = jnp.arange(C, dtype=I32)
+    active = (c_i[:, None] * CELL) < sizes[None, :].astype(I32)
+    islit = active & ~ism
+    pre = _preplace_literal_cells(lit[0], islit, C)
+    out = _fill_cells(pre, ism, dist)                         # [C, B, CELL]
+    blocks = out.transpose(1, 0, 2).reshape(B, bs)
+    pos = jax.lax.broadcasted_iota(I32, (B, bs), 1)
+    blocks = jnp.where(pos < sizes[:, None].astype(I32), blocks,
+                       jnp.asarray(0, jnp.uint8))
+    bad = bad | (counts[0, 4] != 0) | (counts[0, 6] != 0)
+    return blocks, counts, bad
+
+
+def decompress_resident(blob: bytes, lanes: int = 512,
+                        interpret: bool = False):
+    """Restore path: an sqzt sqz4 container (as produced by
+    compress_resident, but any cell-parsed stream qualifies) -> a
+    device-resident 1-D u8 array. Payload bytes upload once; assembly
+    runs on-device; blocks whose streams are not cell-parsed fall back
+    to the host decoder transparently."""
+    from sqz_tpu import native
+    from sqz_tpu.formats import container as sqzt
+    from sqz_tpu.formats.constants import SQZT_FORMAT_SQZ4
+    code, win_bits, blk_bits, osize, payloads, _csum, fresh, _anch = \
+        sqzt.unpack(blob)
+    if code != SQZT_FORMAT_SQZ4 or fresh is not None:
+        raise ValueError("resident decode supports cold sqz4 containers")
+    bs = 1 << blk_bits
+    NB = len(payloads)
+    sizes = [min(bs, osize - b * bs) for b in range(NB)]
+    plan = sp.plan_decode_dispatch(lanes, blk_bits, lanes=lanes, slots=1,
+                                   interpret=interpret)
+    dargs = dict(Pw=plan["Pw"], t_max=plan["t_max"], lw=plan["lw"],
+                 tw=plan["tw"], mw=plan["mw"], bs=bs, interpret=interpret,
+                 wide=blk_bits >= 15)
+    outs = []
+    for g0 in range(0, NB, lanes):
+        grp = payloads[g0:g0 + lanes]
+        gsz = sizes[g0:g0 + lanes]
+        n = len(grp)
+        if any(len(p) > 4 * dargs["Pw"] for p in grp):
+            raise ValueError("payload exceeds the decoder buffer")
+        buf = np.zeros((1, dargs["Pw"], lanes), np.uint32)
+        for i, p in enumerate(grp):
+            wv = np.frombuffer(p.ljust(-(-len(p) // 4) * 4, b"\0"),
+                               dtype=">u4")
+            buf[0, :len(wv), i] = wv
+        plens = np.zeros((lanes,), np.int32)
+        szs = np.zeros((lanes,), np.int32)
+        plens[:n] = [len(p) for p in grp]
+        szs[:n] = gsz
+        blocks, _counts, bad = decode_rle_group(
+            jnp.asarray(buf), jnp.asarray(plens), jnp.asarray(szs),
+            **dargs)
+        bad_np = np.asarray(bad)[:n]
+        if bad_np.any():
+            # not cell-parsed (or corrupt — the host decoder raises then)
+            fixed = np.array(blocks[:n])        # writable host copy
+            for i in np.nonzero(bad_np)[0]:
+                fixed[i, :gsz[i]] = np.frombuffer(
+                    native.sqz4_decompress_payload(grp[i], gsz[i]),
+                    np.uint8)
+            blocks = jnp.asarray(fixed)
+        # only the final block can be short, so flatten-and-trim is exact
+        outs.append(blocks[:n].reshape(-1))
+    return jnp.concatenate(outs)[:osize]
+
+
 def encode_group_args(blk_bits: int, cap: int = None,
                       interpret: bool = False) -> dict:
     """Static kwargs for encode_literal_group at this block size."""

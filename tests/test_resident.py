@@ -165,6 +165,31 @@ def test_compress_resident_container_all_engines():
             data[1000:1300], mode
 
 
+def test_decompress_resident_device_restore():
+    """The restore path: compress_resident container -> device-resident
+    decode (decode kernel + 3-pass cell assembly) == original bytes,
+    across every cell-parse decision class."""
+    import sqz_tpu
+    for data in _rle_cases():
+        blob = sqz_tpu.compress_resident(data, blk_bits=10, mode="rle",
+                                         interpret=True)
+        out = resident.decompress_resident(blob, lanes=128,
+                                           interpret=True)
+        assert np.asarray(out).tobytes() == data, f"case {data[:16]!r}"
+
+
+def test_decompress_resident_host_fallback():
+    """A container whose streams are NOT cell-parsed (ordinary host
+    encode with arbitrary matches) must still decode correctly via the
+    per-lane host fallback."""
+    import sqz_tpu
+    data = corpus.texty(2200, seed=33)
+    blob = sqz_tpu.compress(data, fmt="sqz4", engine="native",
+                            blocks=True, blk_bits=10, checksum=False)
+    out = resident.decompress_resident(blob, lanes=128, interpret=True)
+    assert np.asarray(out).tobytes() == data
+
+
 def test_cli_resident_compress_roundtrip(tmp_path, monkeypatch):
     from sqz_tpu.__main__ import main as cli_main
     monkeypatch.setenv("SQZ_RESIDENT_INTERPRET", "1")
