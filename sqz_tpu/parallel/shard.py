@@ -331,3 +331,80 @@ def encode_resident_sharded(data, blk_bits: int, mesh: Mesh,
     return multihost.gather_payloads_to_host0(
         multihost.addressable_block_payloads(words, lens_flat, NB),
         lens_flat, NB)
+
+
+def sharded_resident_decode_fn(mesh: Mesh, Pw: int, t_max: int, lw: int,
+                               tw: int, mw: int, bs: int, interpret: bool,
+                               wide: bool):
+    """shard_map program for the device-resident RLE decode
+    (ops/resident.decode_rle_group): each device decodes + assembles its
+    own block shards; bad-lane flags all-gather so every process sees
+    which (rare) blocks need the host fallback."""
+    from sqz_tpu.ops import resident
+
+    def local(buf, plens, sizes):
+        blocks, counts, bad = resident.decode_rle_group(
+            buf, plens, sizes, Pw=Pw, t_max=t_max, lw=lw, tw=tw, mw=mw,
+            bs=bs, interpret=interpret, wide=wide)
+        all_bad = jax.lax.all_gather(bad, "blocks", tiled=True)
+        return blocks, all_bad
+
+    return jax.jit(shard_map(
+        local, mesh=mesh,
+        in_specs=(P("blocks", None, None), P("blocks"), P("blocks")),
+        out_specs=(P("blocks", None), P(None)),
+        **{_VMA_KW: False},
+    ))
+
+
+def decompress_resident_sharded(blob: bytes, mesh: Mesh, lanes: int = 128,
+                                interpret: bool = False):
+    """Restore a cold sqz4 sqzt container to a device-resident u8 array
+    with blocks sharded over the mesh (each device assembles its own
+    shards; the sharded mirror of ops/resident.decompress_resident)."""
+    import numpy as np
+
+    from sqz_tpu import native
+    from sqz_tpu.formats import container as sqzt
+    from sqz_tpu.formats.constants import SQZT_FORMAT_SQZ4
+    from sqz_tpu.ops import resident
+    from sqz_tpu.ops import sqz4_pallas as sp
+    code, win_bits, blk_bits, osize, payloads, _csum, fresh, _anch = \
+        sqzt.unpack(blob)
+    if code != SQZT_FORMAT_SQZ4 or fresh is not None:
+        raise ValueError("resident decode supports cold sqz4 containers")
+    bs = 1 << blk_bits
+    NB = len(payloads)
+    n = mesh.devices.size
+    rows = max(n * lanes, -(-NB // (n * lanes)) * n * lanes)
+    per = rows // n                          # lanes per device shard
+    plan = sp.plan_decode_dispatch(per, blk_bits, lanes=per, slots=1,
+                                   interpret=interpret)
+    Pw = plan["Pw"]
+    if any(len(p) > 4 * Pw for p in payloads):
+        raise ValueError("payload exceeds the decoder buffer")
+    buf = np.zeros((n, Pw, per), np.uint32)
+    plens = np.zeros((rows,), np.int32)
+    sizes = np.zeros((rows,), np.int32)
+    for b, p in enumerate(payloads):
+        g, lane = divmod(b, per)
+        wv = np.frombuffer(p.ljust(-(-len(p) // 4) * 4, b"\0"),
+                           dtype=">u4")
+        buf[g, :len(wv), lane] = wv
+        plens[b] = len(p)
+        sizes[b] = min(bs, osize - b * bs)
+    fn = sharded_resident_decode_fn(
+        mesh, Pw, plan["t_max"], plan["lw"], plan["tw"], plan["mw"], bs,
+        interpret, blk_bits >= 15)
+    blocks, all_bad = fn(jnp.asarray(buf), jnp.asarray(plens),
+                         jnp.asarray(sizes))
+    bad_np = np.asarray(all_bad)[:NB]
+    if bad_np.any():
+        fixed = np.array(blocks[:NB])
+        for b in np.nonzero(bad_np)[0]:
+            fixed[b, :sizes[b]] = np.frombuffer(
+                native.sqz4_decompress_payload(payloads[b],
+                                               int(sizes[b])), np.uint8)
+        blocks = jnp.asarray(fixed)
+        return blocks.reshape(-1)[:osize]
+    return blocks[:NB].reshape(-1)[:osize]
