@@ -568,6 +568,33 @@ def main() -> None:
         extra["resident_rle_enc_MBps"] = round(nb_mb / t_rle, 1)
         extra["resident_rle_ratio"] = round(rle_ratio, 6)
 
+        # chip-resident restore: decode kernel + 3-pass device assembly
+        # (ops/resident.decode_rle_group) on the RLE streams just coded
+        plan_r = sp.plan_decode_dispatch(B, blk_bits, lanes=B, slots=1)
+        dargs_r = dict(Pw=min(gargs["cap_words"], plan_r["Pw"]),
+                       t_max=plan_r["t_max"], lw=plan_r["lw"],
+                       tw=plan_r["tw"], mw=plan_r["mw"], bs=bs,
+                       interpret=False, wide=blk_bits >= 15)
+        plens_r = lens_r[0, 0, :]
+        blocks_r, counts_r2, bad_r = resident.decode_rle_group(
+            words_r, plens_r, lens_d, **dargs_r)
+        assert not bool(np.asarray(bad_r).any()), "resident restore bad"
+        for b in spots:
+            assert np.array_equal(np.asarray(blocks_r[b]), sp_arr[b]), \
+                f"resident restore block {b}"
+        t_rdec2 = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            for _ in range(K):
+                br, cr, xr = resident.decode_rle_group(
+                    words_r, plens_r, lens_d, **dargs_r)
+            np.asarray(xr[0])                        # fence
+            t_rdec2 = min(t_rdec2, (time.perf_counter() - t0) / K)
+        print(f"# device-resident RLE restore (decode kernel + device "
+              f"cell assembly): {nb_mb/t_rdec2:.1f} MB/s chip-resident; "
+              f"verified vs input", file=sys.stderr)
+        extra["resident_rle_dec_MBps"] = round(nb_mb / t_rdec2, 1)
+
     _section("device_resident", _sec_resident)
 
     result = {
