@@ -191,8 +191,15 @@ def _rle_tokens_from_blocks(blocks, lengths, Tt: int):
     tok = jnp.where((t == nfull[None, :]) & (rem[None, :] > 0),
                     rem[None, :].astype(U32), tok)
     tok = jnp.where(t == eslot[None, :], jnp.asarray(EOS_TOKEN, U32), tok)
-    nrun = jnp.sum(isrun.astype(I32), axis=1)
-    pairs = 128 * (nfull - nrun) + 8 * nrun + rem + 5
+    # pair count per cell: literal = 128; match = max(drain, coding)
+    # where drain = 128/32 = 4 pairs and coding = 2 + extra dist-bit
+    # pairs for nbits > 2 (5 pairs at d = 64/128)
+    nb_c = (cell_tok >> 9).astype(I32) & 0x1F
+    coding = 2 + jnp.where(nb_c > 2, (nb_c - 1) // 2, 0)
+    cell_pairs = jnp.where(isrun, jnp.maximum(4, coding),
+                           jnp.asarray(CELL, I32))
+    pairs = jnp.sum(jnp.where(c < nfull[:, None], cell_pairs, 0),
+                    axis=1) + rem + 5
     return tok[None], pairs
 
 

@@ -1114,11 +1114,13 @@ def _encode_tok_kernel(tok_all, lit_all, out_ref, lens_ref, regs_ref,
     ``lit_skip`` (the device-resident RLE path, ops/resident.py): the
     literal stream is the RAW block (already HBM-resident) rather than a
     host-compacted one, so match tokens must advance the literal cursor
-    past their covered bytes. The jump is drained at 16 bytes/pair while
-    the lane sits in a wait phase (15 — emits PAD pairs; coding for a
-    dist-1 cell match needs only 2 of the 8 pairs), bounding the
-    literal-window drift to 32 words per 8-pair refresh gate; the refresh
-    threshold drops to 32 so worst-case offset is 31 + 32 = 63 < 96.
+    past their covered bytes. The jump is drained at 32 bytes (8 words)
+    per pair while the lane sits in a wait phase (15 — emits PAD pairs;
+    coding for a cell match needs only 2-3 of its 4 pairs). Window-safety
+    proof: the refresh threshold drops to 32, so a refresh (end of step
+    t, t&7==7) leaves offset <= 31; a read at step t+k (k <= 8) sees at
+    most 7 subsequent advances of <= 8 words -> offset <= 31 + 56 = 87
+    < 96 rows (conservatively 31 + 8*8 = 95 <= 95 still holds).
     Everything else (grammar, models, coded bytes) is identical — the
     static flag compiles to a separate kernel and host-parse paths are
     untouched.
@@ -1242,7 +1244,7 @@ def _encode_tok_kernel(tok_all, lit_all, out_ref, lens_ref, regs_ref,
         lidx = lidx + islit.astype(I32)
         adv = (p1 & (nb <= 2)) | (pk & (k2 >= nb - 2))
         if lit_skip:
-            drain = jnp.minimum(skip, _i(16))
+            drain = jnp.minimum(skip, _i(32))
             lidx = lidx + drain        # match lanes never read this pair
             skip = skip - drain
             skip_done = skip <= 0
