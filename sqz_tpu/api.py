@@ -278,7 +278,11 @@ def decompress_resident(blob: bytes, interpret: bool = False):
     checkpoint shards restore to HBM without the host assembling bytes.
     Works on any cold sqz4 sqzt container: blocks whose streams are not
     cell-parsed are detected exactly (token-count completeness check)
-    and decode via the host transparently."""
+    and decode via the host transparently.
+
+    The container checksum is NOT verified here (hashing would require
+    downloading the decoded bytes); per-block decoder validations still
+    apply — use decompress() for a verified host-side read."""
     import os as _os
 
     from sqz_tpu.ops import resident
