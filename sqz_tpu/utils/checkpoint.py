@@ -1,0 +1,107 @@
+"""Checkpoint pytrees through the device-resident codec.
+
+The flagship use of the resident paths (ops/resident.py): a pytree of
+device arrays (model/optimizer state) compresses WITHOUT the host
+touching the data — each leaf is bitcast to bytes on-device, cell-parsed
+and coded by the token kernel, and only payload bytes cross the link to
+disk. Restore mirrors it: payload bytes upload once and the decoded
+bytes are assembled on-device, bitcast back to the leaf dtype/shape.
+
+File layout (versioned): magic ``SQZCKPT1`` + u32 metadata length + a
+pickled metadata dict (treedef, per-leaf shape/dtype/nbytes/container
+length) + the per-leaf sqzt containers, concatenated. Zero-size leaves
+round-trip as empty containers.
+"""
+
+from __future__ import annotations
+
+import pickle
+import struct
+from pathlib import Path
+
+import jax
+import numpy as np
+from jax import numpy as jnp
+
+MAGIC = b"SQZCKPT1"
+
+
+def _leaf_bytes_device(x):
+    """Device array of any dtype -> 1-D u8 device view (bitcast, no
+    download)."""
+    x = jnp.asarray(x)
+    if x.dtype == jnp.uint8:
+        return x.reshape(-1)
+    if x.dtype == jnp.bool_:
+        x = x.astype(jnp.uint8)
+        return x.reshape(-1)
+    return jax.lax.bitcast_convert_type(x, jnp.uint8).reshape(-1)
+
+
+def save_pytree(tree, path, blk_bits: int = 16, mode: str = "rle",
+                interpret: bool = False) -> dict:
+    """Compress a pytree of (device) arrays to ``path`` via
+    compress_resident. Returns a stats dict (raw/compressed bytes).
+
+    Sparse training state (zero-heavy optimizer slots, padded embeddings)
+    benefits most — the device RLE parse turns zero cells into dist-1
+    matches (PERF.md)."""
+    import sqz_tpu
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    metas = []
+    blobs = []
+    raw = 0
+    for leaf in leaves:
+        arr = jnp.asarray(leaf)
+        flat = _leaf_bytes_device(arr)
+        nbytes = int(flat.shape[0])
+        raw += nbytes
+        blob = sqz_tpu.compress_resident(flat, blk_bits=blk_bits,
+                                         mode=mode, interpret=interpret) \
+            if nbytes else b""
+        metas.append(dict(shape=tuple(arr.shape), dtype=str(arr.dtype),
+                          nbytes=nbytes, clen=len(blob)))
+        blobs.append(blob)
+    meta = pickle.dumps(dict(treedef=treedef, leaves=metas,
+                             blk_bits=blk_bits))
+    out = bytearray(MAGIC)
+    out += struct.pack("<I", len(meta))
+    out += meta
+    for b in blobs:
+        out += b
+    Path(path).write_bytes(bytes(out))
+    comp = sum(len(b) for b in blobs)
+    return dict(raw_bytes=raw, compressed_bytes=comp,
+                ratio=comp / raw if raw else 0.0)
+
+
+def load_pytree(path, interpret: bool = False):
+    """Restore a pytree saved by save_pytree: containers decode through
+    the device-resident restore path (decompress_resident), leaves are
+    bitcast back on-device."""
+    import sqz_tpu
+    data = Path(path).read_bytes()
+    if data[:8] != MAGIC:
+        raise ValueError("not a sqz-tpu checkpoint")
+    (mlen,) = struct.unpack("<I", data[8:12])
+    meta = pickle.loads(data[12:12 + mlen])
+    off = 12 + mlen
+    leaves = []
+    for m in meta["leaves"]:
+        blob = data[off:off + m["clen"]]
+        off += m["clen"]
+        dtype = jnp.dtype(m["dtype"])
+        if m["nbytes"] == 0:
+            leaves.append(jnp.zeros(m["shape"], dtype))
+            continue
+        flat = sqz_tpu.decompress_resident(blob, interpret=interpret)
+        if dtype == jnp.uint8:
+            arr = flat.reshape(m["shape"])
+        elif dtype == jnp.bool_:
+            arr = flat.astype(jnp.bool_).reshape(m["shape"])
+        else:
+            itemsize = dtype.itemsize
+            arr = jax.lax.bitcast_convert_type(
+                flat.reshape(-1, itemsize), dtype).reshape(m["shape"])
+        leaves.append(arr)
+    return jax.tree_util.tree_unflatten(meta["treedef"], leaves)

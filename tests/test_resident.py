@@ -212,6 +212,37 @@ def test_decompress_resident_sharded_over_mesh():
     assert np.asarray(out2).tobytes() == data[:2048]
 
 
+def test_checkpoint_pytree_roundtrip(tmp_path):
+    """save_pytree / load_pytree through the resident codec: mixed-dtype
+    pytree (incl. a zero-heavy float leaf — the optimizer-slot case, an
+    empty leaf, and bool) restores exactly."""
+    import jax.numpy as jnp
+
+    from sqz_tpu.utils import checkpoint as ckpt
+    rng = np.random.default_rng(5)
+    sparse = np.zeros(700, np.float32)
+    sparse[::97] = rng.normal(size=sparse[::97].shape)
+    tree = {
+        "w": jnp.asarray(rng.normal(size=(20, 16)).astype(np.float32)),
+        "m": jnp.asarray(sparse),
+        "emb": {"idx": jnp.arange(50, dtype=jnp.int32),
+                "mask": jnp.asarray(rng.random(64) < 0.5),
+                "bf": jnp.asarray(rng.normal(size=33),
+                                  dtype=jnp.bfloat16)},
+        "empty": jnp.zeros((0, 4), jnp.float32),
+    }
+    p = tmp_path / "state.sqzckpt"
+    stats = ckpt.save_pytree(tree, p, blk_bits=10, interpret=True)
+    assert stats["raw_bytes"] > 0 and stats["compressed_bytes"] > 0
+    back = ckpt.load_pytree(p, interpret=True)
+    flat_a, td_a = __import__("jax").tree_util.tree_flatten(tree)
+    flat_b, td_b = __import__("jax").tree_util.tree_flatten(back)
+    assert td_a == td_b
+    for a, b in zip(flat_a, flat_b):
+        assert a.dtype == b.dtype and a.shape == b.shape
+        assert np.array_equal(np.asarray(a), np.asarray(b)), a.dtype
+
+
 def test_cli_resident_compress_roundtrip(tmp_path, monkeypatch):
     from sqz_tpu.__main__ import main as cli_main
     monkeypatch.setenv("SQZ_RESIDENT_INTERPRET", "1")
