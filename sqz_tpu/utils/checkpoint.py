@@ -26,26 +26,34 @@ from jax import numpy as jnp
 MAGIC = b"SQZCKPT1"
 
 
-def _leaf_bytes_device(x):
+def _leaf_bytes_device(x, shuffle: bool):
     """Device array of any dtype -> 1-D u8 device view (bitcast, no
-    download)."""
+    download). ``shuffle``: byte-plane transposition (the blosc trick) —
+    for multi-byte dtypes, plane k holds every element's k-th byte, so
+    the repetitive sign/exponent bytes of float data form long runs the
+    cell parse catches. Returns (bytes_1d, itemsize_used_for_shuffle)."""
     x = jnp.asarray(x)
     if x.dtype == jnp.uint8:
-        return x.reshape(-1)
+        return x.reshape(-1), 1
     if x.dtype == jnp.bool_:
-        x = x.astype(jnp.uint8)
-        return x.reshape(-1)
-    return jax.lax.bitcast_convert_type(x, jnp.uint8).reshape(-1)
+        return x.astype(jnp.uint8).reshape(-1), 1
+    by = jax.lax.bitcast_convert_type(x, jnp.uint8).reshape(-1,
+                                                            x.dtype.itemsize)
+    if shuffle and x.dtype.itemsize > 1 and by.shape[0] > 1:
+        return by.transpose(1, 0).reshape(-1), x.dtype.itemsize
+    return by.reshape(-1), 1
 
 
 def save_pytree(tree, path, blk_bits: int = 16, mode: str = "rle",
-                interpret: bool = False) -> dict:
+                shuffle: bool = True, interpret: bool = False) -> dict:
     """Compress a pytree of (device) arrays to ``path`` via
     compress_resident. Returns a stats dict (raw/compressed bytes).
 
     Sparse training state (zero-heavy optimizer slots, padded embeddings)
     benefits most — the device RLE parse turns zero cells into dist-1
-    matches (PERF.md)."""
+    matches (PERF.md). ``shuffle`` (default on) byte-plane-transposes
+    multi-byte leaves on-device first, grouping float sign/exponent
+    bytes into runs."""
     import sqz_tpu
     leaves, treedef = jax.tree_util.tree_flatten(tree)
     metas = []
@@ -53,14 +61,14 @@ def save_pytree(tree, path, blk_bits: int = 16, mode: str = "rle",
     raw = 0
     for leaf in leaves:
         arr = jnp.asarray(leaf)
-        flat = _leaf_bytes_device(arr)
+        flat, shuf = _leaf_bytes_device(arr, shuffle)
         nbytes = int(flat.shape[0])
         raw += nbytes
         blob = sqz_tpu.compress_resident(flat, blk_bits=blk_bits,
                                          mode=mode, interpret=interpret) \
             if nbytes else b""
         metas.append(dict(shape=tuple(arr.shape), dtype=str(arr.dtype),
-                          nbytes=nbytes, clen=len(blob)))
+                          nbytes=nbytes, clen=len(blob), shuffle=shuf))
         blobs.append(blob)
     meta = pickle.dumps(dict(treedef=treedef, leaves=metas,
                              blk_bits=blk_bits))
@@ -95,6 +103,9 @@ def load_pytree(path, interpret: bool = False):
             leaves.append(jnp.zeros(m["shape"], dtype))
             continue
         flat = sqz_tpu.decompress_resident(blob, interpret=interpret)
+        shuf = m.get("shuffle", 1)
+        if shuf > 1:                      # undo the byte-plane transpose
+            flat = flat.reshape(shuf, -1).transpose(1, 0).reshape(-1)
         if dtype == jnp.uint8:
             arr = flat.reshape(m["shape"])
         elif dtype == jnp.bool_:
