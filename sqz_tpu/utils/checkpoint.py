@@ -44,8 +44,21 @@ def _leaf_bytes_device(x, shuffle: bool):
     return by.reshape(-1), 1
 
 
+def _delta_device(flat):
+    """Byte-wise delta (wrap-around) — after the shuffle, slowly-varying
+    planes (float exponents of smooth data) become zero runs the cell
+    parse matches. Inverse is a mod-256 cumsum."""
+    prev = jnp.concatenate([jnp.zeros((1,), jnp.uint8), flat[:-1]])
+    return flat - prev
+
+
+def _undelta_device(flat):
+    return (jnp.cumsum(flat.astype(jnp.int32)) % 256).astype(jnp.uint8)
+
+
 def save_pytree(tree, path, blk_bits: int = 16, mode: str = "rle",
-                shuffle: bool = True, interpret: bool = False) -> dict:
+                shuffle: bool = True, delta: bool = True,
+                interpret: bool = False) -> dict:
     """Compress a pytree of (device) arrays to ``path`` via
     compress_resident. Returns a stats dict (raw/compressed bytes).
 
@@ -62,13 +75,17 @@ def save_pytree(tree, path, blk_bits: int = 16, mode: str = "rle",
     for leaf in leaves:
         arr = jnp.asarray(leaf)
         flat, shuf = _leaf_bytes_device(arr, shuffle)
+        use_delta = bool(delta) and int(flat.shape[0]) > 1
+        if use_delta:
+            flat = _delta_device(flat)
         nbytes = int(flat.shape[0])
         raw += nbytes
         blob = sqz_tpu.compress_resident(flat, blk_bits=blk_bits,
                                          mode=mode, interpret=interpret) \
             if nbytes else b""
         metas.append(dict(shape=tuple(arr.shape), dtype=str(arr.dtype),
-                          nbytes=nbytes, clen=len(blob), shuffle=shuf))
+                          nbytes=nbytes, clen=len(blob), shuffle=shuf,
+                          delta=use_delta))
         blobs.append(blob)
     meta = pickle.dumps(dict(treedef=treedef, leaves=metas,
                              blk_bits=blk_bits))
@@ -103,6 +120,8 @@ def load_pytree(path, interpret: bool = False):
             leaves.append(jnp.zeros(m["shape"], dtype))
             continue
         flat = sqz_tpu.decompress_resident(blob, interpret=interpret)
+        if m.get("delta"):
+            flat = _undelta_device(flat)
         shuf = m.get("shuffle", 1)
         if shuf > 1:                      # undo the byte-plane transpose
             flat = flat.reshape(shuf, -1).transpose(1, 0).reshape(-1)
