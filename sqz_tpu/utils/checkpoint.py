@@ -8,9 +8,11 @@ disk. Restore mirrors it: payload bytes upload once and the decoded
 bytes are assembled on-device, bitcast back to the leaf dtype/shape.
 
 File layout (versioned): magic ``SQZCKPT1`` + u32 metadata length + a
-pickled metadata dict (treedef, per-leaf shape/dtype/nbytes/container
-length) + the per-leaf sqzt containers, concatenated. Zero-size leaves
-round-trip as empty containers.
+pickled metadata dict (treedef, per-leaf shape/dtype/nbytes/filters/
+stream offset) + ONE sqzt container holding every leaf's filtered byte
+stream concatenated on-device — small leaves share blocks and the whole
+tree codes as one batched kernel dispatch instead of one underfilled
+lane group per leaf.
 """
 
 from __future__ import annotations
@@ -70,8 +72,8 @@ def save_pytree(tree, path, blk_bits: int = 16, mode: str = "rle",
     import sqz_tpu
     leaves, treedef = jax.tree_util.tree_flatten(tree)
     metas = []
-    blobs = []
-    raw = 0
+    streams = []
+    off = 0
     for leaf in leaves:
         arr = jnp.asarray(leaf)
         flat, shuf = _leaf_bytes_device(arr, shuffle)
@@ -79,25 +81,26 @@ def save_pytree(tree, path, blk_bits: int = 16, mode: str = "rle",
         if use_delta:
             flat = _delta_device(flat)
         nbytes = int(flat.shape[0])
-        raw += nbytes
-        blob = sqz_tpu.compress_resident(flat, blk_bits=blk_bits,
-                                         mode=mode, interpret=interpret) \
-            if nbytes else b""
         metas.append(dict(shape=tuple(arr.shape), dtype=str(arr.dtype),
-                          nbytes=nbytes, clen=len(blob), shuffle=shuf,
+                          nbytes=nbytes, offset=off, shuffle=shuf,
                           delta=use_delta))
-        blobs.append(blob)
+        if nbytes:
+            streams.append(flat)
+        off += nbytes
+    raw = off
+    stream = jnp.concatenate(streams) if streams \
+        else jnp.zeros((0,), jnp.uint8)
+    blob = sqz_tpu.compress_resident(stream, blk_bits=blk_bits,
+                                     mode=mode, interpret=interpret)
     meta = pickle.dumps(dict(treedef=treedef, leaves=metas,
                              blk_bits=blk_bits))
     out = bytearray(MAGIC)
     out += struct.pack("<I", len(meta))
     out += meta
-    for b in blobs:
-        out += b
+    out += blob
     Path(path).write_bytes(bytes(out))
-    comp = sum(len(b) for b in blobs)
-    return dict(raw_bytes=raw, compressed_bytes=comp,
-                ratio=comp / raw if raw else 0.0)
+    return dict(raw_bytes=raw, compressed_bytes=len(blob),
+                ratio=len(blob) / raw if raw else 0.0)
 
 
 def load_pytree(path, interpret: bool = False):
@@ -110,16 +113,15 @@ def load_pytree(path, interpret: bool = False):
         raise ValueError("not a sqz-tpu checkpoint")
     (mlen,) = struct.unpack("<I", data[8:12])
     meta = pickle.loads(data[12:12 + mlen])
-    off = 12 + mlen
+    stream = sqz_tpu.decompress_resident(data[12 + mlen:],
+                                         interpret=interpret)
     leaves = []
     for m in meta["leaves"]:
-        blob = data[off:off + m["clen"]]
-        off += m["clen"]
         dtype = jnp.dtype(m["dtype"])
         if m["nbytes"] == 0:
             leaves.append(jnp.zeros(m["shape"], dtype))
             continue
-        flat = sqz_tpu.decompress_resident(blob, interpret=interpret)
+        flat = stream[m["offset"]:m["offset"] + m["nbytes"]]
         if m.get("delta"):
             flat = _undelta_device(flat)
         shuf = m.get("shuffle", 1)
