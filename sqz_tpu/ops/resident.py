@@ -87,15 +87,23 @@ def encode_literal_group(blocks, lengths, Tt: int, Lw: int, t_max: int,
                                  wide)
 
 
+def _words_to_bytes(w):
+    """[..., W] u32/i32 words -> [..., W*4] bytes (big-endian within each
+    word — the kernel stream layout). Single definition for every
+    unpack in this module."""
+    w = w.astype(I32)
+    by = jnp.stack([(w >> 24) & 0xFF, (w >> 16) & 0xFF,
+                    (w >> 8) & 0xFF, w & 0xFF], axis=-1)
+    return by.reshape(by.shape[:-2] + (by.shape[-2] * 4,))
+
+
 def _unpack_literal_bytes(lit_words, sizes, bs: int):
     """[1, LW, B] u32 decoder literal stream -> [B, bs] u8 output blocks
     (bytes past each lane's size zeroed). Literal-only streams have no
     match records, so the literal stream is the decoded data."""
     _, LW, B = lit_words.shape
-    w = lit_words[0].transpose(1, 0)                       # [B, LW]
-    by = jnp.stack([(w >> 24) & 0xFF, (w >> 16) & 0xFF,
-                    (w >> 8) & 0xFF, w & 0xFF], axis=-1)   # [B, LW, 4]
-    by = by.reshape(B, LW * 4)[:, :bs].astype(jnp.uint8)
+    by = _words_to_bytes(lit_words[0].transpose(1, 0))     # [B, LW*4]
+    by = by[:, :bs].astype(jnp.uint8)
     pos = jax.lax.broadcasted_iota(I32, (B, bs), 1)
     return jnp.where(pos < sizes[:, None], by, jnp.asarray(0, jnp.uint8))
 
@@ -259,8 +267,7 @@ def _prep_blocks(data, blk_bits: int, lanes: int):
         rows = max(lanes, _round_up(NB, lanes))
         blocks = jnp.pad(flat, (0, rows * bs - n)).reshape(rows, bs)
     lengths = np.zeros((rows,), np.int32)
-    for b in range(NB):
-        lengths[b] = max(0, min(bs, n - b * bs))
+    lengths[:NB] = np.clip(n - np.arange(NB, dtype=np.int64) * bs, 0, bs)
     return blocks, lengths, NB, n
 
 
@@ -276,6 +283,8 @@ def encode_resident_blocks(data, blk_bits: int, mode: str = "rle",
         raise ValueError("sqz4 TPU kernels support blk_bits <= 16")
     if mode not in ("lit", "rle"):
         raise ValueError(f"unknown resident mode {mode!r}")
+    if mode == "rle" and (1 << blk_bits) < CELL:
+        mode = "lit"    # blocks smaller than a cell: no matches possible
     blocks, lengths, NB, _n = _prep_blocks(data, blk_bits, lanes)
     if mode == "rle":
         gargs = rle_group_args(blk_bits, cap, interpret)
@@ -364,10 +373,9 @@ def _preplace_literal_cells(litw, islit, C: int):
     f32 einsum on the MXU (exact for byte values), chunked to bound the
     select tensor. Returns [C, B, CELL] u8 (match cells garbage)."""
     LW, B = litw.shape
-    w = litw[:C * 32].astype(I32).reshape(C, 32, B)
-    by = jnp.stack([(w >> 24) & 0xFF, (w >> 16) & 0xFF,
-                    (w >> 8) & 0xFF, w & 0xFF], axis=2)      # [C,32,4,B]
-    lit_cells = by.reshape(C, CELL, B).astype(jnp.float32)
+    by = _words_to_bytes(litw[:C * 32].reshape(C, 32, B)
+                         .transpose(0, 2, 1))                # [C, B, 128]
+    lit_cells = by.transpose(0, 2, 1).astype(jnp.float32)    # [C, CELL, B]
     isl = islit.astype(I32)
     src = jnp.cumsum(isl, axis=0) - isl                       # [C, B]
     s_i = jnp.arange(C, dtype=I32)
@@ -439,23 +447,72 @@ def decode_rle_group(buf, plens, sizes, Pw: int, t_max: int, lw: int,
     return blocks, counts, bad
 
 
+def unpack_cold_container(blob: bytes):
+    """Shared restore-path scaffolding (also used by
+    parallel.shard.decompress_resident_sharded): unpack + validate a
+    cold sqz4 sqzt container -> (blk_bits, osize, payloads, sizes)."""
+    from sqz_tpu.formats import container as sqzt
+    from sqz_tpu.formats.constants import SQZT_FORMAT_SQZ4
+    code, _win_bits, blk_bits, osize, payloads, _csum, fresh, _anch = \
+        sqzt.unpack(blob)
+    if code != SQZT_FORMAT_SQZ4 or fresh is not None:
+        raise ValueError("resident decode supports cold sqz4 containers")
+    bs = 1 << blk_bits
+    sizes = [min(bs, osize - b * bs) for b in range(len(payloads))]
+    return blk_bits, osize, payloads, sizes
+
+
+def pack_payload_group(grp, gsz, Pw: int, lanes: int):
+    """Shared restore-path scaffolding: payload bytes -> ([1, Pw, lanes]
+    u32 big-endian words, plens, szs, oversized mask). Payloads past the
+    decoder buffer get a zero lane (the device flags it; the host
+    fallback decodes the real bytes)."""
+    n = len(grp)
+    buf = np.zeros((1, Pw, lanes), np.uint32)
+    plens = np.zeros((lanes,), np.int32)
+    szs = np.zeros((lanes,), np.int32)
+    over = np.zeros((lanes,), bool)
+    for i, p in enumerate(grp):
+        if len(p) > 4 * Pw:
+            over[i] = True
+            continue
+        wv = np.frombuffer(p.ljust(-(-len(p) // 4) * 4, b"\0"),
+                           dtype=">u4")
+        buf[0, :len(wv), i] = wv
+        plens[i] = len(p)
+    szs[:n] = gsz
+    return buf, plens, szs, over
+
+
+def host_decode_blocks(payloads, sizes, idx, blocks_np):
+    """Shared host fallback: decode blocks ``idx`` with the native (or
+    oracle) codec into the writable [n, bs] array."""
+    from sqz_tpu import native
+    for i in idx:
+        if native.available():
+            out = native.sqz4_decompress_payload(payloads[i], sizes[i])
+        else:
+            from sqz_tpu.oracle.sqz4 import sqz4_decode_payload
+            out = sqz4_decode_payload(payloads[i], sizes[i])
+        blocks_np[i, :sizes[i]] = np.frombuffer(out, np.uint8)
+
+
 def decompress_resident(blob: bytes, lanes: int = 512,
                         interpret: bool = False):
     """Restore path: an sqzt sqz4 container (as produced by
     compress_resident, but any cell-parsed stream qualifies) -> a
     device-resident 1-D u8 array. Payload bytes upload once; assembly
-    runs on-device; blocks whose streams are not cell-parsed fall back
-    to the host decoder transparently."""
-    from sqz_tpu import native
-    from sqz_tpu.formats import container as sqzt
-    from sqz_tpu.formats.constants import SQZT_FORMAT_SQZ4
-    code, win_bits, blk_bits, osize, payloads, _csum, fresh, _anch = \
-        sqzt.unpack(blob)
-    if code != SQZT_FORMAT_SQZ4 or fresh is not None:
-        raise ValueError("resident decode supports cold sqz4 containers")
+    runs on-device; blocks whose streams are not cell-parsed (or exceed
+    the decoder buffer) fall back to the host decoder transparently."""
+    blk_bits, osize, payloads, sizes = unpack_cold_container(blob)
     bs = 1 << blk_bits
     NB = len(payloads)
-    sizes = [min(bs, osize - b * bs) for b in range(NB)]
+    if blk_bits < 7:
+        # blocks smaller than a cell: the cell model is empty — decode on
+        # the host (tiny blocks are host-cheap) and upload once
+        out = np.zeros((NB, bs), np.uint8)
+        host_decode_blocks(payloads, sizes, range(NB), out)
+        return jnp.asarray(out.reshape(-1)[:osize])
     plan = sp.plan_decode_dispatch(lanes, blk_bits, lanes=lanes, slots=1,
                                    interpret=interpret)
     dargs = dict(Pw=plan["Pw"], t_max=plan["t_max"], lw=plan["lw"],
@@ -466,28 +523,16 @@ def decompress_resident(blob: bytes, lanes: int = 512,
         grp = payloads[g0:g0 + lanes]
         gsz = sizes[g0:g0 + lanes]
         n = len(grp)
-        if any(len(p) > 4 * dargs["Pw"] for p in grp):
-            raise ValueError("payload exceeds the decoder buffer")
-        buf = np.zeros((1, dargs["Pw"], lanes), np.uint32)
-        for i, p in enumerate(grp):
-            wv = np.frombuffer(p.ljust(-(-len(p) // 4) * 4, b"\0"),
-                               dtype=">u4")
-            buf[0, :len(wv), i] = wv
-        plens = np.zeros((lanes,), np.int32)
-        szs = np.zeros((lanes,), np.int32)
-        plens[:n] = [len(p) for p in grp]
-        szs[:n] = gsz
+        buf, plens, szs, over = pack_payload_group(grp, gsz, dargs["Pw"],
+                                                   lanes)
         blocks, _counts, bad = decode_rle_group(
             jnp.asarray(buf), jnp.asarray(plens), jnp.asarray(szs),
             **dargs)
-        bad_np = np.asarray(bad)[:n]
+        bad_np = np.asarray(bad)[:n] | over[:n]
         if bad_np.any():
             # not cell-parsed (or corrupt — the host decoder raises then)
             fixed = np.array(blocks[:n])        # writable host copy
-            for i in np.nonzero(bad_np)[0]:
-                fixed[i, :gsz[i]] = np.frombuffer(
-                    native.sqz4_decompress_payload(grp[i], gsz[i]),
-                    np.uint8)
+            host_decode_blocks(grp, gsz, np.nonzero(bad_np)[0], fixed)
             blocks = jnp.asarray(fixed)
         # only the final block can be short, so flatten-and-trim is exact
         outs.append(blocks[:n].reshape(-1))

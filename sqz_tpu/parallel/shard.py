@@ -361,50 +361,47 @@ def decompress_resident_sharded(blob: bytes, mesh: Mesh, lanes: int = 128,
                                 interpret: bool = False):
     """Restore a cold sqz4 sqzt container to a device-resident u8 array
     with blocks sharded over the mesh (each device assembles its own
-    shards; the sharded mirror of ops/resident.decompress_resident)."""
+    shards; the sharded mirror of ops/resident.decompress_resident —
+    shared container/payload scaffolding lives there)."""
     import numpy as np
 
-    from sqz_tpu import native
-    from sqz_tpu.formats import container as sqzt
-    from sqz_tpu.formats.constants import SQZT_FORMAT_SQZ4
     from sqz_tpu.ops import resident
     from sqz_tpu.ops import sqz4_pallas as sp
-    code, win_bits, blk_bits, osize, payloads, _csum, fresh, _anch = \
-        sqzt.unpack(blob)
-    if code != SQZT_FORMAT_SQZ4 or fresh is not None:
-        raise ValueError("resident decode supports cold sqz4 containers")
+    blk_bits, osize, payloads, sizes_l = \
+        resident.unpack_cold_container(blob)
     bs = 1 << blk_bits
     NB = len(payloads)
+    if blk_bits < 7:                         # smaller than a cell
+        out = np.zeros((NB, bs), np.uint8)
+        resident.host_decode_blocks(payloads, sizes_l, range(NB), out)
+        return jnp.asarray(out.reshape(-1)[:osize])
     n = mesh.devices.size
     rows = max(n * lanes, -(-NB // (n * lanes)) * n * lanes)
     per = rows // n                          # lanes per device shard
     plan = sp.plan_decode_dispatch(per, blk_bits, lanes=per, slots=1,
                                    interpret=interpret)
     Pw = plan["Pw"]
-    if any(len(p) > 4 * Pw for p in payloads):
-        raise ValueError("payload exceeds the decoder buffer")
     buf = np.zeros((n, Pw, per), np.uint32)
     plens = np.zeros((rows,), np.int32)
     sizes = np.zeros((rows,), np.int32)
-    for b, p in enumerate(payloads):
-        g, lane = divmod(b, per)
-        wv = np.frombuffer(p.ljust(-(-len(p) // 4) * 4, b"\0"),
-                           dtype=">u4")
-        buf[g, :len(wv), lane] = wv
-        plens[b] = len(p)
-        sizes[b] = min(bs, osize - b * bs)
+    over = np.zeros((rows,), bool)
+    for g in range(n):
+        grp = payloads[g * per:(g + 1) * per]
+        gsz = sizes_l[g * per:(g + 1) * per]
+        bg, pl, sz, ov = resident.pack_payload_group(grp, gsz, Pw, per)
+        buf[g] = bg[0]
+        plens[g * per:g * per + per] = pl
+        sizes[g * per:g * per + per] = sz
+        over[g * per:g * per + per] = ov
     fn = sharded_resident_decode_fn(
         mesh, Pw, plan["t_max"], plan["lw"], plan["tw"], plan["mw"], bs,
         interpret, blk_bits >= 15)
     blocks, all_bad = fn(jnp.asarray(buf), jnp.asarray(plens),
                          jnp.asarray(sizes))
-    bad_np = np.asarray(all_bad)[:NB]
+    bad_np = np.asarray(all_bad)[:NB] | over[:NB]
     if bad_np.any():
         fixed = np.array(blocks[:NB])
-        for b in np.nonzero(bad_np)[0]:
-            fixed[b, :sizes[b]] = np.frombuffer(
-                native.sqz4_decompress_payload(payloads[b],
-                                               int(sizes[b])), np.uint8)
-        blocks = jnp.asarray(fixed)
-        return blocks.reshape(-1)[:osize]
+        resident.host_decode_blocks(payloads, sizes_l,
+                                    np.nonzero(bad_np)[0], fixed)
+        return jnp.asarray(fixed).reshape(-1)[:osize]
     return blocks[:NB].reshape(-1)[:osize]

@@ -178,6 +178,34 @@ def test_decompress_resident_device_restore():
         assert np.asarray(out).tobytes() == data, f"case {data[:16]!r}"
 
 
+def test_decompress_resident_uses_device_path(monkeypatch):
+    """Guard against the assembly silently dying and everything passing
+    via fallback: with the host decoder poisoned, a cell-parsed
+    container must still restore (bad stays all-False on device)."""
+    import sqz_tpu
+
+    def _boom(*a, **k):
+        raise AssertionError("host fallback used on a cell-parsed stream")
+
+    data = bytes(1024) + corpus.texty(1024, seed=17)
+    blob = sqz_tpu.compress_resident(data, blk_bits=10, mode="rle",
+                                     interpret=True)
+    monkeypatch.setattr(resident, "host_decode_blocks", _boom)
+    out = resident.decompress_resident(blob, lanes=128, interpret=True)
+    assert np.asarray(out).tobytes() == data
+
+
+def test_resident_tiny_blocks_degrade_cleanly():
+    """blk_bits < 7 (blocks smaller than a cell): RLE encode degrades to
+    literal mode and the restore path host-decodes — both round-trip."""
+    import sqz_tpu
+    data = corpus.texty(500, seed=19)
+    blob = sqz_tpu.compress_resident(data, blk_bits=6, mode="rle",
+                                     interpret=True)
+    out = resident.decompress_resident(blob, lanes=128, interpret=True)
+    assert np.asarray(out).tobytes() == data
+
+
 def test_decompress_resident_host_fallback():
     """A container whose streams are NOT cell-parsed (ordinary host
     encode with arbitrary matches) must still decode correctly via the
