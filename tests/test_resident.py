@@ -307,3 +307,18 @@ def test_resident_group_payload_fetch_bit_exact():
     for b in range(NB):
         assert payloads[b] == native.sqz4_compress_payload(
             arr[b].tobytes(), 1 << 8, lz=False), f"block {b}"
+
+
+def test_checkpoint_delta_exact_past_int32_cumsum_wrap():
+    """_undelta_device relies on int32 cumsum wrap-around staying exact
+    mod 256 (256 divides 2^32, and jnp.mod of the wrapped negative value
+    is non-negative). Pin that on a stream whose byte sum exceeds 2^31 —
+    the regime every checkpoint over ~8 MiB of high-byte data hits."""
+    from sqz_tpu.utils.checkpoint import _delta_device, _undelta_device
+    rng = np.random.default_rng(3)
+    # 16 Mi bytes biased high: sum ~ 16.8M * 191 ~ 3.2e9 > 2^31
+    flat = rng.integers(128, 256, size=1 << 24, dtype=np.uint8)
+    import jax.numpy as jnp
+    d = _delta_device(jnp.asarray(flat))
+    back = np.asarray(_undelta_device(d))
+    assert np.array_equal(back, flat)
