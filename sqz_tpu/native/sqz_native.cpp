@@ -529,6 +529,32 @@ const DeflateIndex kIndex;
 // min(max_len, n-i), smallest distance on ties. Hash chains keyed by the
 // min_len-gram (verified exactly), walked nearest-first — result-equivalent
 // to the reference's brute-force backward scan.
+// Pointwise match extension with 8-byte word compares: identical result
+// to the byte loop (it is a comparison, not a copy, so overlapping
+// cand/cur at small distances are fine), ~8x fewer iterations on long
+// matches. Reads stay in bounds: callers pass cap <= n - (cur - data)
+// and cand < cur.
+static inline uint32_t extend_match(const uint8_t* cand, const uint8_t* cur,
+                                    uint32_t k, uint32_t cap) {
+    while (k + 8 <= cap) {
+        uint64_t x, y;
+        std::memcpy(&x, cand + k, 8);
+        std::memcpy(&y, cur + k, 8);
+        uint64_t d = x ^ y;
+        if (d != 0) {
+#if defined(__GNUC__) || defined(__clang__)
+            // little-endian: first differing byte = lowest set byte
+            return k + (static_cast<uint32_t>(__builtin_ctzll(d)) >> 3);
+#else
+            break;  // finish with the byte loop below
+#endif
+        }
+        k += 8;
+    }
+    while (k < cap && cand[k] == cur[k]) k++;
+    return k;
+}
+
 class MatchFinder {
   public:
     MatchFinder(const uint8_t* data, uint64_t n, uint32_t window,
@@ -568,8 +594,8 @@ class MatchFinder {
             if (best != 0 && cand[best] != cur[best]) continue;
             // exact gram verification (the chain is keyed by a hash)
             if (std::memcmp(cand, cur, static_cast<size_t>(min_len_)) != 0) continue;
-            uint32_t k = static_cast<uint32_t>(min_len_);
-            while (k < cap && cand[k] == cur[k]) k++;
+            uint32_t k = extend_match(cand, cur,
+                                      static_cast<uint32_t>(min_len_), cap);
             if (k > best) {
                 best = k;
                 *out_dist = static_cast<uint32_t>(i - j);
@@ -659,8 +685,7 @@ class FastMatchFinder {
         for (uint64_t d = 1; d <= dmax; d++) {
             const uint8_t* cand = cur - d;
             if (cand[0] != cur[0] || cand[1] != cur[1]) continue;
-            uint32_t k = 2;
-            while (k < cap && cand[k] == cur[k]) k++;
+            uint32_t k = extend_match(cand, cur, 2, cap);
             if (k > best) {
                 best = k;
                 bdist = static_cast<uint32_t>(d);
@@ -676,8 +701,7 @@ class FastMatchFinder {
                  j = prev_[j]) {
                 const uint8_t* cand = data_ + j;
                 if (best != 0 && cand[best] != cur[best]) continue;
-                uint32_t k = 0;
-                while (k < cap && cand[k] == cur[k]) k++;
+                uint32_t k = extend_match(cand, cur, 0, cap);
                 if (k > best) {
                     best = k;
                     bdist = static_cast<uint32_t>(i - j);
