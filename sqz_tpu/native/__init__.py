@@ -546,8 +546,9 @@ def sqz4_tok_plan(data: bytes, window: int, blk_bits: int, lz: bool,
 
     Returns (toks [nblocks, tok_cap] u32, lits [nblocks, lit_cap] u8,
     counts [nblocks, 3] i64 (n_tok, n_lit, n_pairs), max_pairs).
-    Raises ENOBUFS when a block exceeds the caps (callers fall back to
-    sqz4_fast_plan + the op-stream kernel)."""
+    A block that exceeds the caps gets counts[b, 2] == -1 (and does not
+    contribute to max_pairs); callers route those blocks through
+    sqz4_fast_plan + the op-stream kernel (ops/pipeline.py does)."""
     lib = _load()
     n = len(data)
     bs = 1 << blk_bits
