@@ -234,7 +234,8 @@ def _compress_blocks(parts, fmt, engine, win_bits, lz, warm=False,
 
 def compress_resident(data, blk_bits: int = 16, mode: str = "rle",
                       checksum: bool = False,
-                      interpret: bool = False) -> bytes:
+                      interpret: bool = False, mesh=None,
+                      lanes: int = 128) -> bytes:
     """Compress bytes OR a device-resident 1-D uint8 array into a
     standard ``sqzt`` container via the zero-host-planning resident path
     (ops/resident.py): literal-only reference HEAD semantics
@@ -247,14 +248,27 @@ def compress_resident(data, blk_bits: int = 16, mode: str = "rle",
     ``checksum`` requires hashing the ORIGINAL bytes on the host — for
     device arrays that forces a full download, so it defaults off here;
     the per-block decoder validations (EILSEQ/size/bounds) still apply.
+
+    ``mesh``: a jax.sharding.Mesh — blocks shard over it and every
+    device parses + codes its own shards in parallel
+    (parallel/shard.encode_resident_sharded); ``lanes`` is the
+    per-device lane-group width. In a multi-process mesh only process 0
+    receives the container (returns None elsewhere).
     """
     import os as _os
 
     from sqz_tpu.ops import resident
     interpret = interpret or _os.environ.get(
         "SQZ_RESIDENT_INTERPRET") == "1"    # off-TPU testing hook
-    payloads = resident.encode_resident_blocks(data, blk_bits, mode,
-                                               interpret=interpret)
+    if mesh is not None:
+        from sqz_tpu.parallel.shard import encode_resident_sharded
+        payloads = encode_resident_sharded(data, blk_bits, mesh, mode,
+                                           lanes, interpret)
+        if payloads is None:                # non-zero process of the mesh
+            return None
+    else:
+        payloads = resident.encode_resident_blocks(data, blk_bits, mode,
+                                                   interpret=interpret)
     if isinstance(data, (bytes, bytearray, memoryview)):
         raw = bytes(data)
         osize = len(raw)
@@ -271,7 +285,8 @@ def compress_resident(data, blk_bits: int = 16, mode: str = "rle",
                      csum)
 
 
-def decompress_resident(blob: bytes, interpret: bool = False):
+def decompress_resident(blob: bytes, interpret: bool = False, mesh=None,
+                        lanes: int = 128):
     """Restore path for compress_resident: decode an sqzt sqz4 container
     to a DEVICE-RESIDENT 1-D uint8 array — the standard decode kernel
     plus a three-pass on-device cell assembly (ops/resident.py), so
@@ -282,12 +297,18 @@ def decompress_resident(blob: bytes, interpret: bool = False):
 
     The container checksum is NOT verified here (hashing would require
     downloading the decoded bytes); per-block decoder validations still
-    apply — use decompress() for a verified host-side read."""
+    apply — use decompress() for a verified host-side read.
+
+    ``mesh``: restore with blocks sharded over the mesh instead (each
+    device assembles its own shards; parallel/shard mirror)."""
     import os as _os
 
     from sqz_tpu.ops import resident
     interpret = interpret or _os.environ.get(
         "SQZ_RESIDENT_INTERPRET") == "1"
+    if mesh is not None:
+        from sqz_tpu.parallel.shard import decompress_resident_sharded
+        return decompress_resident_sharded(blob, mesh, lanes, interpret)
     return resident.decompress_resident(blob, interpret=interpret)
 
 

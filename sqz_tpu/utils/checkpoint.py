@@ -60,7 +60,8 @@ def _undelta_device(flat):
 
 def save_pytree(tree, path, blk_bits: int = 16, mode: str = "rle",
                 shuffle: bool = True, delta: bool = True,
-                interpret: bool = False) -> dict:
+                interpret: bool = False, mesh=None,
+                lanes: int = 128) -> dict:
     """Compress a pytree of (device) arrays to ``path`` via
     compress_resident. Returns a stats dict (raw/compressed bytes).
 
@@ -68,7 +69,12 @@ def save_pytree(tree, path, blk_bits: int = 16, mode: str = "rle",
     benefits most — the device RLE parse turns zero cells into dist-1
     matches (PERF.md). ``shuffle`` (default on) byte-plane-transposes
     multi-byte leaves on-device first, grouping float sign/exponent
-    bytes into runs."""
+    bytes into runs.
+
+    ``mesh``: shard the concatenated byte stream's blocks over a
+    jax.sharding.Mesh so every device parses + codes its own shards in
+    parallel (the distributed-checkpoint case). In a multi-process mesh
+    only process 0 writes the file (returns None elsewhere)."""
     import sqz_tpu
     leaves, treedef = jax.tree_util.tree_flatten(tree)
     metas = []
@@ -91,7 +97,10 @@ def save_pytree(tree, path, blk_bits: int = 16, mode: str = "rle",
     stream = jnp.concatenate(streams) if streams \
         else jnp.zeros((0,), jnp.uint8)
     blob = sqz_tpu.compress_resident(stream, blk_bits=blk_bits,
-                                     mode=mode, interpret=interpret)
+                                     mode=mode, interpret=interpret,
+                                     mesh=mesh, lanes=lanes)
+    if blob is None:                    # non-zero process of a multi-host mesh
+        return None
     meta = pickle.dumps(dict(treedef=treedef, leaves=metas,
                              blk_bits=blk_bits))
     out = bytearray(MAGIC)
@@ -103,10 +112,12 @@ def save_pytree(tree, path, blk_bits: int = 16, mode: str = "rle",
                 ratio=len(blob) / raw if raw else 0.0)
 
 
-def load_pytree(path, interpret: bool = False):
+def load_pytree(path, interpret: bool = False, mesh=None,
+                lanes: int = 128):
     """Restore a pytree saved by save_pytree: containers decode through
     the device-resident restore path (decompress_resident), leaves are
-    bitcast back on-device."""
+    bitcast back on-device. ``mesh``: restore with blocks sharded over
+    the mesh (each device assembles its own shards)."""
     import sqz_tpu
     data = Path(path).read_bytes()
     if data[:8] != MAGIC:
@@ -114,7 +125,8 @@ def load_pytree(path, interpret: bool = False):
     (mlen,) = struct.unpack("<I", data[8:12])
     meta = pickle.loads(data[12:12 + mlen])
     stream = sqz_tpu.decompress_resident(data[12 + mlen:],
-                                         interpret=interpret)
+                                         interpret=interpret,
+                                         mesh=mesh, lanes=lanes)
     leaves = []
     for m in meta["leaves"]:
         dtype = jnp.dtype(m["dtype"])

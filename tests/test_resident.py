@@ -322,3 +322,39 @@ def test_checkpoint_delta_exact_past_int32_cumsum_wrap():
     d = _delta_device(jnp.asarray(flat))
     back = np.asarray(_undelta_device(d))
     assert np.array_equal(back, flat)
+
+
+def test_checkpoint_pytree_sharded_over_mesh(tmp_path):
+    """Mesh-aware save_pytree/load_pytree: the concatenated stream's
+    blocks shard over the 8 virtual devices for both the coding and the
+    restore; the tree restores exactly and the file is byte-identical
+    to the single-device save."""
+    import jax.numpy as jnp
+
+    from sqz_tpu.parallel.mesh import make_mesh
+    from sqz_tpu.utils import checkpoint as ckpt
+    mesh = make_mesh(8)
+    rng = np.random.default_rng(9)
+    sparse = np.zeros(3000, np.float32)
+    sparse[::53] = rng.normal(size=sparse[::53].shape)
+    tree = {
+        "w": jnp.asarray(rng.normal(size=(40, 16)).astype(np.float32)),
+        "m": jnp.asarray(sparse),
+        "step": jnp.asarray(7, jnp.int32),
+    }
+    p = tmp_path / "sharded.sqzckpt"
+    stats = ckpt.save_pytree(tree, p, blk_bits=10, interpret=True,
+                             mesh=mesh)
+    assert stats["compressed_bytes"] > 0
+    p1 = tmp_path / "single.sqzckpt"
+    ckpt.save_pytree(tree, p1, blk_bits=10, interpret=True)
+    assert p.read_bytes() == p1.read_bytes(), \
+        "sharded save must produce the identical container"
+    back = ckpt.load_pytree(p, interpret=True, mesh=mesh)
+    import jax as _jax
+    flat_a, td_a = _jax.tree_util.tree_flatten(tree)
+    flat_b, td_b = _jax.tree_util.tree_flatten(back)
+    assert td_a == td_b
+    for a, b in zip(flat_a, flat_b):
+        assert a.dtype == b.dtype and a.shape == b.shape
+        assert np.array_equal(np.asarray(a), np.asarray(b)), a.dtype
