@@ -158,9 +158,12 @@ def _rle_tokens_from_blocks(blocks, lengths, Tt: int):
     whole cell, d in RLE_DISTS — the overlapped-copy semantics of
     src/sqz.c:826-831) becomes one len-128/dist-d match token (8 kernel
     pairs instead of 128; d=1 is plain RLE, d=4 the reference's classic
-    4-byte-pattern synthetic case); other full cells are 128-literal run
-    tokens, the partial tail is a literal run, EOS closes. Returns
-    ([1, Tt, B] u32 tokens, [B] i32 fused-pair counts)."""
+    4-byte-pattern synthetic case); an all-zero cell with no periodic
+    predecessor copies the nearest previous all-zero cell instead
+    (dist = k*CELL, k <= 255 — the isolated-zero-cell case sparse
+    checkpoints hit); other full cells are 128-literal run tokens, the
+    partial tail is a literal run, EOS closes. Returns ([1, Tt, B] u32
+    tokens, [B] i32 fused-pair counts)."""
     B, bs = blocks.shape
     C = bs // CELL
     c = jnp.arange(C, dtype=I32)[None, :]
@@ -186,6 +189,28 @@ def _rle_tokens_from_blocks(blocks, lengths, Tt: int):
         matched = matched | ok
     L = lengths[:, None].astype(I32)
     full = (c > 0) & ((c + 1) * CELL <= L)              # full cells only
+    # far zero-cell copies: an all-zero cell whose predecessor does not
+    # end in zeros (so no small-d periodic match exists) still copies any
+    # previous all-zero full cell verbatim — dist = k*CELL to the nearest
+    # one (k <= 255 keeps dist < 2^15). The resident decoder assumes such
+    # copies are zero and VERIFIES the source cell after assembly
+    # (decode_rle_group), so foreign streams can never decode wrongly.
+    fullsrc = ((c + 1) * CELL <= L)                     # incl. cell 0
+    iszero = fullsrc & jnp.all(cells == 0, axis=2)
+    zidx = jnp.where(iszero, c, -1)
+    prevz = jax.lax.associative_scan(jnp.maximum, zidx, axis=1)
+    prevz = jnp.concatenate(
+        [jnp.full((B, 1), -1, I32), prevz[:, :-1]], axis=1)   # exclusive
+    k = c - prevz
+    farok = iszero & ~matched & (c > 0) & (prevz >= 0) & (k <= 255)
+    fdist = k * CELL
+    fnb = jnp.zeros_like(fdist)
+    for i in range(16):                                 # bit_length(fdist)
+        fnb = fnb + (fdist >= (1 << i)).astype(I32)
+    ftok = (jnp.asarray(CELL | (1 << 8), U32)
+            | (fnb.astype(U32) << 9) | (fdist.astype(U32) << 16))
+    cell_tok = jnp.where(farok, ftok, cell_tok)
+    matched = matched | farok
     isrun = matched & full
     cell_tok = jnp.where(isrun, cell_tok, jnp.asarray(CELL, U32))
     nfull = lengths.astype(I32) // CELL
@@ -332,8 +357,10 @@ def _row_u32_at(words, idx):
 def _classify_cells(tokw, mrecw, sizes, C: int):
     """Pass 1: walk cells through the decoder's token-bit stream. A cell
     is a match-cell iff its first token is a match; a match must be a
-    len-128/power-of-2-dist cell match or the stream is not cell-parsed
-    (bad -> host fallback). Returns (ismatch [C,B], dist [C,B], bad [B]).
+    len-128 cell match at a power-of-2 dist <= 128 (periodic fill) or a
+    cell-aligned dist (far zero-cell copy — content verified after
+    assembly) or the stream is not cell-parsed (bad -> host fallback).
+    Returns (ismatch [C,B], dist [C,B], bad [B], tcur [B]).
 
     tokw: [TW, B] u32 token-bit words (LSB-first, one bit per decoded
     token); mrecw: [MW, B] match records (len<<16|dist) in match order.
@@ -351,7 +378,9 @@ def _classify_cells(tokw, mrecw, sizes, C: int):
         dist = rec & 0xFFFF
         mlen = (rec >> 16) & 0xFFFF
         okd = (dist > 0) & (dist <= CELL) & ((dist & (dist - 1)) == 0)
-        bad = bad | (ismatch & ((mlen != CELL) | ~okd
+        okfar = ((dist > CELL) & (dist % CELL == 0)
+                 & (dist <= c * CELL))
+        bad = bad | (ismatch & ((mlen != CELL) | ~(okd | okfar)
                                 | (remaining < CELL)))
         tcur = tcur + jnp.where(ismatch, jnp.asarray(1, I32),
                                 jnp.where(active,
@@ -394,7 +423,10 @@ def _fill_cells(pre, ismatch, dist):
     """Pass 3: resolve periodic fills cell-by-cell (a match cell's bytes
     derive from the previous OUTPUT cell's tail — an inherent chain, but
     only C steps of [B, CELL] work). dist is a power of two <= CELL, so
-    each candidate fill is a static tile + select."""
+    each candidate fill is a static tile + select; far cell-aligned
+    dists (> CELL) are zero-cell copies by the encoder's construction —
+    filled with zeros here, then VERIFIED against the assembled source
+    cell by decode_rle_group (mismatch -> host fallback)."""
     B = pre.shape[1]
 
     def step(prev, xs):
@@ -403,6 +435,7 @@ def _fill_cells(pre, ismatch, dist):
         for dc in RLE_DISTS:
             tiled = jnp.tile(prev[:, CELL - dc:], (1, CELL // dc))
             fill = jnp.where((d == dc)[:, None], tiled, fill)
+        fill = jnp.where((d > CELL)[:, None], jnp.zeros_like(pre_c), fill)
         out = jnp.where(ism[:, None], fill, pre_c)
         return out, out
 
@@ -439,6 +472,20 @@ def decode_rle_group(buf, plens, sizes, Pw: int, t_max: int, lw: int,
     islit = active & ~ism
     pre = _preplace_literal_cells(lit[0], islit, C)
     out = _fill_cells(pre, ism, dist)                         # [C, B, CELL]
+    # far zero-cell copies were filled with zeros on the ASSUMPTION the
+    # source cell is zero (true for every encoder in this repo); verify
+    # it exactly against the assembled output — a foreign stream with a
+    # nonzero cell-aligned copy flags bad and decodes on the host
+    isfar = ism & (dist > CELL)
+    zc = jnp.all(out == 0, axis=2)                            # [C, B]
+    src = jnp.clip(c_i[:, None] - dist // CELL, 0, C - 1)     # [C, B]
+    CH = 64
+    srczero = []
+    for c0 in range(0, C, CH):
+        sel = (src[c0:c0 + CH][:, None, :] == c_i[None, :, None])
+        srczero.append(jnp.any(sel & zc[None, :, :], axis=1))
+    srczero = jnp.concatenate(srczero, axis=0)                # [C, B]
+    bad = bad | jnp.any(isfar & ~srczero, axis=0)
     blocks = out.transpose(1, 0, 2).reshape(B, bs)
     pos = jax.lax.broadcasted_iota(I32, (B, bs), 1)
     blocks = jnp.where(pos < sizes[:, None].astype(I32), blocks,

@@ -358,3 +358,78 @@ def test_checkpoint_pytree_sharded_over_mesh(tmp_path):
     for a, b in zip(flat_a, flat_b):
         assert a.dtype == b.dtype and a.shape == b.shape
         assert np.array_equal(np.asarray(a), np.asarray(b)), a.dtype
+
+
+def test_rle_far_zero_cell_copy_roundtrip():
+    """Isolated all-zero cells (nonzero predecessor, so no periodic
+    match exists) code as far cell-aligned copies of the nearest
+    previous zero cell; streams stay spec-valid sqz4 and the resident
+    restore assembles them on-device."""
+    import jax.numpy as jnp
+
+    import sqz_tpu
+    rng = np.random.default_rng(2)
+    bs = 1024
+    cells = rng.integers(1, 256, size=(8, 128), dtype=np.uint8)
+    cells[2] = 0                       # isolated zero: stays literal
+    cells[5] = 0                       # far copy of cell 2 (dist 3*128)
+    data = cells.reshape(-1).tobytes()
+    payloads = resident.encode_rle_blocks(data, 10, lanes=128,
+                                          interpret=True)
+    assert native.sqz4_decompress_payload(payloads[0], bs) == data
+    toks, _pairs = resident._rle_tokens_from_blocks(
+        jnp.asarray(np.frombuffer(data, np.uint8).reshape(1, bs)),
+        jnp.asarray(np.asarray([bs], np.int32)), 96)
+    t = np.asarray(toks)[0, :, 0]
+    assert t[5] == (128 | (1 << 8) | (9 << 9) | (384 << 16)), hex(t[5])
+    blob = sqz_tpu.compress_resident(data, blk_bits=10, interpret=True)
+    out = sqz_tpu.decompress_resident(blob, interpret=True)
+    assert np.asarray(out).tobytes() == data
+
+
+def test_rle_far_copy_nonzero_source_flags_bad():
+    """The resident decoder ASSUMES far cell-aligned copies are zero and
+    verifies the assembled source cell; a (foreign) stream whose far
+    copy has NONZERO content must flag bad and decode via the host
+    fallback — never silently wrong."""
+    import jax.numpy as jnp
+
+    import sqz_tpu
+    from sqz_tpu.formats import container as sqzt
+    from sqz_tpu.formats.constants import SQZT_FORMAT_SQZ4
+    from sqz_tpu.ops import sqz4_pallas as sp
+    rng = np.random.default_rng(4)
+    bs = 1024
+    cells = rng.integers(1, 256, size=(8, 128), dtype=np.uint8)
+    cells[3] = cells[1]                # nonzero cell copy, dist 2*128
+    data = cells.reshape(-1).tobytes()
+    B = 128
+    blocks = np.zeros((B, bs), np.uint8)
+    blocks[0] = np.frombuffer(data, np.uint8)
+    toks = np.zeros((1, 96, B), np.uint32)
+    lit = np.uint32(128)
+    far = np.uint32(128 | (1 << 8) | (9 << 9) | (256 << 16))
+    toks[0, :9, 0] = [lit, lit, lit, far, lit, lit, lit, lit,
+                      np.uint32(0x1FF)]
+    lits = resident._pack_literal_words(jnp.asarray(blocks),
+                                        max(96, bs // 4))
+    cap_words = resident.rle_group_args(10)["cap_words"]
+    words, lens = sp._encode_tok_pallas(jnp.asarray(toks), lits, 1024,
+                                        cap_words, True, False,
+                                        lit_skip=True)
+    lens_np = np.asarray(lens)
+    payloads = sp.unpack_group_payloads(
+        sp.fetch_words_trimmed(words, lens_np), lens_np, 1)
+    assert native.sqz4_decompress_payload(payloads[0], bs) == data
+    plan = sp.plan_decode_dispatch(128, 10, lanes=128, slots=1,
+                                   interpret=True)
+    buf, plens, szs, _over = resident.pack_payload_group(
+        payloads, [bs], plan["Pw"], 128)
+    _blocks, _counts, bad = resident.decode_rle_group(
+        jnp.asarray(buf), jnp.asarray(plens), jnp.asarray(szs),
+        Pw=plan["Pw"], t_max=plan["t_max"], lw=plan["lw"], tw=plan["tw"],
+        mw=plan["mw"], bs=bs, interpret=True, wide=False)
+    assert bool(np.asarray(bad)[0])
+    blob = sqzt.pack(SQZT_FORMAT_SQZ4, 15, 10, bs, payloads, None)
+    out = sqz_tpu.decompress_resident(blob, interpret=True)
+    assert np.asarray(out).tobytes() == data   # host fallback exact
