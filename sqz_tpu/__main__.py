@@ -88,7 +88,47 @@ def main(argv=None) -> int:
     pg.add_argument("--engine", default="native",
                     choices=["native", "oracle"])
     pg.add_argument("--out", help="write bytes here instead of stdout")
+    pk = sub.add_parser("ckpt-save",
+                        help="compress a .npy/.npz array file through the "
+                             "device-resident checkpoint codec "
+                             "(utils/checkpoint.py)")
+    pk.add_argument("infile")
+    pk.add_argument("outfile")
+    pk.add_argument("--blk-bits", type=int, default=16)
+    pk.add_argument("--mode", choices=["lit", "rle"], default="rle")
+    pk.add_argument("--no-shuffle", action="store_true",
+                    help="skip the byte-plane transpose filter")
+    pk.add_argument("--no-delta", action="store_true",
+                    help="skip the byte-delta filter")
+    pl = sub.add_parser("ckpt-load",
+                        help="restore a ckpt-save file back to .npz")
+    pl.add_argument("infile")
+    pl.add_argument("outfile")
     args = ap.parse_args(argv)
+
+    if args.cmd == "ckpt-save":
+        import numpy as np
+
+        from sqz_tpu.utils import checkpoint as ckpt
+        loaded = np.load(args.infile, allow_pickle=False)
+        tree = ({k: loaded[k] for k in loaded.files}
+                if hasattr(loaded, "files") else {"arr_0": loaded})
+        stats = ckpt.save_pytree(tree, args.outfile,
+                                 blk_bits=args.blk_bits, mode=args.mode,
+                                 shuffle=not args.no_shuffle,
+                                 delta=not args.no_delta)
+        print(f"{stats['raw_bytes']:9d} -> {stats['compressed_bytes']:9d} "
+              f"{stats['ratio'] * 100.0:6.2f}%")
+        return 0
+
+    if args.cmd == "ckpt-load":
+        import numpy as np
+
+        from sqz_tpu.utils import checkpoint as ckpt
+        tree = ckpt.load_pytree(args.infile)
+        np.savez(args.outfile, **{k: np.asarray(v) for k, v in tree.items()})
+        print(f"restored {len(tree)} arrays -> {args.outfile}")
+        return 0
 
     if args.cmd == "range":
         blob = Path(args.infile).read_bytes()

@@ -433,3 +433,21 @@ def test_rle_far_copy_nonzero_source_flags_bad():
     blob = sqzt.pack(SQZT_FORMAT_SQZ4, 15, 10, bs, payloads, None)
     out = sqz_tpu.decompress_resident(blob, interpret=True)
     assert np.asarray(out).tobytes() == data   # host fallback exact
+
+
+def test_cli_ckpt_save_load_roundtrip(tmp_path, monkeypatch):
+    from sqz_tpu.__main__ import main as cli_main
+    monkeypatch.setenv("SQZ_RESIDENT_INTERPRET", "1")
+    rng = np.random.default_rng(12)
+    sparse = np.zeros((60, 50), np.float32)
+    sparse[::7] = 1.5
+    src = tmp_path / "t.npz"
+    ck = tmp_path / "t.sqzckpt"
+    back = tmp_path / "t2.npz"
+    np.savez(src, w=rng.normal(size=(40, 30)).astype(np.float32), m=sparse)
+    assert cli_main(["ckpt-save", str(src), str(ck),
+                     "--blk-bits", "10"]) == 0
+    assert cli_main(["ckpt-load", str(ck), str(back)]) == 0
+    a, b = np.load(src), np.load(back)
+    for k in a.files:
+        assert np.array_equal(a[k], b[k]), k
