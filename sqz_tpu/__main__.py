@@ -126,8 +126,16 @@ def main(argv=None) -> int:
 
         from sqz_tpu.utils import checkpoint as ckpt
         tree = ckpt.load_pytree(args.infile)
-        np.savez(args.outfile, **{k: np.asarray(v) for k, v in tree.items()})
-        print(f"restored {len(tree)} arrays -> {args.outfile}")
+        if not isinstance(tree, dict):
+            print("ckpt-load writes .npz and needs a dict-of-arrays "
+                  "checkpoint (ckpt-save produces those); this file holds "
+                  f"a {type(tree).__name__} — restore it with "
+                  "sqz_tpu.utils.checkpoint.load_pytree()", file=sys.stderr)
+            return 1
+        out = args.outfile if args.outfile.endswith(".npz") \
+            else args.outfile + ".npz"     # np.savez appends it anyway
+        np.savez(out, **{k: np.asarray(v) for k, v in tree.items()})
+        print(f"restored {len(tree)} arrays -> {out}")
         return 0
 
     if args.cmd == "range":

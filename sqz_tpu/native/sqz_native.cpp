@@ -542,7 +542,8 @@ static inline uint32_t extend_match(const uint8_t* cand, const uint8_t* cur,
         std::memcpy(&y, cur + k, 8);
         uint64_t d = x ^ y;
         if (d != 0) {
-#if defined(__GNUC__) || defined(__clang__)
+#if (defined(__GNUC__) || defined(__clang__)) && \
+    defined(__BYTE_ORDER__) && __BYTE_ORDER__ == __ORDER_LITTLE_ENDIAN__
             // little-endian: first differing byte = lowest set byte
             return k + (static_cast<uint32_t>(__builtin_ctzll(d)) >> 3);
 #else

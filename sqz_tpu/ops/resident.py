@@ -395,27 +395,38 @@ def _classify_cells(tokw, mrecw, sizes, C: int):
     return ism, dist, bad, tcur
 
 
+def _gather_cells(src, values, mask=None, CH: int = 64):
+    """Chunked one-hot gather along the cell axis (TPU gathers are
+    element-serial, so the per-(cell, lane) row read becomes an MXU
+    einsum — exact for byte/flag values in f32). Returns
+    values[src[c, b], :, b] for each (c, b) as [C, W, B] f32; ``mask``
+    (optional [C, B] bool) zeroes unselected output cells. The select
+    tensor is built CH output cells at a time to bound its size."""
+    C = src.shape[0]
+    s_i = jnp.arange(C, dtype=I32)
+    chunks = []
+    for c0 in range(0, C, CH):
+        sel = (src[c0:c0 + CH][:, None, :] == s_i[None, :, None])
+        if mask is not None:
+            sel = sel & mask[c0:c0 + CH][:, None, :]
+        chunks.append(jnp.einsum("ksb,swb->kwb", sel.astype(jnp.float32),
+                                 values,
+                                 preferred_element_type=jnp.float32))
+    return jnp.concatenate(chunks, axis=0)
+
+
 def _preplace_literal_cells(litw, islit, C: int):
     """Pass 2: place the decoder's dense literal stream at its output
     cells. Literal cells appear in stream order, so output cell c reads
-    source literal cell cumsum_excl(islit)[c] — realized as a one-hot
-    f32 einsum on the MXU (exact for byte values), chunked to bound the
-    select tensor. Returns [C, B, CELL] u8 (match cells garbage)."""
+    source literal cell cumsum_excl(islit)[c] — a _gather_cells one-hot
+    einsum. Returns [C, B, CELL] u8 (match cells garbage)."""
     LW, B = litw.shape
     by = _words_to_bytes(litw[:C * 32].reshape(C, 32, B)
                          .transpose(0, 2, 1))                # [C, B, 128]
     lit_cells = by.transpose(0, 2, 1).astype(jnp.float32)    # [C, CELL, B]
     isl = islit.astype(I32)
     src = jnp.cumsum(isl, axis=0) - isl                       # [C, B]
-    s_i = jnp.arange(C, dtype=I32)
-    chunks = []
-    CH = 64
-    for c0 in range(0, C, CH):
-        sel = ((src[c0:c0 + CH][:, None, :] == s_i[None, :, None])
-               & islit[c0:c0 + CH][:, None, :]).astype(jnp.float32)
-        chunks.append(jnp.einsum("ksb,swb->kwb", sel, lit_cells,
-                                 preferred_element_type=jnp.float32))
-    pre = jnp.concatenate(chunks, axis=0)                     # [C, CELL, B]
+    pre = _gather_cells(src, lit_cells, mask=islit)           # [C, CELL, B]
     return pre.transpose(0, 2, 1).astype(jnp.uint8)           # [C, B, CELL]
 
 
@@ -479,13 +490,8 @@ def decode_rle_group(buf, plens, sizes, Pw: int, t_max: int, lw: int,
     isfar = ism & (dist > CELL)
     zc = jnp.all(out == 0, axis=2)                            # [C, B]
     src = jnp.clip(c_i[:, None] - dist // CELL, 0, C - 1)     # [C, B]
-    CH = 64
-    srczero = []
-    for c0 in range(0, C, CH):
-        sel = (src[c0:c0 + CH][:, None, :] == c_i[None, :, None])
-        srczero.append(jnp.any(sel & zc[None, :, :], axis=1))
-    srczero = jnp.concatenate(srczero, axis=0)                # [C, B]
-    bad = bad | jnp.any(isfar & ~srczero, axis=0)
+    srczero = _gather_cells(src, zc.astype(jnp.float32)[:, None, :])
+    bad = bad | jnp.any(isfar & (srczero[:, 0, :] < 0.5), axis=0)
     blocks = out.transpose(1, 0, 2).reshape(B, bs)
     pos = jax.lax.broadcasted_iota(I32, (B, bs), 1)
     blocks = jnp.where(pos < sizes[:, None].astype(I32), blocks,

@@ -313,6 +313,10 @@ def encode_resident_sharded(data, blk_bits: int, mesh: Mesh,
     from sqz_tpu.parallel import multihost
     if mode not in ("lit", "rle"):
         raise ValueError(f"unknown resident mode {mode!r}")
+    if blk_bits > 16:
+        raise ValueError("sqz4 TPU kernels support blk_bits <= 16")
+    if mode == "rle" and (1 << blk_bits) < resident.CELL:
+        mode = "lit"    # blocks smaller than a cell: no matches possible
     bs = 1 << blk_bits
     n = mesh.devices.size
     blocks, lengths, NB, _sz = resident._prep_blocks(

@@ -451,3 +451,21 @@ def test_cli_ckpt_save_load_roundtrip(tmp_path, monkeypatch):
     a, b = np.load(src), np.load(back)
     for k in a.files:
         assert np.array_equal(a[k], b[k]), k
+
+
+def test_sharded_resident_guards_match_unsharded():
+    """The mesh entry point applies the same blk_bits guards as the
+    unsharded path: tiny blocks degrade rle -> lit, blk_bits > 16
+    rejects."""
+    from sqz_tpu.parallel.mesh import make_mesh
+    from sqz_tpu.parallel.shard import encode_resident_sharded
+    mesh = make_mesh(8)
+    data = corpus.texty(900, seed=1)
+    got = encode_resident_sharded(data, 6, mesh, mode="rle", lanes=128,
+                                  interpret=True)
+    want = resident.encode_resident_blocks(data, 6, "rle", lanes=128,
+                                           interpret=True)
+    assert got == want
+    with pytest.raises(ValueError):
+        encode_resident_sharded(data, 17, mesh, mode="lit", lanes=128,
+                                interpret=True)
