@@ -132,37 +132,49 @@ def encode_data_pipelined(data: bytes, blk_bits: int, window: int, lz: bool,
     # ---- stage 2 (main thread): upload + dispatch per group (async), then
     # drain results in order — downloads overlap later groups' compute
     pending = []
-    while True:
-        item = q.get()
-        if item is None:
-            break
-        if isinstance(item, BaseException):
-            raise item
-        if transport == "tok":
-            g, nb, slab, over = item
-            if slab is None:
-                pending.append((g, nb, None, None, None, over))
-                continue
-            fit, t_max, tarr, larr = slab
-            tdev = sp._transpose_tok(jnp.asarray(tarr))
-            ldev = sp._pack_ops_words(jnp.asarray(larr))
-            words, lens = sp._encode_tok_pallas(tdev, ldev, t_max,
-                                                cap_words, interpret, wide)
-            pending.append((g, nb, fit, words, lens, over))
-        else:
-            g, nb, rows, ma, sa = item
-            if parse == "fast":
-                mw_dev = sp._pack_ops_words(
-                    jnp.asarray(ma.reshape(1, lanes, -1)))
-                sw_dev = sp._pack_ops_words(
-                    jnp.asarray(sa.reshape(1, lanes, -1)))
+    try:
+        while True:
+            item = q.get()
+            if item is None:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            if transport == "tok":
+                g, nb, slab, over = item
+                if slab is None:
+                    pending.append((g, nb, None, None, None, over))
+                    continue
+                fit, t_max, tarr, larr = slab
+                tdev = sp._transpose_tok(jnp.asarray(tarr))
+                ldev = sp._pack_ops_words(jnp.asarray(larr))
+                words, lens = sp._encode_tok_pallas(tdev, ldev, t_max,
+                                                    cap_words, interpret,
+                                                    wide)
+                pending.append((g, nb, fit, words, lens, over))
             else:
-                mw_dev = jnp.asarray(ma)     # already [1, rows, lanes]
-                sw_dev = jnp.asarray(sa)
-            words, lens = sp._encode_full_pallas(mw_dev, sw_dev, cap_words,
-                                                 tc, interpret, wide,
-                                                 fused)
-            pending.append((g, nb, words, lens))
+                g, nb, rows, ma, sa = item
+                if parse == "fast":
+                    mw_dev = sp._pack_ops_words(
+                        jnp.asarray(ma.reshape(1, lanes, -1)))
+                    sw_dev = sp._pack_ops_words(
+                        jnp.asarray(sa.reshape(1, lanes, -1)))
+                else:
+                    mw_dev = jnp.asarray(ma)     # already [1, rows, lanes]
+                    sw_dev = jnp.asarray(sa)
+                words, lens = sp._encode_full_pallas(mw_dev, sw_dev,
+                                                     cap_words, tc,
+                                                     interpret, wide,
+                                                     fused)
+                pending.append((g, nb, words, lens))
+    except BaseException:
+        # unblock the planner (bounded queue) so the thread exits instead
+        # of pinning planned group buffers forever
+        while t.is_alive():
+            try:
+                q.get(timeout=0.05)
+            except queue.Empty:
+                pass
+        raise
 
     payloads: List[bytes] = []
     for item in pending:
@@ -239,10 +251,15 @@ def decode_data_pipelined(payloads, sizes, blk_bits: int, seed=None,
     # straggler grouping: sort by compressed size so each chunk's
     # while_loop runs to its own worst block, not the global one
     order = sorted(keep, key=lambda b: len(payloads[b]))
+    if not order:                            # every payload host-decoded
+        outs = [None] * NB
+        for b, v in host_out.items():
+            outs[b] = v
+        return outs
     sp_pl = [payloads[b] for b in order]
     sp_sz = [sizes[b] for b in order]
     per = lanes * slots                      # blocks per dispatch
-    nchunks = max(1, -(-len(order) // per))
+    nchunks = -(-len(order) // per)
 
     q: queue.Queue = queue.Queue(maxsize=2)
 
@@ -250,19 +267,10 @@ def decode_data_pipelined(payloads, sizes, blk_bits: int, seed=None,
         try:
             for c in range(nchunks):
                 chunk = sp_pl[c * per:(c + 1) * per]
-                nbc = len(chunk)
-                buf = native.sqz4_pack_payloads(chunk, lanes, Pw)
-                if buf.shape[0] < slots:
-                    buf = np.concatenate(
-                        [buf, np.zeros((slots - buf.shape[0],)
-                                       + buf.shape[1:], np.uint32)])
-                meta = np.zeros((slots, 8, lanes), dtype=np.int32)
-                for i, p in enumerate(chunk):
-                    g, lane = divmod(i, lanes)
-                    meta[g, 0, lane] = len(p)
-                    meta[g, 1, lane] = sp_sz[c * per + i]
-                    meta[g, 2, lane] = len(dictionary)
-                q.put((c, nbc, buf, meta))
+                buf, meta = sp.pack_decode_chunk(
+                    chunk, sp_sz[c * per:(c + 1) * per], lanes, slots, Pw,
+                    len(dictionary))
+                q.put((c, len(chunk), buf, meta))
         except BaseException as e:
             q.put(e)
             return
@@ -274,17 +282,27 @@ def decode_data_pipelined(payloads, sizes, blk_bits: int, seed=None,
     seed_dev = (jnp.asarray(sp._dec_seed_table(seed, slots, lanes))
                 if warm else None)
     pending = []
-    while True:
-        item = q.get()
-        if item is None:
-            break
-        if isinstance(item, BaseException):
-            raise item
-        c, nbc, buf, meta = item
-        res = sp._decode_pallas(jnp.asarray(buf), jnp.asarray(meta), t_max,
-                                lw, tw, mw, interpret, wide, slots,
-                                seed_dev, fused)
-        pending.append((c, nbc, res))
+    try:
+        while True:
+            item = q.get()
+            if item is None:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            c, nbc, buf, meta = item
+            res = sp._decode_pallas(jnp.asarray(buf), jnp.asarray(meta),
+                                    t_max, lw, tw, mw, interpret, wide,
+                                    slots, seed_dev, fused)
+            pending.append((c, nbc, res))
+    except BaseException:
+        # unblock the packer (bounded queue) so it can run to completion
+        # instead of pinning a thread + packed chunk buffers forever
+        while t.is_alive():
+            try:
+                q.get(timeout=0.05)
+            except queue.Empty:
+                pass
+        raise
 
     outs_sorted: List[bytes] = []
     for c, nbc, res in pending:
@@ -292,7 +310,8 @@ def decode_data_pipelined(payloads, sizes, blk_bits: int, seed=None,
         outs_sorted.extend(sp.postprocess_decode(
             lit, tok, mrec, counts, sp_pl[c * per:c * per + nbc],
             sp_sz[c * per:c * per + nbc], bs, seed=seed,
-            dictionary=dictionary))
+            dictionary=dictionary,
+            block_ids=order[c * per:c * per + nbc]))
     t.join()
     outs = [None] * NB
     for pos, b in enumerate(order):

@@ -2734,26 +2734,8 @@ def decode_groups(payloads, sizes, blk_bits: int, interpret: bool = False,
     order = sorted(range(NB), key=lambda b: len(payloads[b]))
     payloads = [payloads[b] for b in order]
     sizes = [sizes[b] for b in order]
-    meta = np.zeros((G, 8, lanes), dtype=np.int32)
-    for b, p in enumerate(payloads):
-        assert len(p) <= 4 * Pw, "payload exceeds decoder buffer"
-        g, lane = divmod(b, lanes)
-        meta[g, 0, lane] = len(p)
-        meta[g, 1, lane] = sizes[b]
-        meta[g, 2, lane] = len(dictionary)
-    if native.available():
-        buf = native.sqz4_pack_payloads(payloads, lanes, Pw)
-        if buf.shape[0] < G:   # pad group count to the slot multiple
-            buf = np.concatenate(
-                [buf, np.zeros((G - buf.shape[0],) + buf.shape[1:],
-                               np.uint32)])
-    else:
-        buf = np.zeros((G, Pw, lanes), dtype=np.uint32)
-        for b, p in enumerate(payloads):
-            g, lane = divmod(b, lanes)
-            w = np.frombuffer(p.ljust(-(-len(p) // 4) * 4, b"\0"),
-                              dtype=">u4")
-            buf[g, :len(w), lane] = w
+    buf, meta = pack_decode_chunk(payloads, sizes, lanes, G, Pw,
+                                  len(dictionary))
     lw, tw, mw, t_max = plan["lw"], plan["tw"], plan["mw"], plan["t_max"]
     wide = warm or blk_bits >= 15
     fused = os.environ.get("SQZ_DEC_FUSED", "1") == "1"
@@ -2782,20 +2764,56 @@ def decode_groups(payloads, sizes, blk_bits: int, interpret: bool = False,
         mrec = np.asarray(mrec)
         counts = np.asarray(counts)
     outs = postprocess_decode(lit, tok, mrec, counts, payloads, sizes, bs,
-                              seed=seed, dictionary=dictionary)
+                              seed=seed, dictionary=dictionary,
+                              block_ids=order)
     unsorted = [None] * NB
     for pos, b in enumerate(order):
         unsorted[b] = outs[pos]
     return unsorted
 
 
+def pack_decode_chunk(payloads, sizes, lanes: int, groups: int, Pw: int,
+                      dlen: int = 0):
+    """Pack one decode dispatch's inputs: payload bytes -> [groups, Pw,
+    lanes] big-endian words (zero-padded to the group count) and the
+    [groups, 8, lanes] meta table (rows: payload len, original size,
+    dictionary len). Shared by decode_groups and the pipelined packer
+    (ops/pipeline.py) so the layout cannot drift between them."""
+    from sqz_tpu import native
+    meta = np.zeros((groups, 8, lanes), dtype=np.int32)
+    for i, p in enumerate(payloads):
+        assert len(p) <= 4 * Pw, "payload exceeds decoder buffer"
+        g, lane = divmod(i, lanes)
+        meta[g, 0, lane] = len(p)
+        meta[g, 1, lane] = sizes[i]
+        meta[g, 2, lane] = dlen
+    if native.available():
+        buf = native.sqz4_pack_payloads(payloads, lanes, Pw)
+        if buf.shape[0] < groups:   # pad group count to the slot multiple
+            buf = np.concatenate(
+                [buf, np.zeros((groups - buf.shape[0],) + buf.shape[1:],
+                               np.uint32)])
+    else:
+        buf = np.zeros((groups, Pw, lanes), dtype=np.uint32)
+        for i, p in enumerate(payloads):
+            g, lane = divmod(i, lanes)
+            w = np.frombuffer(p.ljust(-(-len(p) // 4) * 4, b"\0"),
+                              dtype=">u4")
+            buf[g, :len(w), lane] = w
+    return buf, meta
+
+
 def postprocess_decode(lit, tok, mrec, counts, payloads, sizes, bs,
-                       seed=None, dictionary: bytes = b""):
+                       seed=None, dictionary: bytes = b"",
+                       block_ids=None):
     """Post-kernel host stage for one decode dispatch (or a concatenation):
     [g, W, lanes] record arrays -> per-block output bytes (lane-major block
     order). Validates error lanes, falls back to the host codec for
     pathological overflow blocks, and assembles the rest. Shared by
-    decode_groups and the pipelined decoder (ops/pipeline.py)."""
+    decode_groups and the pipelined decoder (ops/pipeline.py).
+    ``block_ids``: the caller's original block index per position — error
+    messages report these, so a corrupt block is identifiable through the
+    straggler sort and chunking."""
     from sqz_tpu import native
     nb = len(payloads)
     g, lanes = lit.shape[0], lit.shape[2]
@@ -2809,14 +2827,15 @@ def postprocess_decode(lit, tok, mrec, counts, payloads, sizes, bs,
     cnt = counts.transpose(0, 2, 1).reshape(g * lanes, 8)[:nb]
     optr, ntoks, err, ovf = cnt[:, 0], cnt[:, 2], cnt[:, 4], cnt[:, 6]
     szs_np = np.asarray(sizes, dtype=np.int64)
+    ids = list(block_ids) if block_ids is not None else list(range(nb))
     bad = np.nonzero(err * (1 - ovf))[0]
     if bad.size:
         raise ValueError(
-            f"corrupt sqz4 block(s) {bad.tolist()} "
+            f"corrupt sqz4 block(s) {[ids[b] for b in bad]} "
             f"(codes {err[bad].tolist()})")
     short = np.nonzero((optr != szs_np) & (ovf == 0))[0]
     if short.size:
-        raise ValueError(f"block {short[0]}: produced "
+        raise ValueError(f"block {ids[short[0]]}: produced "
                          f"{optr[short[0]]} of {szs_np[short[0]]}")
     outs: list = [None] * nb
     ov_idx = np.nonzero(ovf)[0]

@@ -62,3 +62,21 @@ def test_pipelined_decode_corrupt_block_raises():
     with pytest.raises(ValueError):
         pipeline.decode_data_pipelined(bad, [BS] * NB, blk_bits=5,
                                        interpret=True, lanes=128, slots=1)
+
+
+def test_pipelined_decode_all_payloads_oversized():
+    """Every payload past the kernel's stream buffer (the pathological
+    warm-expansion rule): the pipelined path must return the host-decoded
+    blocks instead of dispatching an empty chunk. Oversize is forced by
+    padding valid payloads with trailing junk — the decoder stops at EOS,
+    so the host decode still yields the original bytes."""
+    data = bytes(load("laozi.txt"))[:4 * BS]
+    blocks = [data[i:i + BS] for i in range(0, len(data), BS)]
+    plan = sp.plan_decode_dispatch(len(blocks), 5, 128, 1, interpret=True)
+    over_pl = [native.sqz4_compress_payload(b, 1 << 10, lz=True)
+               .ljust(4 * plan["Pw"] + 8, b"\0") for b in blocks]
+    assert all(len(p) > 4 * plan["Pw"] for p in over_pl)
+    got = pipeline.decode_data_pipelined(over_pl, [BS] * len(blocks),
+                                         blk_bits=5, interpret=True,
+                                         lanes=128, slots=1)
+    assert got == blocks
