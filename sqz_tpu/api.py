@@ -185,8 +185,7 @@ def _compress_blocks(parts, fmt, engine, win_bits, lz, warm=False,
     (FORMAT.md §3.1), so warm never loses to cold beyond the bitmap byte
     per 8 blocks."""
     if blk_bits is None:  # block size as framed by the caller's container
-        blk_bits = max((len(p) - 1).bit_length() for p in parts) \
-            if any(parts) else 10
+        blk_bits = sqzt.infer_blk_bits(parts)
     if engine is Engine.TPU:
         from sqz_tpu.ops import engine as tpu_engine
         return tpu_engine.compress_blocks(parts, fmt, win_bits, lz, warm,
@@ -324,7 +323,8 @@ def decompress(blob: bytes, fmt: Optional[Format | str] = None,
         if engine is Engine.TPU:
             from sqz_tpu.ops import engine as tpu_engine
             data = tpu_engine.decompress_blocks(payloads, sizes, fmt, fresh,
-                                                win_bits, anchor_mask=anch)
+                                                win_bits, anchor_mask=anch,
+                                                blk_bits=blk_bits)
         elif engine is Engine.NATIVE and warm and anch is None:
             # the native threaded executor handles the v2 (block-0 anchor)
             # schedule itself; v3 runs the anchored python schedule below

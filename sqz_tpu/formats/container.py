@@ -51,6 +51,14 @@ def split_blocks(data: bytes, blk_bits: int) -> List[bytes]:
     return [data[o:o + bs] for o in range(0, len(data), bs)] or [b""]
 
 
+def infer_blk_bits(parts) -> int:
+    """The framing rule for parts split by split_blocks: every block but
+    the last is full, so the largest part determines the block size. One
+    definition — api._compress_blocks and ops.engine both consume it."""
+    return (max((len(p) - 1).bit_length() for p in parts)
+            if any(parts) else 10)
+
+
 def _bitmap(bits: List[bool]) -> bytes:
     bm = bytearray((len(bits) + 7) // 8)
     for b, v in enumerate(bits):

@@ -44,7 +44,7 @@ def _tokenize(part: bytes, window: int, min_len: int, max_len: int,
 def use_pallas() -> bool:
     """Mosaic TPU kernels only on TPU backends (a GPU backend would select
     pltpu kernels that cannot compile there); XLA scans elsewhere."""
-    if os.environ.get("SQZ_NO_PALLAS"):
+    if os.environ.get("SQZ_NO_PALLAS") not in (None, "", "0"):
         return False
     import jax
     backend = jax.default_backend()
@@ -82,8 +82,9 @@ def compress_blocks(parts: Sequence[bytes], fmt, win_bits: int,
     from sqz_tpu.api import Format, _warm_dictionary
     from sqz_tpu.formats.constants import warm_gate_mask
     if blk_bits is None:
-        blk_bits = (max((len(p) - 1).bit_length() for p in parts)
-                    if any(parts) else 10)
+        # single source of truth for the container framing rule
+        from sqz_tpu.formats.container import infer_blk_bits
+        blk_bits = infer_blk_bits(parts)
     warm = warm and len(parts) > 1
     dictionary = _warm_dictionary(parts[0], win_bits) if warm else b""
     gate = warm_gate_mask(parts, dictionary) if warm else None
@@ -99,19 +100,22 @@ def compress_blocks(parts: Sequence[bytes], fmt, win_bits: int,
             from sqz_tpu.ops import sqz4_pallas
             data = b"".join(parts)
             assert all(len(p) == 1 << blk_bits for p in parts[:-1])
-            if (not warm and len(parts) > sqz4_pallas.ENC_LANES
+            host_parse = sqz4_pallas.parse_mode(parse)
+            if (len(parts) > sqz4_pallas.ENC_LANES
                     and os.environ.get("SQZ_PIPELINE", "1") == "1"):
-                # multi-group cold input: planner-thread / device overlap
-                # (ops/pipeline.py) — payloads are byte-identical to the
-                # serial path for the same parse (asserted in
+                # multi-group input: planner-thread / device overlap for
+                # the cold pass (ops/pipeline.py) — payloads are
+                # byte-identical to the serial path for the same parse
+                # (asserted in
                 # tests/test_sqz4_pallas.py::test_pipelined_encode_matches_serial)
                 from sqz_tpu.ops import pipeline
-                return pipeline.encode_data_pipelined(
+                cold = pipeline.encode_data_pipelined(
                     data, blk_bits, 1 << win_bits, lz,
                     cap=(1 << blk_bits) + 2048, parse=parse)
-            cold = sqz4_pallas.encode_data_full(
-                data, blk_bits, 1 << win_bits, lz,
-                cap=(1 << blk_bits) + 2048, parse=parse)
+            else:
+                cold = sqz4_pallas.encode_data_full(
+                    data, blk_bits, 1 << win_bits, lz,
+                    cap=(1 << blk_bits) + 2048, parse=parse)
             if not warm:
                 return cold
             if no_cand:
@@ -119,7 +123,8 @@ def compress_blocks(parts: Sequence[bytes], fmt, win_bits: int,
             if sum(gate) <= len(parts) // 4:
                 # few candidates (the common case, VERDICT r2 #5): host
                 # threads encode just those seeded, against the seed the
-                # decoder derives from the coded block 0
+                # decoder derives from the coded block 0; same parse
+                # policy as the cold pass
                 _blk0, seed = native.sqz4_decompress_payload(
                     cold[0], len(parts[0]), return_state=True)
                 warm_p = list(cold)
@@ -127,7 +132,7 @@ def compress_blocks(parts: Sequence[bytes], fmt, win_bits: int,
                     if gate[b]:
                         warm_p[b] = native.sqz4_compress_payload(
                             parts[b], 1 << win_bits, lz=lz, seed=seed,
-                            dictionary=dictionary)
+                            dictionary=dictionary, parse=host_parse)
                 return _pick_smaller(cold, warm_p, gate)
             warm_p = sqz4_pallas.encode_data_full(
                 data, blk_bits, 1 << win_bits, lz,
@@ -166,11 +171,12 @@ def compress_blocks(parts: Sequence[bytes], fmt, win_bits: int,
                 _blk0, seed = native.squeeze_decompress_payload(
                     cold[0], len(parts[0]), return_state=True)
                 warm_p = list(cold)
+                host_parse = sqz4_pallas.parse_mode(parse)
                 for b in range(1, len(parts)):
                     if gate[b]:
                         warm_p[b] = native.squeeze_compress_payload(
                             parts[b], win_bits, seed=seed,
-                            dictionary=dictionary)
+                            dictionary=dictionary, parse=host_parse)
                 return _pick_smaller(cold, warm_p, gate)
             warm_p = sqz4_pallas.squeeze_encode_data(
                 data, blk_bits, win_bits, cap=(1 << blk_bits) + 4096,
@@ -228,15 +234,20 @@ def _warm_scatter(payloads, sizes, fresh_mask, anchor_mask, decode_batch,
 
 def decompress_blocks(payloads: Sequence[bytes], sizes: Sequence[int],
                       fmt, fresh_mask=None, win_bits: int = 15,
-                      anchor_mask=None) -> bytes:
+                      anchor_mask=None, blk_bits: int = None) -> bytes:
     """``fresh_mask`` (sqzt v2, FORMAT.md §3.1): per-block fresh/warm
     choice; None = cold container. Warm blocks decode seeded from their
     anchor (v2: block 0; v3 ``anchor_mask``: possibly a later fresh
     block, FORMAT.md §3.2), anchors decoded host-side first; each anchor
-    group and the fresh set run as separate device batches."""
+    group and the fresh set run as separate device batches.
+
+    ``blk_bits``: the container's block size (api.decompress passes it);
+    derived from the largest size otherwise — correct only while every
+    non-final block is full (split_blocks guarantees that)."""
     from sqz_tpu.api import Format
     from sqz_tpu import native
-    blk_bits = max(max(s - 1 for s in sizes), 1).bit_length()
+    if blk_bits is None:
+        blk_bits = max(max(s - 1 for s in sizes), 1).bit_length()
     warm = (fresh_mask is not None and len(payloads) > 1
             and not all(fresh_mask))
     if fmt is Format.SQZ4:
