@@ -180,15 +180,8 @@ def main() -> None:
     order = sorted(range(NB), key=lambda b: len(payloads[b]))
     dec_payloads = [payloads[b] for b in order]
     dec_sizes = [sizes[b] for b in order]
-    buf = native.sqz4_pack_payloads(dec_payloads, dec_lanes, Pw)
-    if buf.shape[0] < G:
-        buf = np.concatenate([buf, np.zeros(
-            (G - buf.shape[0],) + buf.shape[1:], np.uint32)])
-    meta = np.zeros((G, 8, dec_lanes), np.int32)
-    for b, p in enumerate(dec_payloads):
-        g, lane = divmod(b, dec_lanes)
-        meta[g, 0, lane] = len(p)
-        meta[g, 1, lane] = dec_sizes[b]
+    buf, meta = sp.pack_decode_chunk(dec_payloads, dec_sizes, dec_lanes,
+                                     G, Pw)
     bufd = jnp.asarray(buf)
     metad = jnp.asarray(meta)
     jax.block_until_ready((bufd, metad))
