@@ -909,7 +909,11 @@ uint64_t squeeze_decode_payload(BitReader& br, uint8_t* out, uint64_t size,
         uint64_t sym = read_lit();
         if (sym == kLitNyt) {
             sym = br.read_bits(9);
-            if (sym >= 512 || !lit.insert(static_cast<int>(sym))) fail(EILSEQ);
+            // an escape naming an already-present symbol is malformed
+            // (the encoder escapes unseen symbols only); insert() on a
+            // linked node would corrupt the tree
+            if (sym >= 512 || lit.seen(static_cast<int>(sym))
+                || !lit.insert(static_cast<int>(sym))) fail(EILSEQ);
         }
         if (sym <= 0xFF) {
             o[i++] = static_cast<uint8_t>(sym);
@@ -921,7 +925,8 @@ uint64_t squeeze_decode_payload(BitReader& br, uint8_t* out, uint64_t size,
             uint64_t pi = read_pos();
             if (pi == kPosNyt) {
                 pi = br.read_bits(5);
-                if (pi >= 30 || !pos.insert(static_cast<int>(pi))) fail(EILSEQ);
+                if (pi >= 30 || pos.seen(static_cast<int>(pi))
+                    || !pos.insert(static_cast<int>(pi))) fail(EILSEQ);
             }
             if (pi >= 30) fail(EILSEQ);
             uint32_t dist = kPosBase[pi];
@@ -1155,7 +1160,14 @@ class RangeDecoder {
             consume();
             range_ = kMask64 - low_;
         }
-        uint64_t cum = (code_ - low_) / (range_ / total);
+        // a crafted stream can leave range_ < total even after the reset
+        // (low_ steered above kMask64 - total): range_/total == 0 there.
+        // The reference divides first (UB/SIGFPE, src/sqz.c:536) and only
+        // then maps range < total to EILSEQ (:541) — reject up front; no
+        // encoder-produced stream reaches this state.
+        uint64_t r = range_ / total;
+        if (r == 0) fail(EILSEQ);
+        uint64_t cum = (code_ - low_) / r;
         int sym = pm.index_of(cum);
         if (sym < 0) fail(EILSEQ);
         uint64_t start = pm.start(sym);
@@ -1730,20 +1742,19 @@ int64_t sqz_blocks_decompress(const uint8_t* payloads, const int64_t* offsets,
     if (warm && nblocks > 1) {
         uint64_t len0 = total_size < bs ? total_size : bs;
         if (fmt == 0) {
-            try {
-                BitReader br(payloads + offsets[0],
-                             static_cast<uint64_t>(sizes[0]));
-                results[0] = static_cast<int64_t>(squeeze_decode_payload(
-                    br, out, len0, nullptr, seedt.data()));
-            } catch (const CodecError& e) {
-                return -e.err;
-            }
+            results[0] = sqz_squeeze_decompress_s(
+                payloads + offsets[0], static_cast<uint64_t>(sizes[0]),
+                len0, nullptr, seedt.data(), nullptr, 0, out, len0);
         } else {
             results[0] = sqz_sqz4_decompress_s(
-                payloads + offsets[0], static_cast<uint64_t>(sizes[0]), len0,
-                nullptr, seed4.data(), nullptr, 0, out, len0);
-            if (results[0] < 0) return results[0];
+                payloads + offsets[0], static_cast<uint64_t>(sizes[0]),
+                len0, nullptr, seed4.data(), nullptr, 0, out, len0);
         }
+        if (results[0] < 0) return results[0];
+        // the shared dictionary derives from block 0's bytes: a short
+        // decode (early EOS in a corrupt payload) would seed every warm
+        // block from uninitialized memory
+        if (static_cast<uint64_t>(results[0]) != len0) return -EILSEQ;
         dlen = len0 < (1ull << win_bits) ? len0 : (1ull << win_bits);
         dict = out + (len0 - dlen);
         first = 1;
@@ -1778,6 +1789,11 @@ int64_t sqz_blocks_decompress(const uint8_t* payloads, const int64_t* offsets,
     for (auto& t : pool) t.join();
     for (uint64_t b = 0; b < nblocks; b++) {
         if (results[b] < 0) return results[b];
+        uint64_t off = b * bs;
+        uint64_t len = total_size - off < bs ? total_size - off : bs;
+        // a short sqz4 decode (early EOS in a corrupt payload) must not
+        // be accepted as success — the tail would be uninitialized bytes
+        if (static_cast<uint64_t>(results[b]) != len) return -EILSEQ;
     }
     return static_cast<int64_t>(total_size);
 }
@@ -1807,12 +1823,20 @@ int64_t sqz_assemble_blocks(const uint32_t* tok, uint64_t tok_stride,
             const uint8_t* li = lit + b * lit_stride;
             const uint32_t* mr = mrec + b * mrec_stride;
             uint8_t* dst = out + b * out_stride;
-            uint64_t pos = 0, mi = 0;
+            uint64_t pos = 0, mi = 0, ln = 0;
             const uint64_t limit =
                 out_stride < static_cast<uint64_t>(sizes[b])
                     ? out_stride : static_cast<uint64_t>(sizes[b]);
+            // inconsistent record streams (only possible via misuse or a
+            // kernel bug — corrupt payloads error before assembly) must
+            // fail EILSEQ, not read past the per-block rows
+            if (static_cast<uint64_t>(ntok[b]) > tok_stride * 32) {
+                fail.store(-EILSEQ);
+                return;
+            }
             for (int64_t t = 0; t < ntok[b]; t++) {
                 if ((tk[t >> 5] >> (t & 31)) & 1u) {
+                    if (mi >= mrec_stride) { fail.store(-EILSEQ); return; }
                     uint32_t rec = mr[mi++];
                     uint32_t len = rec >> 16, dist = rec & 0xFFFF;
                     if (dist == 0 || dist > pos + dlen || pos + len > limit) {
@@ -1828,7 +1852,8 @@ int64_t sqz_assemble_blocks(const uint32_t* tok, uint64_t tok_stride,
                     }
                 } else {
                     if (pos >= limit) { fail.store(-ENOBUFS); return; }
-                    dst[pos++] = *li++;
+                    if (ln >= lit_stride) { fail.store(-EILSEQ); return; }
+                    dst[pos++] = li[ln++];
                 }
             }
             if (pos != static_cast<uint64_t>(sizes[b])) fail.store(-EILSEQ);
@@ -1946,7 +1971,10 @@ int64_t sqz4_plan_pack(const uint8_t* data, uint64_t n, uint32_t window,
             ms.push_back(0); ss.push_back(0);
             ms.push_back(1); ss.push_back(0xFF);
             for (int k = 0; k < 8; k++) { ms.push_back(254); ss.push_back(0); }
-            if (ms.size() > tp_cap) { fail.store(-ENOBUFS); return; }
+            // packed writes land in tp_cap/4 rows: bound by the row
+            // capacity, not tp_cap itself (callers pass multiples of 4,
+            // but the C ABI must not rely on it)
+            if (ms.size() > (tp_cap / 4) * 4) { fail.store(-ENOBUFS); return; }
             op_counts[b] = static_cast<int64_t>(ms.size());
             if (warm && b == 0 && seed_out != nullptr) {
                 seed4_from_ops(ms.data(), ss.data(), ms.size(), seed_out);
@@ -2014,6 +2042,9 @@ int64_t sqz4_fast_plan(const uint8_t* data, uint64_t n, uint32_t window,
             // worst-case ops left for one token: flag+size+bits+13 dist
             // bits + paired pad = 17; EOS tail needs 2 + 8 more
             const uint64_t kTail = 32;
+            // the EOS+flush tail writes unconditionally below — guard it
+            // here too (the in-loop guard never runs for an empty block)
+            if (kTail > tp_cap) { fail.store(-ENOBUFS); return; }
             if (lz) {
                 const uint8_t* base = blk;
                 uint64_t total = len, start = 0;

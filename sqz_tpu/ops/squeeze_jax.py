@@ -315,7 +315,10 @@ def _decode_scan(payloads, plens, sizes, out_cap: int, t_max: int,
         is_nyt = in_lit & (sym == SQUEEZE_LIT_NYT)
         raw, bp = _read_bits(payloads, plens, bp, jnp.where(is_nyt, 9, 0), 9,
                              is_nyt, bidx)
-        lit = hj.insert(lit, jnp.where(is_nyt, raw, 0), is_nyt)
+        # escape of an already-present symbol is malformed (native/oracle
+        # reject identically); inserting a linked node corrupts the tree
+        nyt_dup = is_nyt & (hj._gat(lit.pix, raw) != -1)
+        lit = hj.insert(lit, jnp.where(is_nyt, raw, 0), is_nyt & ~nyt_dup)
         sym = jnp.where(is_nyt, raw, sym)
 
         bad_sym = in_lit & (sym > SQUEEZE_LIT_NYT)
@@ -337,7 +340,8 @@ def _decode_scan(payloads, plens, sizes, out_cap: int, t_max: int,
         p_nyt = in_pos & (pcode == SQUEEZE_POS_NYT)
         praw, bp = _read_bits(payloads, plens, bp, jnp.where(p_nyt, 5, 0), 5,
                               p_nyt, bidx)
-        pos = hj.insert(pos, jnp.where(p_nyt, praw, 0), p_nyt)
+        pnyt_dup = p_nyt & (hj._gat(pos.pix, praw) != -1)
+        pos = hj.insert(pos, jnp.where(p_nyt, praw, 0), p_nyt & ~pnyt_dup)
         pcode = jnp.where(p_nyt, praw, pcode)
         bad_pos = in_pos & (pcode > SQUEEZE_POS_NYT)
         pc = jnp.clip(pcode, 0, 29)
@@ -357,7 +361,8 @@ def _decode_scan(payloads, plens, sizes, out_cap: int, t_max: int,
         optr = optr + jnp.where(emit_ok, psize, 0)
 
         overrun = (optr > sizes + dlen) | (bp > P * 8 + 64)
-        err = bad_sym | bad_pos | bad_dist | overrun
+        err = (bad_sym | bad_pos | bad_dist | overrun
+               | nyt_dup | pnyt_dup)
 
         nstate = state
         nstate = jnp.where(is_len, ST_POS, nstate)

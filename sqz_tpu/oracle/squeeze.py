@@ -167,6 +167,8 @@ def squeeze_decode_payload(br: BitReader, size: int,
         sym = _read_huffman(br, lit)
         if sym == SQUEEZE_LIT_NYT:
             sym = br.read_bits(9)
+            if lit.pix[sym] != -1:   # escape of a present symbol: malformed
+                raise ValueError("NYT escape names a present symbol (EILSEQ)")
             if not lit.insert(sym):
                 raise ValueError("lit tree pool exhausted")
         if sym <= 0xFF:
@@ -181,6 +183,9 @@ def squeeze_decode_payload(br: BitReader, size: int,
             pi = _read_huffman(br, pos)
             if pi == SQUEEZE_POS_NYT:
                 pi = br.read_bits(5)
+                if pos.pix[pi] != -1:
+                    raise ValueError(
+                        "NYT escape names a present symbol (EILSEQ)")
                 if not pos.insert(pi):
                     raise ValueError("pos tree pool exhausted")
             if pi >= len(POS_BASE):

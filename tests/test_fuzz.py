@@ -174,3 +174,37 @@ def test_fuzz_container_forgery():
             continue  # rejection is the expected outcome
         # acceptance is only legal when the result is actually right
         assert out == DATA * 4, "silent wrong answer from forged container"
+
+
+def test_nyt_escape_of_present_symbol_rejected_all_engines():
+    """A crafted stream that codes an NYT escape naming an ALREADY-present
+    symbol is malformed (encoders escape unseen symbols only); inserting a
+    linked node would corrupt the adaptive tree, so every engine must
+    reject it instead of returning garbage as success."""
+    from sqz_tpu.oracle.bitstream import BitWriter
+    from sqz_tpu.oracle.squeeze import _new_trees, _write_huffman
+    from sqz_tpu.formats.constants import SQUEEZE_LIT_NYT
+
+    bw = BitWriter()
+    lit, _pos = _new_trees()
+    # literal 'A' via its first-occurrence escape (inserts it) ...
+    _write_huffman(bw, lit, SQUEEZE_LIT_NYT)
+    bw.write_bits(ord("A"), 9)
+    lit.insert(ord("A"))
+    # ... then a second escape naming 'A' again: malformed
+    _write_huffman(bw, lit, SQUEEZE_LIT_NYT)
+    bw.write_bits(ord("A"), 9)
+    bw.flush()
+    payload = bw.getvalue()
+    global SIZE
+    size_was = SIZE
+    try:
+        # the stream "claims" 2 bytes of output
+        import test_fuzz as _self
+        _self.SIZE = 2
+        so, _ = _decode("squeeze", "oracle", payload)
+        sn, _ = _decode("squeeze", "native", payload)
+        sj, _ = _decode("squeeze", "device", payload)
+        assert (so, sn, sj) == ("err", "err", "err"), (so, sn, sj)
+    finally:
+        _self.SIZE = size_was
