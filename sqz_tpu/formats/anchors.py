@@ -52,6 +52,8 @@ def plan_anchored(parts: List[bytes], encode_one: Callable,
     priced for blocks whose content overlaps that anchor's dictionary —
     hopeless seeded passes are skipped, never changing the fresh bound.
     """
+    if beam < 1:
+        raise ValueError("anchor beam width must be >= 1")
     n = len(parts)
     cold: List[bytes] = [None] * n
     state = [None] * n          # final model state of a fresh-coded block
@@ -135,4 +137,17 @@ def plan_anchored(parts: List[bytes], encode_one: Callable,
             payloads.append(warm_of(b, a))
             fresh_mask.append(False)
             anchor_mask.append(bit and last_fresh != 0)
+    # the beam prices payload bytes only; the first set anchor bit also
+    # buys the ceil(n/8)-byte anchor bitmap. When the summed per-block
+    # gain over the block-0 alternative does not cover it, fall back to
+    # the v2 payloads (safe: clearing a bit re-anchors that block on 0,
+    # which is exactly the payload substituted — fresh choices and every
+    # other block's anchor resolution are untouched)
+    if any(anchor_mask):
+        anchored = [b for b in range(n) if anchor_mask[b]]
+        gain = sum(len(warm_of(b, 0)) - len(payloads[b]) for b in anchored)
+        if gain <= (n + 7) // 8:
+            for b in anchored:
+                payloads[b] = warm_of(b, 0)
+                anchor_mask[b] = False
     return payloads, fresh_mask, anchor_mask

@@ -67,6 +67,15 @@ def _bitmap(bits: List[bool]) -> bytes:
     return bytes(bm)
 
 
+def _bitmap_padding_set(bm: bytes, n: int) -> bool:
+    """True when any bit past position n-1 is set — non-canonical (the
+    format has one canonical encoding per choice, FORMAT.md §3)."""
+    if n & 7:
+        if bm[n >> 3] >> (n & 7):
+            return True
+    return False
+
+
 def pack(fmt: int, win_bits: int, blk_bits: int, original_size: int,
          block_payloads: List[bytes],
          checksum: Optional[int] = None, warm: bool = False,
@@ -77,7 +86,10 @@ def pack(fmt: int, win_bits: int, blk_bits: int, original_size: int,
     whichever of fresh/warm coded smaller; block 0 is always fresh).
     ``anchor_mask`` (v3, FORMAT.md §3.2) adds the per-warm-block anchor
     choice bitmap; an all-zero mask packs as a plain v2 container."""
-    assert fmt in (SQZT_FORMAT_SQUEEZE, SQZT_FORMAT_SQZ4)
+    # real raises, not asserts: pack() is semi-public and must not emit
+    # malformed containers under python -O
+    if fmt not in (SQZT_FORMAT_SQUEEZE, SQZT_FORMAT_SQZ4):
+        raise ValueError(f"bad sqzt format code {fmt}")
     if anchor_mask is not None and not any(anchor_mask):
         anchor_mask = None   # canonical: v3 flag only when an anchor differs
     flags = (FLAG_CHECKSUM if checksum is not None else 0) \
@@ -93,11 +105,15 @@ def pack(fmt: int, win_bits: int, blk_bits: int, original_size: int,
         n = len(block_payloads)
         if fresh_mask is None:
             fresh_mask = [True] + [False] * (n - 1)
-        assert len(fresh_mask) == n and fresh_mask[0]
+        if len(fresh_mask) != n or not fresh_mask[0]:
+            raise ValueError("fresh mask must cover every block with "
+                             "block 0 fresh")
         tail += _bitmap(fresh_mask)
         if anchor_mask is not None:
-            assert len(anchor_mask) == n
-            assert all(not (a and f) for a, f in zip(anchor_mask, fresh_mask))
+            if len(anchor_mask) != n or any(
+                    a and f for a, f in zip(anchor_mask, fresh_mask)):
+                raise ValueError("anchor mask must cover every block and "
+                                 "only mark warm blocks")
             tail += _bitmap(anchor_mask)
     return head + table + tail + b"".join(block_payloads)
 
@@ -116,6 +132,21 @@ def unpack(blob: bytes) -> Tuple[int, int, int, int, List[bytes],
         "<8sBBBB4xQQ", blob, 0)
     if magic != SQZT_MAGIC:
         raise ValueError("bad sqzt magic")
+    # unpack() is THE untrusted-input validation point: the header fields
+    # flow into native code (1 << blk_bits block offsets, win_bits-sized
+    # dictionaries), so range-check everything here
+    if fmt not in (SQZT_FORMAT_SQUEEZE, SQZT_FORMAT_SQZ4):
+        raise ValueError(f"bad sqzt format code {fmt}")
+    if not 10 <= win_bits <= 15:
+        raise ValueError(f"bad sqzt win_bits {win_bits}")
+    if not 1 <= blk_bits <= 40:
+        raise ValueError(f"bad sqzt blk_bits {blk_bits}")
+    if flags & ~(FLAG_CHECKSUM | FLAG_WARM | FLAG_ANCHORS):
+        raise ValueError(f"unsupported sqzt flags 0x{flags:02x}")
+    if blob[12:16] != b"\0\0\0\0":
+        raise ValueError("nonzero reserved sqzt header bytes")
+    if nblocks != max(1, -(-osize // (1 << blk_bits))):
+        raise ValueError("sqzt block count does not match original size")
     off = SQZT_HEADER_BYTES
     if off + 8 * nblocks > len(blob):
         raise ValueError("truncated sqzt length table")
@@ -137,6 +168,8 @@ def unpack(blob: bytes) -> Tuple[int, int, int, int, List[bytes],
             raise ValueError("truncated sqzt fresh bitmap")
         bm = blob[off:off + nbm]
         off += nbm
+        if _bitmap_padding_set(bm, nblocks):
+            raise ValueError("nonzero padding bits in sqzt fresh bitmap")
         fresh_mask = [bool(bm[b >> 3] >> (b & 7) & 1) for b in range(nblocks)]
         if not fresh_mask or not fresh_mask[0]:
             raise ValueError("warm container: block 0 must be fresh")
@@ -145,10 +178,15 @@ def unpack(blob: bytes) -> Tuple[int, int, int, int, List[bytes],
                 raise ValueError("truncated sqzt anchor bitmap")
             am = blob[off:off + nbm]
             off += nbm
+            if _bitmap_padding_set(am, nblocks):
+                raise ValueError("nonzero padding bits in sqzt anchor bitmap")
             anchor_mask = [bool(am[b >> 3] >> (b & 7) & 1)
                            for b in range(nblocks)]
             if any(a and f for a, f in zip(anchor_mask, fresh_mask)):
                 raise ValueError("anchor bit set on a fresh block")
+            if not any(anchor_mask):
+                raise ValueError("anchor flag with an all-zero anchor "
+                                 "bitmap (canonical form is v2)")
     payloads = []
     for s in sizes:
         if off + s > len(blob):

@@ -208,3 +208,49 @@ def test_nyt_escape_of_present_symbol_rejected_all_engines():
         assert (so, sn, sj) == ("err", "err", "err"), (so, sn, sj)
     finally:
         _self.SIZE = size_was
+
+
+def test_forged_header_fields_rejected():
+    """unpack() is the untrusted-input validation point: forged header
+    fields that would flow into native block math (blk_bits), unknown
+    flags, reserved bytes, inconsistent block counts, and non-canonical
+    bitmap padding must all reject cleanly."""
+    import struct
+
+    import sqz_tpu
+    from sqz_tpu.formats import container
+
+    blob = sqz_tpu.compress(DATA, fmt="sqz4", engine="native", blocks=True,
+                            blk_bits=10, checksum=False)
+    container.unpack(blob)                       # sane baseline
+
+    def mutate(off, val):
+        m = bytearray(blob)
+        m[off] = val
+        return bytes(m)
+
+    for off, val in ((8, 9),      # fmt
+                     (9, 9),      # win_bits
+                     (10, 63),    # blk_bits (the OOB-write vector)
+                     (10, 11),    # blk_bits inconsistent with nblocks
+                     (11, 0x88),  # unknown flag bit
+                     (12, 1)):    # reserved byte
+        with pytest.raises(ValueError):
+            container.unpack(mutate(off, val))
+    # block count inconsistent with original size
+    m = bytearray(blob)
+    struct.pack_into("<Q", m, 24, 1)             # nblocks = 1 (real: 2)
+    with pytest.raises(ValueError):
+        container.unpack(bytes(m))
+    # warm bitmap padding bits must be zero
+    wblob = sqz_tpu.compress(DATA, fmt="sqz4", engine="native", blocks=True,
+                             blk_bits=10, warm=True, checksum=False)
+    *_, fresh, _anch = container.unpack(wblob)
+    nbm = (len(fresh) + 7) // 8
+    pad_off = len(wblob) - sum(
+        s for s in [len(p) for p in container.unpack(wblob)[4]]) - nbm
+    m = bytearray(wblob)
+    m[pad_off + nbm - 1] |= 0x80                 # bit past nblocks
+    if len(fresh) % 8:                           # only when padding exists
+        with pytest.raises(ValueError):
+            container.unpack(bytes(m))

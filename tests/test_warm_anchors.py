@@ -125,7 +125,7 @@ def test_resolve_anchors():
 
 def test_all_zero_anchor_mask_packs_as_v2():
     payloads = [b"x" * 10, b"y" * 10]
-    blob = container.pack(1, 15, 16, 20, payloads, warm=True,
+    blob = container.pack(1, 15, 16, (1 << 16) + 20, payloads, warm=True,
                           fresh_mask=[True, False],
                           anchor_mask=[False, False])
     *_, fresh, anch = container.unpack(blob)
