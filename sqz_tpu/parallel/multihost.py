@@ -32,13 +32,16 @@ import jax
 
 def bootstrap(coordinator_address: Optional[str] = None,
               num_processes: Optional[int] = None,
-              process_id: Optional[int] = None) -> None:
+              process_id: Optional[int] = None,
+              auto: bool = False) -> None:
     """Initialize jax.distributed for a multi-process run.
 
     No-op when neither arguments nor the standard environment
-    (JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID, or a
-    TPU-pod metadata server jax.distributed auto-detects) indicate one.
-    Safe to call twice (second call is ignored).
+    (JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID)
+    indicate one — UNLESS ``auto=True``, which calls
+    jax.distributed.initialize() with no arguments so a TPU-pod metadata
+    server can auto-detect the topology. Safe to call twice (the second
+    call is ignored).
     """
     coordinator_address = coordinator_address or os.environ.get(
         "JAX_COORDINATOR_ADDRESS")
@@ -46,15 +49,21 @@ def bootstrap(coordinator_address: Optional[str] = None,
         num_processes = int(os.environ["JAX_NUM_PROCESSES"])
     if process_id is None and "JAX_PROCESS_ID" in os.environ:
         process_id = int(os.environ["JAX_PROCESS_ID"])
-    if coordinator_address is None and num_processes is None:
+    if coordinator_address is None and num_processes is None and not auto:
         return                                     # single-process run
     try:
-        jax.distributed.initialize(
-            coordinator_address=coordinator_address,
-            num_processes=num_processes,
-            process_id=process_id)
+        if coordinator_address is None and num_processes is None:
+            jax.distributed.initialize()           # pod metadata detection
+        else:
+            jax.distributed.initialize(
+                coordinator_address=coordinator_address,
+                num_processes=num_processes,
+                process_id=process_id)
     except RuntimeError as e:                      # already initialized
-        if "already" not in str(e).lower():
+        # jax has raised both "...already initialized" and
+        # "distributed.initialize should only be called once."
+        msg = str(e).lower()
+        if "already" not in msg and "once" not in msg:
             raise
 
 
@@ -117,14 +126,16 @@ def gather_payloads_to_host0(local_blocks: Sequence[Tuple[int, bytes]],
         for b, p in local_blocks:
             out[b] = p
         missing = [i for i, p in enumerate(out) if p is None]
-        assert not missing, f"blocks missing from local shards: {missing[:4]}"
+        if missing:
+            raise ValueError(
+                f"blocks missing from local shards: {missing[:4]}")
         return out                                 # type: ignore[return-value]
 
     from jax.experimental import multihost_utils
 
     # fixed-shape exchange buffer: every process packs its blocks (sorted
     # by global index) into a byte row padded to the largest process load
-    my_ids, buf_row = pack_exchange_row(local_blocks)
+    my_ids, buf_row = pack_exchange_row(local_blocks, lens)
     counts = multihost_utils.process_allgather(
         np.array([my_ids.size, buf_row.size], np.int64))
     max_n, max_bytes = int(counts[:, 0].max()), int(counts[:, 1].max())
@@ -141,12 +152,22 @@ def gather_payloads_to_host0(local_blocks: Sequence[Tuple[int, bytes]],
 
 def pack_exchange_row(
         local_blocks: Sequence[Tuple[int, bytes]],
+        lens: Optional[np.ndarray] = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """One process's exchange row: (sorted global ids, concatenated payload
-    bytes in id order)."""
+    bytes in id order). ``lens`` (the replicated length table): each
+    payload is padded to its table length so the unpack side's offsets
+    stay aligned even when a block's bytes were clamped at the kernel
+    buffer (the oversized-warm-block case — those blocks are re-encoded
+    on host 0 afterwards, the exchange only has to keep neighbors intact)."""
     my_ids = np.array(sorted(b for b, _ in local_blocks), np.int64)
     by_id = dict(local_blocks)
-    buf = b"".join(by_id[int(b)] for b in my_ids)
+    if lens is not None:
+        lens = np.asarray(lens).reshape(-1)
+        buf = b"".join(by_id[int(b)].ljust(int(lens[b]), b"\0")[:int(lens[b])]
+                       for b in my_ids)
+    else:
+        buf = b"".join(by_id[int(b)] for b in my_ids)
     return my_ids, np.frombuffer(buf, np.uint8).copy()
 
 
@@ -165,5 +186,6 @@ def unpack_exchange_rows(all_ids: np.ndarray, all_buf: np.ndarray,
             out[int(b)] = all_buf[pr, off:off + n].tobytes()
             off += n
     missing = [i for i, p in enumerate(out) if p is None]
-    assert not missing, f"blocks missing from exchange: {missing[:4]}"
+    if missing:
+        raise ValueError(f"blocks missing from exchange: {missing[:4]}")
     return out                                     # type: ignore[return-value]

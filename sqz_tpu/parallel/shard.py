@@ -12,7 +12,7 @@ in-slice legs).
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 from typing import List, Sequence
 
 import jax
@@ -21,21 +21,18 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 try:  # jax >= 0.8
-    from jax import shard_map as _shard_map
+    from jax import shard_map
 except ImportError:  # pragma: no cover
-    from jax.experimental.shard_map import shard_map as _shard_map
+    from jax.experimental.shard_map import shard_map
 import inspect
 
-_VMA_KW = ("check_vma" if "check_vma" in inspect.signature(_shard_map).parameters
+_VMA_KW = ("check_vma" if "check_vma" in inspect.signature(shard_map).parameters
            else "check_rep")
-
-
-def shard_map(*args, **kwargs):
-    return _shard_map(*args, **kwargs)
 
 from sqz_tpu.ops.sqz4_jax import encode_scan_impl, microops_from_tokens, OP_PAD
 
 
+@lru_cache(maxsize=32)
 def sharded_encode_fn(mesh: Mesh, cap: int, with_state: bool = False):
     """jitted shard_map program: ops sharded by block → (payloads, lens,
     total_bytes) with lens all-gathered and the total psum-reduced.
@@ -98,6 +95,7 @@ def encode_blocks_sharded(token_lists: Sequence[list], blk_bits: int,
     return multihost.gather_payloads_to_host0(local, lens, B)
 
 
+@lru_cache(maxsize=32)
 def sharded_decode_fn(mesh: Mesh, out_cap: int, t_max: int, m_max: int):
     """shard_map program: payloads sharded by block → decoded bytes sharded
     by block, with the per-block error flags and produced lengths
@@ -165,6 +163,7 @@ def decode_blocks_sharded(payloads: Sequence[bytes], sizes: Sequence[int],
 
 # ----------------------------------------------- pallas kernels over a mesh
 
+@lru_cache(maxsize=32)
 def sharded_encode_pallas_fn(mesh: Mesh, cap_words: int, tc: int,
                              interpret: bool = False, wide: bool = False,
                              seeded: bool = False, fused: bool = False):
@@ -269,28 +268,40 @@ def encode_data_sharded_pallas(data: bytes, blk_bits: int, window: int,
 
 # ------------------------------------------- device-resident over a mesh
 
+@lru_cache(maxsize=32)
 def sharded_resident_fn(mesh: Mesh, Tt: int, Lw: int, t_max: int,
                         cap_words: int, interpret: bool, wide: bool,
-                        rle: bool):
+                        rle: bool, lanes: int):
     """shard_map program for the device-resident encode (ops/resident.py):
     each device parses and codes ITS OWN resident blocks — the
     distributed-checkpoint use case (sharded arrays compress in place,
     only payload bytes ever leave the devices; no reference counterpart,
     SURVEY.md §2.6). RLE mode uses the literal-worst-case step bound —
     the per-group pair count is not host-readable inside the jitted mesh
-    program."""
+    program. Each device loops lane groups of ``lanes`` blocks so one
+    kernel call's VMEM footprint stays bounded regardless of shard size
+    (the non-sharded path's grouping rule). Cached: jax.jit keys on
+    function identity, so a fresh closure per call would recompile every
+    checkpoint save."""
     from sqz_tpu.ops import resident
     from sqz_tpu.ops.sqz4_pallas import _encode_tok_pallas_call
 
     def local(blocks, lengths):
-        if rle:
-            toks, _pairs = resident._rle_tokens_from_blocks(
-                blocks, lengths, Tt)
-        else:
-            toks = resident._tokens_from_lengths(lengths, Tt)
-        lits = resident._pack_literal_words(blocks, Lw)
-        words, lens = _encode_tok_pallas_call(
-            toks, lits, t_max, cap_words, interpret, wide, lit_skip=rle)
+        words_g, lens_g = [], []
+        for g0 in range(0, blocks.shape[0], lanes):
+            grp = blocks[g0:g0 + lanes]
+            gln = lengths[g0:g0 + lanes]
+            if rle:
+                toks, _pairs = resident._rle_tokens_from_blocks(grp, gln, Tt)
+            else:
+                toks = resident._tokens_from_lengths(gln, Tt)
+            lits = resident._pack_literal_words(grp, Lw)
+            w, ln = _encode_tok_pallas_call(
+                toks, lits, t_max, cap_words, interpret, wide, lit_skip=rle)
+            words_g.append(w)
+            lens_g.append(ln)
+        words = jnp.concatenate(words_g, axis=0)
+        lens = jnp.concatenate(lens_g, axis=0)
         all_lens = jax.lax.all_gather(lens, "blocks", tiled=True)
         return words, all_lens
 
@@ -327,7 +338,7 @@ def encode_resident_sharded(data, blk_bits: int, mesh: Mesh,
     eargs = resident.encode_group_args(blk_bits, interpret=interpret)
     fn = sharded_resident_fn(mesh, Tt, Lw, eargs["t_max"],
                              eargs["cap_words"], interpret,
-                             eargs["wide"], mode == "rle")
+                             eargs["wide"], mode == "rle", lanes)
     words, lens = fn(blocks, jnp.asarray(lengths))
     lens_flat = np.asarray(lens)[:, 0, :].reshape(-1)
     if (lens_flat[:NB] > eargs["cap_words"] * 4).any():
@@ -337,19 +348,30 @@ def encode_resident_sharded(data, blk_bits: int, mesh: Mesh,
         lens_flat, NB)
 
 
+@lru_cache(maxsize=32)
 def sharded_resident_decode_fn(mesh: Mesh, Pw: int, t_max: int, lw: int,
                                tw: int, mw: int, bs: int, interpret: bool,
-                               wide: bool):
+                               wide: bool, lanes: int):
     """shard_map program for the device-resident RLE decode
     (ops/resident.decode_rle_group): each device decodes + assembles its
-    own block shards; bad-lane flags all-gather so every process sees
-    which (rare) blocks need the host fallback."""
+    own block shards in lane groups of ``lanes`` (one kernel call's VMEM
+    stays bounded regardless of shard size); bad-lane flags all-gather so
+    every process sees which (rare) blocks need the host fallback.
+    Cached for the same reason as sharded_resident_fn."""
     from sqz_tpu.ops import resident
 
     def local(buf, plens, sizes):
-        blocks, counts, bad = resident.decode_rle_group(
-            buf, plens, sizes, Pw=Pw, t_max=t_max, lw=lw, tw=tw, mw=mw,
-            bs=bs, interpret=interpret, wide=wide)
+        blocks_g, bad_g = [], []
+        per = plens.shape[0]
+        for g0 in range(0, per, lanes):
+            blocks, _counts, bad = resident.decode_rle_group(
+                buf[:, :, g0:g0 + lanes], plens[g0:g0 + lanes],
+                sizes[g0:g0 + lanes], Pw=Pw, t_max=t_max, lw=lw, tw=tw,
+                mw=mw, bs=bs, interpret=interpret, wide=wide)
+            blocks_g.append(blocks)
+            bad_g.append(bad)
+        blocks = jnp.concatenate(blocks_g, axis=0)
+        bad = jnp.concatenate(bad_g, axis=0)
         all_bad = jax.lax.all_gather(bad, "blocks", tiled=True)
         return blocks, all_bad
 
@@ -381,8 +403,8 @@ def decompress_resident_sharded(blob: bytes, mesh: Mesh, lanes: int = 128,
         return jnp.asarray(out.reshape(-1)[:osize])
     n = mesh.devices.size
     rows = max(n * lanes, -(-NB // (n * lanes)) * n * lanes)
-    per = rows // n                          # lanes per device shard
-    plan = sp.plan_decode_dispatch(per, blk_bits, lanes=per, slots=1,
+    per = rows // n                          # blocks per device shard
+    plan = sp.plan_decode_dispatch(lanes, blk_bits, lanes=lanes, slots=1,
                                    interpret=interpret)
     Pw = plan["Pw"]
     buf = np.zeros((n, Pw, per), np.uint32)
@@ -399,13 +421,17 @@ def decompress_resident_sharded(blob: bytes, mesh: Mesh, lanes: int = 128,
         over[g * per:g * per + per] = ov
     fn = sharded_resident_decode_fn(
         mesh, Pw, plan["t_max"], plan["lw"], plan["tw"], plan["mw"], bs,
-        interpret, blk_bits >= 15)
+        interpret, blk_bits >= 15, lanes)
     blocks, all_bad = fn(jnp.asarray(buf), jnp.asarray(plens),
                          jnp.asarray(sizes))
     bad_np = np.asarray(all_bad)[:NB] | over[:NB]
-    if bad_np.any():
-        fixed = np.array(blocks[:NB])
-        resident.host_decode_blocks(payloads, sizes_l,
-                                    np.nonzero(bad_np)[0], fixed)
-        return jnp.asarray(fixed).reshape(-1)[:osize]
+    bad_idx = np.nonzero(bad_np)[0]
+    if bad_idx.size:
+        # surgical per-block fallback: only the (rare) bad blocks cross
+        # the link, not the whole container
+        fix = np.zeros((bad_idx.size, bs), np.uint8)
+        resident.host_decode_blocks([payloads[i] for i in bad_idx],
+                                    [sizes_l[i] for i in bad_idx],
+                                    range(bad_idx.size), fix)
+        blocks = blocks.at[jnp.asarray(bad_idx)].set(jnp.asarray(fix))
     return blocks[:NB].reshape(-1)[:osize]
