@@ -246,6 +246,11 @@ def encode_blocks(token_lists: Sequence[list], blk_bits: int,
     buf, bitpos = _encode_scan(jnp.asarray(ops), cap, trees0)
     buf = np.asarray(buf)
     bitpos = np.asarray(bitpos)
+    if int(bitpos.max(initial=0)) > cap * 8:
+        # bits past cap were scatter-dropped: the payload is truncated
+        # (adaptive-Huffman worst case on adversarial data) — fail loudly
+        raise ValueError("compressed block exceeded the output capacity "
+                         "(ENOBUFS)")
     out = []
     for b in range(B):
         # flush pads with zero bits to a 64-bit word boundary (FORMAT.md §1.1)
@@ -321,8 +326,12 @@ def _decode_scan(payloads, plens, sizes, out_cap: int, t_max: int,
         lit = hj.insert(lit, jnp.where(is_nyt, raw, 0), is_nyt & ~nyt_dup)
         sym = jnp.where(is_nyt, raw, sym)
 
-        bad_sym = in_lit & (sym > SQUEEZE_LIT_NYT)
-        is_byte = in_lit & (sym <= 0xFF)
+        # sym < 0: the walk fell off a missing child (corrupt path);
+        # sym == 256: unused lit-tree index between literals and length
+        # codes — the oracle/native reject both
+        bad_sym = in_lit & ((sym < 0) | (sym == 0x100)
+                            | (sym > SQUEEZE_LIT_NYT))
+        is_byte = in_lit & ~bad_sym & (sym >= 0) & (sym <= 0xFF)
         out = out.at[bidx, jnp.where(is_byte, optr, out.shape[1] - 1)].set(
             jnp.where(is_byte, sym, 0).astype(jnp.uint8), mode="drop")
         optr = optr + is_byte.astype(optr.dtype)
@@ -343,7 +352,7 @@ def _decode_scan(payloads, plens, sizes, out_cap: int, t_max: int,
         pnyt_dup = p_nyt & (hj._gat(pos.pix, praw) != -1)
         pos = hj.insert(pos, jnp.where(p_nyt, praw, 0), p_nyt & ~pnyt_dup)
         pcode = jnp.where(p_nyt, praw, pcode)
-        bad_pos = in_pos & (pcode > SQUEEZE_POS_NYT)
+        bad_pos = in_pos & ((pcode < 0) | (pcode > SQUEEZE_POS_NYT))
         pc = jnp.clip(pcode, 0, 29)
         pxb = jnp.where(in_pos & ~bad_pos, pos_xb[pc], 0)
         pextra, bp = _read_bits(payloads, plens, bp, pxb, 13,
@@ -368,7 +377,11 @@ def _decode_scan(payloads, plens, sizes, out_cap: int, t_max: int,
         nstate = jnp.where(is_len, ST_POS, nstate)
         nstate = jnp.where(is_byte, ST_LIT, nstate)
         nstate = jnp.where(emit_ok, ST_LIT, nstate)
-        nstate = jnp.where(optr >= sizes + dlen, ST_DONE, nstate)
+        # ST_ERR is sticky: the completion transition must not resurrect
+        # an errored block on a later step (err recomputes false once the
+        # block is inactive)
+        nstate = jnp.where((optr >= sizes + dlen) & (state != ST_ERR),
+                           ST_DONE, nstate)
         nstate = jnp.where(err, ST_ERR, nstate)
 
         i32 = jnp.int32
@@ -430,8 +443,12 @@ def decode_blocks(payloads: Sequence[bytes], sizes: Sequence[int],
     m_used = int(np.asarray(mptr).max())
     m_pad = 1 << max(m_used - 1, 1).bit_length() if m_used else 0
     if m_pad:
+        # max DECODABLE length is 258 (len code 27 base 227 + 31 extra, or
+        # code 28 base 258): the encoder caps at 257 but the oracle/native
+        # decoders copy whatever the stream says — one short would leave a
+        # silent zero byte
         out = apply_matches(out, matches[:, :min(m_pad, m_max)],
-                            SQUEEZE_LEN_MAX)
+                            SQUEEZE_LEN_MAX + 1)
     out = np.asarray(out)
     optr = np.asarray(optr)
     for b, s in enumerate(sizes):

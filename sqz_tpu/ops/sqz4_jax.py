@@ -404,12 +404,18 @@ def encode_blocks(token_lists: Sequence[list], blk_bits: int,
             jnp.asarray(np.stack([x[2] for x in stats])), cap)
         payload = np.asarray(payload)
         lens = np.asarray(lens)
+        if int(lens.max(initial=0)) > cap:
+            raise ValueError("compressed block exceeded the output "
+                             "capacity (ENOBUFS)")
         return [payload[b, :lens[b]].tobytes() for b in range(B)]
     state = init_model_state(B, seeds) if seeds else None
     payload, lens = _encode_scan(jnp.asarray(m_ops), jnp.asarray(s_ops), cap,
                                  state)
     payload = np.asarray(payload)
     lens = np.asarray(lens)
+    if int(lens.max(initial=0)) > cap:
+        raise ValueError("compressed block exceeded the output capacity "
+                         "(ENOBUFS)")
     return [payload[b, :lens[b]].tobytes() for b in range(B)]
 
 
@@ -651,7 +657,7 @@ def decode_blocks(payloads: Sequence[bytes], sizes: Sequence[int],
     """``seed``/``dictionary``: warm start shared by ALL blocks in this
     call (the warm container's block 0 is decoded separately first)."""
     B = len(payloads)
-    P = max(max(len(p) for p in payloads), 8)
+    P = max(max((len(p) for p in payloads), default=0), 8)
     P = 1 << (P - 1).bit_length()   # bucket the padded width: one compile
     #                                 per size class, not per stream length
     buf = np.zeros((B, P), dtype=np.uint8)

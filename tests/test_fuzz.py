@@ -254,3 +254,29 @@ def test_forged_header_fields_rejected():
     if len(fresh) % 8:                           # only when padding exists
         with pytest.raises(ValueError):
             container.unpack(bytes(m))
+
+
+def test_unused_lit_symbol_256_rejected_all_engines():
+    """Symbol 256 sits between the literals and the length codes and is
+    never emitted by any encoder; a crafted NYT escape naming it must be
+    rejected by every engine (the device scan once clipped it to length
+    code 0 and mis-decoded)."""
+    from sqz_tpu.oracle.bitstream import BitWriter
+    from sqz_tpu.oracle.squeeze import _new_trees, _write_huffman
+    from sqz_tpu.formats.constants import SQUEEZE_LIT_NYT
+
+    bw = BitWriter()
+    lit, _pos = _new_trees()
+    _write_huffman(bw, lit, SQUEEZE_LIT_NYT)
+    bw.write_bits(256, 9)
+    bw.flush()
+    payload = bw.getvalue()
+    import test_fuzz as _self
+    size_was = _self.SIZE
+    try:
+        _self.SIZE = 4
+        results = tuple(_decode("squeeze", e, payload)[0]
+                        for e in ("oracle", "native", "device"))
+        assert results == ("err", "err", "err"), results
+    finally:
+        _self.SIZE = size_was
