@@ -74,10 +74,13 @@ def encode_data_pipelined(data: bytes, blk_bits: int, window: int, lz: bool,
     # ---- stage 1 (planner thread): plan one group at a time; a depth-2
     # queue keeps at most one planned-but-undispatched group in memory
     q: queue.Queue = queue.Queue(maxsize=2)
+    stop = threading.Event()                 # set on main-loop failure
 
     def planner():
         try:
             for g in range(G):
+                if stop.is_set():
+                    break
                 chunk = data[g * gbytes:(g + 1) * gbytes]
                 nb = max(1, -(-len(chunk) // bs))
                 if transport == "tok":
@@ -167,8 +170,9 @@ def encode_data_pipelined(data: bytes, blk_bits: int, window: int, lz: bool,
                                                      fused)
                 pending.append((g, nb, words, lens))
     except BaseException:
-        # unblock the planner (bounded queue) so the thread exits instead
-        # of pinning planned group buffers forever
+        # cancel + unblock the planner (bounded queue) so the thread exits
+        # after at most its current group instead of planning the rest
+        stop.set()
         while t.is_alive():
             try:
                 q.get(timeout=0.05)
@@ -262,10 +266,13 @@ def decode_data_pipelined(payloads, sizes, blk_bits: int, seed=None,
     nchunks = -(-len(order) // per)
 
     q: queue.Queue = queue.Queue(maxsize=2)
+    stop = threading.Event()                 # set on main-loop failure
 
     def packer():
         try:
             for c in range(nchunks):
+                if stop.is_set():
+                    break
                 chunk = sp_pl[c * per:(c + 1) * per]
                 buf, meta = sp.pack_decode_chunk(
                     chunk, sp_sz[c * per:(c + 1) * per], lanes, slots, Pw,
@@ -295,8 +302,9 @@ def decode_data_pipelined(payloads, sizes, blk_bits: int, seed=None,
                                     slots, seed_dev, fused)
             pending.append((c, nbc, res))
     except BaseException:
-        # unblock the packer (bounded queue) so it can run to completion
-        # instead of pinning a thread + packed chunk buffers forever
+        # cancel + unblock the packer (bounded queue) so the thread exits
+        # after at most its current chunk instead of packing the rest
+        stop.set()
         while t.is_alive():
             try:
                 q.get(timeout=0.05)

@@ -2685,18 +2685,22 @@ def plan_decode_dispatch(NB: int, blk_bits: int, lanes: int = 0,
 
 def decode_groups(payloads, sizes, blk_bits: int, interpret: bool = False,
                   slots: int = 0, lanes: int = 0,
-                  seed=None, dictionary: bytes = b""):
+                  seed=None, dictionary: bytes = b"", block_ids=None):
     """payloads: list of NB payload byte strings; sizes: original lengths.
 
     ``seed``/``dictionary`` (sqzt v2 warm start, FORMAT.md §3.1): the model
     seed and shared preset history ALL blocks in this call were coded with
     (the warm container's block 0 is decoded on the host first and is not
-    part of this call)."""
+    part of this call). ``block_ids``: the caller's original index per
+    block, used in error messages (defaults to positions)."""
     from sqz_tpu import native
     if blk_bits > 16:
         raise ValueError("sqz4 TPU kernels support blk_bits <= 16")
     warm = seed is not None
     NB = len(payloads)
+    if NB == 0:
+        return []
+    ids = list(block_ids) if block_ids is not None else list(range(NB))
     bs = 1 << blk_bits
     plan = plan_decode_dispatch(NB, blk_bits, lanes, slots, interpret)
     lanes, slots = plan["lanes"], plan["slots"]
@@ -2719,7 +2723,8 @@ def decode_groups(payloads, sizes, blk_bits: int, interpret: bool = False,
                         p, sizes[b], seed=seed, dictionary=dictionary)
         sub = decode_groups([payloads[b] for b in keep],
                             [sizes[b] for b in keep], blk_bits, interpret,
-                            slots, lanes, seed, dictionary) if keep else []
+                            slots, lanes, seed, dictionary,
+                            block_ids=[ids[b] for b in keep])
         outs = [None] * NB
         for i, b in enumerate(keep):
             outs[b] = sub[i]
@@ -2765,7 +2770,7 @@ def decode_groups(payloads, sizes, blk_bits: int, interpret: bool = False,
         counts = np.asarray(counts)
     outs = postprocess_decode(lit, tok, mrec, counts, payloads, sizes, bs,
                               seed=seed, dictionary=dictionary,
-                              block_ids=order)
+                              block_ids=[ids[b] for b in order])
     unsorted = [None] * NB
     for pos, b in enumerate(order):
         unsorted[b] = outs[pos]
