@@ -31,7 +31,12 @@ def _load() -> Optional[ctypes.CDLL]:
     with _lock:
         if _lib is not None or _build_error is not None:
             return _lib
-        if not _SO.exists() or _SO.stat().st_mtime < (_DIR / "sqz_native.cpp").stat().st_mtime:
+        src_cpp = _DIR / "sqz_native.cpp"
+        # a prebuilt .so without the source alongside (binary wheel) is fine
+        stale = (src_cpp.exists()
+                 and _SO.exists()
+                 and _SO.stat().st_mtime < src_cpp.stat().st_mtime)
+        if not _SO.exists() or stale:
             try:
                 subprocess.run(["make", "-C", str(_DIR)], check=True,
                                capture_output=True, text=True)
@@ -146,6 +151,12 @@ def squeeze_decompress(blob: bytes) -> bytes:
     lib = _load()
     src = np.frombuffer(blob, dtype=np.uint8)
     size = _peek_squeeze_size(blob)
+    # the claimed size is untrusted: every decoded byte costs >= 2 bits
+    # per <= 258-byte match token, so a valid stream cannot expand past
+    # ~1032x — reject instead of np.empty()ing an attacker-chosen size
+    if size > max(len(blob), 16) * 1032:
+        raise ValueError("squeeze header size exceeds the provable "
+                         "expansion bound (EILSEQ)")
     out = np.empty(max(size, 1), dtype=np.uint8)
     rc = _check(lib.sqz_squeeze_decompress(_u8(src), len(blob), 1, 0,
                                            _u8(out), out.size))
@@ -172,6 +183,14 @@ def sqz4_decompress(blob: bytes) -> bytes:
     if blob[:8] != SQZ4_MAGIC:
         raise ValueError("bad squeeze4 magic")
     size = int.from_bytes(blob[8:16], "little")
+    # no provable expansion bound exists for the range coder (adaptive
+    # models make token cost sub-bit asymptotically), so cap the
+    # untrusted header size at an operational limit instead of
+    # allocating whatever a crafted container claims
+    limit = int(os.environ.get("SQZ_MAX_DECODE_BYTES", 1 << 40))
+    if size > limit:
+        raise ValueError(f"claimed size {size} exceeds the decode limit "
+                         f"({limit}; raise SQZ_MAX_DECODE_BYTES)")
     return sqz4_decompress_payload(blob[16:], size)
 
 
@@ -195,7 +214,8 @@ def _seed4_in(seed):
         return None
     flat = getattr(seed, "flat", seed)
     a = np.ascontiguousarray(flat, dtype=np.uint32)
-    assert a.size == SEED4_WORDS
+    if a.size != SEED4_WORDS:   # native reads exactly this many words
+        raise ValueError(f"sqz4 seed must be {SEED4_WORDS} u32 words")
     return a
 
 
@@ -213,7 +233,8 @@ def _treeseed_in(seed):
     else:
         flat = seed
     a = np.ascontiguousarray(flat, dtype=np.int64)
-    assert a.size == TREE_SEED_WORDS
+    if a.size != TREE_SEED_WORDS:
+        raise ValueError(f"tree seed must be {TREE_SEED_WORDS} i64 words")
     return a
 
 
@@ -430,6 +451,9 @@ def blocks_decompress(payloads: List[bytes], total_size: int, fmt: int,
     np.cumsum(sizes[:-1], out=offsets[1:]) if len(payloads) > 1 else None
     src = np.frombuffer(flat, dtype=np.uint8) if flat else np.zeros(1, np.uint8)
     out = np.empty(max(total_size, 1), dtype=np.uint8)
+    if warm and len(fresh_mask) != len(payloads):
+        raise ValueError("fresh mask must cover every block "
+                         "(native reads one flag per block)")
     fl = (np.asarray([1 if f else 0 for f in fresh_mask], dtype=np.uint8)
           if warm else None)
     i64p = ctypes.POINTER(ctypes.c_int64)

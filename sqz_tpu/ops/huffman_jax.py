@@ -136,6 +136,9 @@ def _update_freq(tree: Tree, i: jax.Array, active: jax.Array) -> Tree:
 
 # frame kinds on the restructure stack
 _FC, _MU = 0, 1
+# bound: the trees freeze at depth 63 (huffman.h:222-234, mirrored by the
+# oracle), an FC frame pushes at most one MU continuation per ancestor
+# level plus its own resume, so live frames never exceed ~2*63 + 2 << 256
 STACK_DEPTH = 256
 
 
@@ -164,8 +167,7 @@ def _run_stack(tree: Tree, seed_i: jax.Array, seed_active: jax.Array) -> Tree:
         return stack, sp + do.astype(sp.dtype)
 
     def cond(st):
-        _, sp = st[1], st[2]
-        return jnp.any(st[2] > 0)
+        return jnp.any(st[2] > 0)   # any frames pending on any lane
 
     def body(st):
         tree, stack, sp = st
@@ -267,8 +269,8 @@ def insert(tree: Tree, sym: jax.Array, active: jax.Array) -> Tree:
     nix = jnp.where(at_leaf, tree.nxt - 1, 0)
     tree = tree._replace(nxt=jnp.where(at_leaf, tree.nxt - 1, tree.nxt))
     opix = _gat(tree.pix, ipx)
-    tree = tree._replace(
-        freq=_sca(tree.freq, nix, _gat(tree.freq, ipx), at_leaf))
+    # freq[nix] is fully recomputed by _update_freq below (the oracle's
+    # pre-copy only feeds its update_paths, which this port does not keep)
     tree = tree._replace(lix=_sca(tree.lix, nix, ipx, at_leaf))
     tree = tree._replace(pix=_sca(tree.pix, nix, opix, at_leaf))
     # re-point the old parent's child edge at the new internal node
