@@ -70,6 +70,13 @@ def compress(data: bytes, fmt: Format | str = Format.SQUEEZE,
         raise ValueError(f"win_bits {win_bits} outside 10..15")
     if warm not in (False, True, "anchors"):
         raise ValueError(f"warm must be bool or 'anchors', got {warm!r}")
+    if blocks and not 1 <= blk_bits <= 40:
+        # unpack() rejects anything else — never emit an undecodable blob
+        raise ValueError(f"blk_bits {blk_bits} outside 1..40")
+    if not blocks and parse not in (None, "auto"):
+        raise ValueError("parse applies to sqzt containers (blocks=True); "
+                         "raw reference streams are always exact-parse "
+                         "(FORMAT.md §1.5)")
     if blocks:
         parts = sqzt.split_blocks(data, blk_bits)
         warm = warm if len(parts) > 1 else False
@@ -193,11 +200,14 @@ def _compress_blocks(parts, fmt, engine, win_bits, lz, warm=False,
     host_parse = _host_parse(parse, engine)
     if engine is not Engine.NATIVE or (fmt is Format.SQZ4 and not lz):
         host_parse = "exact"   # the fast matcher is native-only
-    if engine is Engine.NATIVE and warm:
-        # the native threaded executor runs the whole warm schedule itself
+    if engine is Engine.NATIVE:
+        # the native threaded executor handles both the cold batch and
+        # the whole warm schedule (per-block seeded/fresh pick) itself —
+        # byte-identical to the per-block loop below, block-parallel on
+        # many-core hosts
         code = 0 if fmt is Format.SQUEEZE else 1
         return _native().blocks_compress(b"".join(parts), code, win_bits,
-                                         blk_bits, lz=lz, warm=True,
+                                         blk_bits, lz=lz, warm=bool(warm),
                                          parse=host_parse)
     seed = None
     dictionary = b""
@@ -234,7 +244,7 @@ def _compress_blocks(parts, fmt, engine, win_bits, lz, warm=False,
 def compress_resident(data, blk_bits: int = 16, mode: str = "rle",
                       checksum: bool = False,
                       interpret: bool = False, mesh=None,
-                      lanes: int = 128) -> bytes:
+                      lanes: int = None) -> bytes:
     """Compress bytes OR a device-resident 1-D uint8 array into a
     standard ``sqzt`` container via the zero-host-planning resident path
     (ops/resident.py): literal-only reference HEAD semantics
@@ -250,24 +260,30 @@ def compress_resident(data, blk_bits: int = 16, mode: str = "rle",
 
     ``mesh``: a jax.sharding.Mesh — blocks shard over it and every
     device parses + codes its own shards in parallel
-    (parallel/shard.encode_resident_sharded); ``lanes`` is the
-    per-device lane-group width. In a multi-process mesh only process 0
-    receives the container (returns None elsewhere).
+    (parallel/shard.encode_resident_sharded). ``lanes``: the lane-group
+    width per kernel call (per-device under a mesh); None = the path's
+    default. In a multi-process mesh only process 0 receives the
+    container (returns None elsewhere).
     """
     import os as _os
 
     from sqz_tpu.ops import resident
+    if not 1 <= blk_bits <= 16:
+        raise ValueError("resident paths support blk_bits 1..16 "
+                         "(sqz4 TPU kernel range)")
     interpret = interpret or _os.environ.get(
         "SQZ_RESIDENT_INTERPRET") == "1"    # off-TPU testing hook
     if mesh is not None:
         from sqz_tpu.parallel.shard import encode_resident_sharded
         payloads = encode_resident_sharded(data, blk_bits, mesh, mode,
-                                           lanes, interpret)
+                                           lanes or 128, interpret)
         if payloads is None:                # non-zero process of the mesh
             return None
     else:
-        payloads = resident.encode_resident_blocks(data, blk_bits, mode,
-                                                   interpret=interpret)
+        from sqz_tpu.ops import sqz4_pallas as _sp
+        payloads = resident.encode_resident_blocks(
+            data, blk_bits, mode, lanes=lanes or _sp.ENC_LANES,
+            interpret=interpret)
     if isinstance(data, (bytes, bytearray, memoryview)):
         raw = bytes(data)
         osize = len(raw)
@@ -285,7 +301,7 @@ def compress_resident(data, blk_bits: int = 16, mode: str = "rle",
 
 
 def decompress_resident(blob: bytes, interpret: bool = False, mesh=None,
-                        lanes: int = 128):
+                        lanes: int = None):
     """Restore path for compress_resident: decode an sqzt sqz4 container
     to a DEVICE-RESIDENT 1-D uint8 array — the standard decode kernel
     plus a three-pass on-device cell assembly (ops/resident.py), so
@@ -307,8 +323,10 @@ def decompress_resident(blob: bytes, interpret: bool = False, mesh=None,
         "SQZ_RESIDENT_INTERPRET") == "1"
     if mesh is not None:
         from sqz_tpu.parallel.shard import decompress_resident_sharded
-        return decompress_resident_sharded(blob, mesh, lanes, interpret)
-    return resident.decompress_resident(blob, interpret=interpret)
+        return decompress_resident_sharded(blob, mesh, lanes or 128,
+                                           interpret)
+    return resident.decompress_resident(blob, lanes=lanes or 512,
+                                        interpret=interpret)
 
 
 def decompress(blob: bytes, fmt: Optional[Format | str] = None,
@@ -325,12 +343,15 @@ def decompress(blob: bytes, fmt: Optional[Format | str] = None,
             data = tpu_engine.decompress_blocks(payloads, sizes, fmt, fresh,
                                                 win_bits, anchor_mask=anch,
                                                 blk_bits=blk_bits)
-        elif engine is Engine.NATIVE and warm and anch is None:
-            # the native threaded executor handles the v2 (block-0 anchor)
-            # schedule itself; v3 runs the anchored python schedule below
+        elif engine is Engine.NATIVE and anch is None:
+            # the native threaded executor handles the cold batch and the
+            # v2 (block-0 anchor) schedule itself; v3 runs the anchored
+            # python schedule below
             code = 0 if fmt is Format.SQUEEZE else 1
             data = _native().blocks_decompress(list(payloads), osize, code,
-                                               blk_bits, fresh_mask=fresh,
+                                               blk_bits,
+                                               fresh_mask=fresh if warm
+                                               else None,
                                                win_bits=win_bits)
         elif warm:
             data = _decompress_anchored(payloads, sizes, fmt, engine,
@@ -343,6 +364,10 @@ def decompress(blob: bytes, fmt: Optional[Format | str] = None,
             raise ValueError("sqzt checksum mismatch (EILSEQ)")
         return data
     # single-block reference containers
+    if engine is Engine.TPU:
+        # mirror compress(): the tpu engine operates on sqzt containers;
+        # silently substituting native here would misreport the engine
+        raise ValueError("tpu engine requires an sqzt container")
     if fmt is None:
         fmt = Format.SQZ4 if blob[:8] == b"squeeze4" else Format.SQUEEZE
     fmt = Format(fmt)

@@ -57,8 +57,12 @@ def texty(n: int, seed: int = 0) -> bytes:
              b"dog", b"compression", b"squeeze", b"window", b"huffman"]
     parts = []
     size = 0
-    while size < n:
+    # size counts a separator per word but join emits k-1 of them, so the
+    # joined text is size-1 bytes: run until it covers n exactly
+    while size - 1 < n:
         w = words[int(rng.integers(0, len(words)))]
         parts.append(w)
         size += len(w) + 1
-    return b" ".join(parts)[:n]
+    out = b" ".join(parts)[:n]
+    assert len(out) == n
+    return out
