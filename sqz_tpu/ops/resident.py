@@ -211,6 +211,52 @@ def _rle_tokens_from_blocks(blocks, lengths, Tt: int):
             | (fnb.astype(U32) << 9) | (fdist.astype(U32) << 16))
     cell_tok = jnp.where(farok, ftok, cell_tok)
     matched = matched | farok
+    # generic far cell dedup (nonzero contents): a full cell identical to
+    # an earlier LITERAL full cell within 255 cells copies it with the
+    # same cell-aligned-dist token. The resident decoder fills such cells
+    # from its pass-2 literal preplacement at the SOURCE cell and
+    # verifies out[c] == out[src] after assembly, so sources must decode
+    # as literal cells: restricting sources to the EARLIEST non-matched
+    # occurrence of each content guarantees it — a source that were
+    # itself a far copy would need an earlier identical eligible cell,
+    # contradicting earliest. Candidates come from a keyed u32
+    # fingerprint; emission is gated on an exact byte compare (one-hot
+    # MXU gather), so a fingerprint collision only costs a missed match.
+    eligible = fullsrc & ~matched
+    kw = ((np.arange(CELL, dtype=np.uint64) * 0x9E3779B1 + 1)
+          & 0xFFFFFFFF).astype(np.uint32)
+    fp = jnp.sum(cells.astype(U32) * jnp.asarray(kw)[None, None, :],
+                 axis=2)                                    # [B, C] u32
+    cf = cells.astype(jnp.float32)
+    c_s = jnp.arange(C, dtype=I32)
+    BIGC = C + 1
+    CH = min(64, C)
+    src_chunks, ver_chunks = [], []
+    for c0 in range(0, C, CH):
+        n = min(CH, C - c0)
+        out_i = c_s[c0:c0 + n]
+        ok = ((fp[:, c0:c0 + n, None] == fp[:, None, :])
+              & eligible[:, None, :]
+              & (c_s[None, None, :] < out_i[None, :, None]))
+        cand = jnp.where(ok, c_s[None, None, :], BIGC)
+        src_c = jnp.min(cand, axis=2)                       # [B, n]
+        sel = (src_c[:, :, None] == c_s[None, None, :]).astype(jnp.float32)
+        got = jnp.einsum("bks,bsw->bkw", sel, cf,
+                         preferred_element_type=jnp.float32)
+        ver_chunks.append(jnp.all(got == cf[:, c0:c0 + n, :], axis=2))
+        src_chunks.append(src_c)
+    dsrc = jnp.concatenate(src_chunks, axis=1)              # [B, C]
+    dver = jnp.concatenate(ver_chunks, axis=1)
+    kd = c - dsrc
+    dupok = full & ~matched & dver & (kd >= 1) & (kd <= 255)
+    ddist = jnp.where(dupok, kd * CELL, 0)
+    dnb = jnp.zeros_like(ddist)
+    for i in range(16):
+        dnb = dnb + (ddist >= (1 << i)).astype(I32)
+    dtok = (jnp.asarray(CELL | (1 << 8), U32)
+            | (dnb.astype(U32) << 9) | (ddist.astype(U32) << 16))
+    cell_tok = jnp.where(dupok, dtok, cell_tok)
+    matched = matched | dupok
     isrun = matched & full
     cell_tok = jnp.where(isrun, cell_tok, jnp.asarray(CELL, U32))
     nfull = lengths.astype(I32) // CELL
@@ -430,28 +476,29 @@ def _preplace_literal_cells(litw, islit, C: int):
     return pre.transpose(0, 2, 1).astype(jnp.uint8)           # [C, B, CELL]
 
 
-def _fill_cells(pre, ismatch, dist):
+def _fill_cells(pre, ismatch, dist, farfill):
     """Pass 3: resolve periodic fills cell-by-cell (a match cell's bytes
     derive from the previous OUTPUT cell's tail — an inherent chain, but
     only C steps of [B, CELL] work). dist is a power of two <= CELL, so
     each candidate fill is a static tile + select; far cell-aligned
-    dists (> CELL) are zero-cell copies by the encoder's construction —
-    filled with zeros here, then VERIFIED against the assembled source
-    cell by decode_rle_group (mismatch -> host fallback)."""
+    dists (> CELL) take ``farfill`` — the pass-2 literal preplacement at
+    the source cell (zeros when the source is not a literal cell, which
+    covers the zero-rule copies) — then decode_rle_group VERIFIES
+    out[c] == out[src] after assembly (mismatch -> host fallback)."""
     B = pre.shape[1]
 
     def step(prev, xs):
-        pre_c, ism, d = xs
+        pre_c, ism, d, far_c = xs
         fill = pre_c
         for dc in RLE_DISTS:
             tiled = jnp.tile(prev[:, CELL - dc:], (1, CELL // dc))
             fill = jnp.where((d == dc)[:, None], tiled, fill)
-        fill = jnp.where((d > CELL)[:, None], jnp.zeros_like(pre_c), fill)
+        fill = jnp.where((d > CELL)[:, None], far_c, fill)
         out = jnp.where(ism[:, None], fill, pre_c)
         return out, out
 
     zero = jnp.zeros((B, CELL), pre.dtype)
-    _, out = jax.lax.scan(step, zero, (pre, ismatch, dist))
+    _, out = jax.lax.scan(step, zero, (pre, ismatch, dist, farfill))
     return out                                                # [C, B, CELL]
 
 
@@ -482,16 +529,25 @@ def decode_rle_group(buf, plens, sizes, Pw: int, t_max: int, lw: int,
     active = (c_i[:, None] * CELL) < sizes[None, :].astype(I32)
     islit = active & ~ism
     pre = _preplace_literal_cells(lit[0], islit, C)
-    out = _fill_cells(pre, ism, dist)                         # [C, B, CELL]
-    # far zero-cell copies were filled with zeros on the ASSUMPTION the
-    # source cell is zero (true for every encoder in this repo); verify
-    # it exactly against the assembled output — a foreign stream with a
-    # nonzero cell-aligned copy flags bad and decodes on the host
     isfar = ism & (dist > CELL)
-    zc = jnp.all(out == 0, axis=2)                            # [C, B]
     src = jnp.clip(c_i[:, None] - dist // CELL, 0, C - 1)     # [C, B]
-    srczero = _gather_cells(src, zc.astype(jnp.float32)[:, None, :])
-    bad = bad | jnp.any(isfar & (srczero[:, 0, :] < 0.5), axis=0)
+    # far cell-aligned copies fill from the preplacement at the SOURCE
+    # cell — its final bytes when the source is literal (the encoder's
+    # dedup rule guarantees that), zeros otherwise (the zero-rule case:
+    # pre[] of any non-literal cell is zeros by the preplace mask)
+    pre_f = pre.transpose(0, 2, 1).astype(jnp.float32)        # [C, CELL, B]
+    farfill = _gather_cells(src, pre_f, mask=isfar)
+    farfill = farfill.transpose(0, 2, 1).astype(jnp.uint8)    # [C, B, CELL]
+    out = _fill_cells(pre, ism, dist, farfill)                # [C, B, CELL]
+    # far fills ASSUMED the source assembles to exactly those bytes (true
+    # for this repo's encoder); verify out[c] == out[src] exactly — by
+    # induction over cell index, a passing verify implies spec-correct
+    # bytes (the copy's mandated content IS the assembled source cell)
+    # even for foreign streams; any mismatch decodes on the host
+    out_f = out.transpose(0, 2, 1).astype(jnp.float32)        # [C, CELL, B]
+    got = _gather_cells(src, out_f, mask=isfar)
+    mism = jnp.any(got != out_f, axis=1)                      # [C, B]
+    bad = bad | jnp.any(isfar & mism, axis=0)
     blocks = out.transpose(1, 0, 2).reshape(B, bs)
     pos = jax.lax.broadcasted_iota(I32, (B, bs), 1)
     blocks = jnp.where(pos < sizes[:, None].astype(I32), blocks,

@@ -61,23 +61,44 @@ def test_resident_roundtrip_on_device():
 
 
 def _cell_parse_tokens(blk: bytes):
-    """Reference reconstruction of the resident periodic cell parse: one
-    ("match", 128, d) per full 128-byte cell that continues a period-d
-    repeat (smallest d in RLE_DISTS wins), literal tokens elsewhere."""
+    """Reference reconstruction of the resident cell parse, rule for
+    rule: per full 128-byte cell, (1) a period-d repeat (smallest d in
+    RLE_DISTS wins) -> ("match", 128, d); (2) an all-zero cell copies the
+    nearest previous all-zero full cell within 255 cells; (3) a cell
+    identical to the EARLIEST eligible (non-rule-1/2) occurrence of its
+    content within 255 cells copies it (generic dedup); else literals.
+    The partial tail cell is always literal."""
     toks = []
     C = resident.CELL
     n = len(blk)
+    lastz = None
+    earliest = {}
     i = 0
     while i < n:
         cell = blk[i:i + C]
-        d_hit = None
+        ci = i // C
+        dist = None
         if i >= C and len(cell) == C:
             for d in resident.RLE_DISTS:
                 if all(blk[j] == blk[j - d] for j in range(i, i + C)):
-                    d_hit = d
+                    dist = d
                     break
-        if d_hit is not None:
-            toks.append(("match", C, d_hit))
+        if len(cell) == C:
+            iszero = cell == bytes(C)
+            if (dist is None and iszero and lastz is not None
+                    and ci - lastz <= 255 and ci > 0):
+                dist = (ci - lastz) * C
+            if iszero:
+                lastz = ci
+            eligible = dist is None        # pre-dedup state, as on device
+            if dist is None:
+                e = earliest.get(cell)
+                if e is not None and 1 <= ci - e <= 255 and ci > 0:
+                    dist = (ci - e) * C
+            if eligible and cell not in earliest:
+                earliest[cell] = ci
+        if dist is not None:
+            toks.append(("match", C, dist))
         else:
             toks += [("lit", b) for b in cell]
         i += C
@@ -96,6 +117,15 @@ def _rle_cases():
         b"abcd" * 256,                                 # 4-byte pattern
         (text[:32] * 40)[:1024],                       # period 32
         b"ab" * 100 + b"abc" * 200 + b"\0" * 224,      # mixed periods
+        # generic dedup: repeated nonzero cells at k >= 2 (k == 1 is
+        # periodic d=128); A B C A D A layout exercises earliest-source
+        text[:384] + text[:128] + text[384:512] + text[:128] +
+        text[512:768],
+        # dedup where the first occurrence is itself periodic: A A B A
+        text[:128] * 2 + text[128:256] + text[:128] + text[256:768],
+        # dedup mixed with far zero cells and a partial tail
+        text[:128] + bytes(128) + text[128:256] + bytes(128) +
+        text[128:256] + text[:100],
     ]
 
 
@@ -387,30 +417,27 @@ def test_rle_far_zero_cell_copy_roundtrip():
     assert np.asarray(out).tobytes() == data
 
 
-def test_rle_far_copy_nonzero_source_flags_bad():
-    """The resident decoder ASSUMES far cell-aligned copies are zero and
-    verifies the assembled source cell; a (foreign) stream whose far
-    copy has NONZERO content must flag bad and decode via the host
-    fallback — never silently wrong."""
+def _craft_cell_stream(cells: np.ndarray, cell_kinds):
+    """Hand-pack a cell-parsed sqz4 payload through the token kernel:
+    cell_kinds[i] is None (literal cell) or a dist (far copy token)."""
     import jax.numpy as jnp
 
-    import sqz_tpu
-    from sqz_tpu.formats import container as sqzt
-    from sqz_tpu.formats.constants import SQZT_FORMAT_SQZ4
     from sqz_tpu.ops import sqz4_pallas as sp
-    rng = np.random.default_rng(4)
-    bs = 1024
-    cells = rng.integers(1, 256, size=(8, 128), dtype=np.uint8)
-    cells[3] = cells[1]                # nonzero cell copy, dist 2*128
-    data = cells.reshape(-1).tobytes()
+    nc = cells.shape[0]
+    bs = nc * 128
     B = 128
     blocks = np.zeros((B, bs), np.uint8)
-    blocks[0] = np.frombuffer(data, np.uint8)
+    blocks[0] = cells.reshape(-1)
     toks = np.zeros((1, 96, B), np.uint32)
-    lit = np.uint32(128)
-    far = np.uint32(128 | (1 << 8) | (9 << 9) | (256 << 16))
-    toks[0, :9, 0] = [lit, lit, lit, far, lit, lit, lit, lit,
-                      np.uint32(0x1FF)]
+    row = []
+    for k in cell_kinds:
+        if k is None:
+            row.append(128)
+        else:
+            nb = int(k).bit_length()
+            row.append(128 | (1 << 8) | (nb << 9) | (k << 16))
+    row.append(0x1FF)
+    toks[0, :len(row), 0] = row
     lits = resident._pack_literal_words(jnp.asarray(blocks),
                                         max(96, bs // 4))
     cap_words = resident.rle_group_args(10)["cap_words"]
@@ -418,21 +445,98 @@ def test_rle_far_copy_nonzero_source_flags_bad():
                                         cap_words, True, False,
                                         lit_skip=True)
     lens_np = np.asarray(lens)
-    payloads = sp.unpack_group_payloads(
+    return sp.unpack_group_payloads(
         sp.fetch_words_trimmed(words, lens_np), lens_np, 1)
-    assert native.sqz4_decompress_payload(payloads[0], bs) == data
+
+
+def _decode_rle_one(payloads, bs):
+    import jax.numpy as jnp
+
+    from sqz_tpu.ops import sqz4_pallas as sp
     plan = sp.plan_decode_dispatch(128, 10, lanes=128, slots=1,
                                    interpret=True)
     buf, plens, szs, _over = resident.pack_payload_group(
         payloads, [bs], plan["Pw"], 128)
-    _blocks, _counts, bad = resident.decode_rle_group(
+    return resident.decode_rle_group(
         jnp.asarray(buf), jnp.asarray(plens), jnp.asarray(szs),
         Pw=plan["Pw"], t_max=plan["t_max"], lw=plan["lw"], tw=plan["tw"],
         mw=plan["mw"], bs=bs, interpret=True, wide=False)
+
+
+def test_rle_far_copy_literal_source_assembles_on_device():
+    """A (foreign) far cell-aligned copy of a nonzero LITERAL cell is
+    exactly what the generic-dedup encoder emits: the device fills it
+    from the source preplacement, the out[c] == out[src] verify passes,
+    and no host fallback happens."""
+    rng = np.random.default_rng(4)
+    bs = 1024
+    cells = rng.integers(1, 256, size=(8, 128), dtype=np.uint8)
+    cells[3] = cells[1]                # nonzero cell copy, dist 2*128
+    data = cells.reshape(-1).tobytes()
+    payloads = _craft_cell_stream(
+        cells, [None, None, None, 256, None, None, None, None])
+    assert native.sqz4_decompress_payload(payloads[0], bs) == data
+    blocks, _counts, bad = _decode_rle_one(payloads, bs)
+    assert not bool(np.asarray(bad)[0])
+    assert np.asarray(blocks)[0].tobytes() == data
+
+
+def test_rle_far_copy_nonliteral_source_flags_bad():
+    """The resident decoder fills far copies from the source cell's
+    literal preplacement — zeros when the source is NOT a literal cell.
+    A foreign stream far-copying a nonzero PERIODIC cell therefore fails
+    the out[c] == out[src] verify, flags bad, and decodes via the host
+    fallback — never silently wrong."""
+    import sqz_tpu
+    from sqz_tpu.formats import container as sqzt
+    from sqz_tpu.formats.constants import SQZT_FORMAT_SQZ4
+    rng = np.random.default_rng(5)
+    bs = 1024
+    cells = rng.integers(1, 256, size=(8, 128), dtype=np.uint8)
+    cells[1] = cells[0]                # cell 1: periodic d=128, nonzero
+    cells[3] = cells[1]                # far copy of the PERIODIC cell
+    data = cells.reshape(-1).tobytes()
+    payloads = _craft_cell_stream(
+        cells, [None, 128, None, 256, None, None, None, None])
+    assert native.sqz4_decompress_payload(payloads[0], bs) == data
+    _blocks, _counts, bad = _decode_rle_one(payloads, bs)
     assert bool(np.asarray(bad)[0])
     blob = sqzt.pack(SQZT_FORMAT_SQZ4, 15, 10, bs, payloads, None)
     out = sqz_tpu.decompress_resident(blob, interpret=True)
     assert np.asarray(out).tobytes() == data   # host fallback exact
+
+
+def test_rle_generic_dedup_roundtrip_and_ratio():
+    """Duplicated nonzero rows (the checkpoint pad-row / repeated-
+    quantized-row pattern): the encoder emits far dedup tokens, the
+    resident restore assembles them on-device, and the ratio beats the
+    dedup-free parse."""
+    import jax.numpy as jnp
+
+    import sqz_tpu
+    rng = np.random.default_rng(6)
+    bs = 1024
+    cells = rng.integers(1, 256, size=(8, 128), dtype=np.uint8)
+    cells[4] = cells[0]                # k=4 dup
+    cells[6] = cells[0]                # earliest source stays cell 0
+    cells[7] = cells[2]                # second content group
+    data = cells.reshape(-1).tobytes()
+    toks, _pairs = resident._rle_tokens_from_blocks(
+        jnp.asarray(np.frombuffer(data, np.uint8).reshape(1, bs)),
+        jnp.asarray(np.asarray([bs], np.int32)), 96)
+    t = np.asarray(toks)[0, :, 0]
+    assert t[4] == (128 | (1 << 8) | (10 << 9) | (512 << 16)), hex(t[4])
+    assert t[6] == (128 | (1 << 8) | (10 << 9) | (768 << 16)), hex(t[6])
+    assert t[7] == (128 | (1 << 8) | (10 << 9) | (640 << 16)), hex(t[7])
+    payloads = resident.encode_rle_blocks(data, 10, lanes=128,
+                                          interpret=True)
+    assert native.sqz4_decompress_payload(payloads[0], bs) == data
+    blob = sqz_tpu.compress_resident(data, blk_bits=10, interpret=True)
+    out = sqz_tpu.decompress_resident(blob, interpret=True)
+    assert np.asarray(out).tobytes() == data
+    lit = resident.encode_literal_blocks(data, 10, lanes=128,
+                                         interpret=True)
+    assert sum(len(p) for p in payloads) < sum(len(p) for p in lit)
 
 
 def test_cli_ckpt_save_load_roundtrip(tmp_path, monkeypatch):
