@@ -29,11 +29,15 @@ window = 1 << 15
 # mixed content: corpus text/binaries + zero spans + periodic spans —
 # every cell-parse decision class appears
 base = b"".join(f.read_bytes() for f in corpus.available_corpus())
+rng = np.random.default_rng(9)
+duprows = rng.integers(1, 256, size=(64, 1024), dtype=np.uint8)
+duprows[16:24] = duprows[0]          # repeated nonzero rows -> far dedup
+duprows[40:48] = duprows[2]
 chunks = []
 while sum(len(c) for c in chunks) < n_bytes:
     chunks += [base[:1 << 20], bytes(1 << 19), b"abcd" * (1 << 16),
                corpus.texty(1 << 18, seed=len(chunks)),
-               (base[:8192] * 64)[:1 << 19]]
+               (base[:8192] * 64)[:1 << 19], duprows.tobytes()]
 data = b"".join(chunks)[:n_bytes]
 NB = -(-len(data) // bs)
 parts = [data[o:o + bs] for o in range(0, len(data), bs)]
