@@ -46,6 +46,7 @@ def _input_bytes(n: int) -> bytes:
 def main() -> None:
     # defaults = the BASELINE.md config: 64 KiB independent blocks; 32 MiB
     # of tiled corpus fills one 512-lane kernel group per direction
+    t_wall0 = time.perf_counter()
     n_bytes = int(os.environ.get("SQZ_BENCH_BYTES", 32 * 1024 * 1024))
     blk_bits = int(os.environ.get("SQZ_BENCH_BLK_BITS", 16))
     lz = os.environ.get("SQZ_BENCH_LZ", "1") == "1"
@@ -242,14 +243,29 @@ def main() -> None:
     # metric from being emitted. The core round-trip asserts above remain
     # fatal — a broken core metric is meaningless.
     fails: list = []
+    skipped: list = []
     extra: dict = {}
+    # global wall-clock budget: the driver runs this unattended at the end
+    # of every round; secondary sections that would push past the budget
+    # are skipped (recorded in "skipped_sections") so the JSON always lands
+    deadline = t_wall0 + float(os.environ.get("SQZ_BENCH_DEADLINE", "480"))
 
     def _section(name, fn):
+        if time.perf_counter() > deadline:
+            skipped.append(name)
+            print(f"# SECTION SKIPPED [{name}]: past "
+                  f"SQZ_BENCH_DEADLINE", file=sys.stderr)
+            return
+        t0 = time.perf_counter()
         try:
             fn()
         except Exception as e:                       # noqa: BLE001
             fails.append(f"{name}: {type(e).__name__}: {e}")
             print(f"# SECTION FAILED [{name}]: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+        finally:
+            print(f"# [{name}] {time.perf_counter() - t0:.1f}s "
+                  f"(total {time.perf_counter() - t_wall0:.1f}s)",
                   file=sys.stderr)
 
     # ---- shipping encode path: fast parse + pipelined engine (bounded
@@ -608,6 +624,8 @@ def main() -> None:
     result.update({k: v for k, v in extra.items() if not k.startswith("_")})
     if fails:
         result["failed_sections"] = fails
+    if skipped:
+        result["skipped_sections"] = skipped
     print(json.dumps(result))
 
 
