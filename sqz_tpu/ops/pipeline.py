@@ -214,11 +214,18 @@ def decode_data_pipelined(payloads, sizes, blk_bits: int, seed=None,
                           dictionary: bytes = b"",
                           interpret: bool = False,
                           lanes: int = 0, slots: int = 0) -> List[bytes]:
-    """Pipelined mirror of sqz4_pallas.decode_groups: a packer thread
-    packs chunk k+1's payload words while the device decodes chunk k, and
-    the host assembles chunk k's records while later chunks still compute
-    (async dispatch). Outputs are identical to decode_groups — chunking
-    only batches dispatches; blocks are independent (SURVEY §2.6).
+    """Whole-container device decode. DEFAULT: delegate to
+    sqz4_pallas.decode_groups — measured FASTER than the threaded packer
+    on this host (PERF.md round 4: 10.5 vs 8.4 MB/s at 128 MiB).
+    decode_groups already overlaps everything that matters here: one
+    native pack pass, async chunk dispatches, and per-chunk trimmed
+    downloads + assembly draining while later chunks compute. The
+    threaded variant's only additional overlap is the pack stage
+    (~0.7 s/128 MiB) against real thread contention on the host stages;
+    SQZ_DEC_PIPE=thread selects it for many-core hosts.
+
+    Outputs are identical either way — chunking only batches dispatches;
+    blocks are independent (SURVEY §2.6).
 
     ``seed``/``dictionary``: warm-start state ALL blocks in this call
     were coded with (FORMAT.md §3.1/§3.2 — callers batch per anchor)."""
@@ -229,8 +236,10 @@ def decode_data_pipelined(payloads, sizes, blk_bits: int, seed=None,
     if blk_bits > 16:
         raise ValueError("sqz4 TPU kernels support blk_bits <= 16")
     NB = len(payloads)
-    if not native.available() or NB == 0:
+    threaded = os.environ.get("SQZ_DEC_PIPE", "serial") == "thread"
+    if not threaded or not native.available() or NB == 0:
         return sp.decode_groups(payloads, sizes, blk_bits, interpret,
+                                lanes=lanes, slots=slots,
                                 seed=seed, dictionary=dictionary)
     bs = 1 << blk_bits
     warm = seed is not None
@@ -289,6 +298,20 @@ def decode_data_pipelined(payloads, sizes, blk_bits: int, seed=None,
     seed_dev = (jnp.asarray(sp._dec_seed_table(seed, slots, lanes))
                 if warm else None)
     pending = []
+    outs_sorted: List[bytes] = []
+
+    def _drain_one():
+        # trimmed device-transposed download + host assembly of the
+        # OLDEST dispatched chunk — runs while later chunks still
+        # compute (async dispatch) and the packer packs the next one
+        c, nbc, res = pending.pop(0)
+        lt, tt, mt, cnt = sp.fetch_decode_host(res)
+        outs_sorted.extend(sp.postprocess_decode(
+            lt, tt, mt, cnt, sp_pl[c * per:c * per + nbc],
+            sp_sz[c * per:c * per + nbc], bs, seed=seed,
+            dictionary=dictionary, transposed=True,
+            block_ids=order[c * per:c * per + nbc]))
+
     try:
         while True:
             item = q.get()
@@ -301,6 +324,8 @@ def decode_data_pipelined(payloads, sizes, blk_bits: int, seed=None,
                                     t_max, lw, tw, mw, interpret, wide,
                                     slots, seed_dev, fused)
             pending.append((c, nbc, res))
+            if len(pending) >= 2:    # keep one chunk in flight on-device
+                _drain_one()
     except BaseException:
         # cancel + unblock the packer (bounded queue) so the thread exits
         # after at most its current chunk instead of packing the rest
@@ -312,14 +337,8 @@ def decode_data_pipelined(payloads, sizes, blk_bits: int, seed=None,
                 pass
         raise
 
-    outs_sorted: List[bytes] = []
-    for c, nbc, res in pending:
-        lit, tok, mrec, counts = (np.asarray(x) for x in res)
-        outs_sorted.extend(sp.postprocess_decode(
-            lit, tok, mrec, counts, sp_pl[c * per:c * per + nbc],
-            sp_sz[c * per:c * per + nbc], bs, seed=seed,
-            dictionary=dictionary,
-            block_ids=order[c * per:c * per + nbc]))
+    while pending:
+        _drain_one()
     t.join()
     outs = [None] * NB
     for pos, b in enumerate(order):

@@ -533,6 +533,43 @@ def fetch_payloads_compact(words, lens_np: np.ndarray, nb: int,
             for b in range(nb)]
 
 
+# ------------------------------------------------ decode output downloads
+
+_DEC_TRIM_BUCKET = 2048   # coarse so the jit shape variants stay few
+
+
+@partial(jax.jit, static_argnums=(3, 4, 5))
+def _dec_outputs_T(lit, tok, mrec, lr: int, tr: int, mr: int):
+    return (lit[:, :lr, :].transpose(0, 2, 1),
+            tok[:, :tr, :].transpose(0, 2, 1),
+            mrec[:, :mr, :].transpose(0, 2, 1))
+
+
+def fetch_decode_host(res, trim: bool = True):
+    """Download one decode dispatch's record streams, transposed to
+    lane-major ON DEVICE (the host transposes otherwise cost about as
+    much as the transfers themselves) and trimmed to the used rows from
+    the counts rows (nlit/ntok/nmatch — the buffers are sized for the
+    worst legal block, so the rectangle download otherwise dominates the
+    tunnel time; PERF.md round 4). Trim rows bucket to 2048 to bound jit
+    shape variants. Returns ([g, lanes, Wl] lit, [g, lanes, Wt] tok,
+    [g, lanes, Wm] mrec, [g, 8, lanes] counts) numpy arrays for
+    postprocess_decode(..., transposed=True)."""
+    lit, tok, mrec, counts = res
+    cnt = np.asarray(counts)   # small download; also the dispatch fence
+
+    def _rows(used, W):
+        if not trim:
+            return W
+        r = -(-max(int(used), 1) // _DEC_TRIM_BUCKET) * _DEC_TRIM_BUCKET
+        return min(W, r)
+
+    lr = _rows((int(cnt[:, 1, :].max(initial=0)) + 3) // 4, lit.shape[1])
+    tr = _rows(int(cnt[:, 2, :].max(initial=0)) // 32 + 2, tok.shape[1])
+    mr = _rows(int(cnt[:, 3, :].max(initial=0)), mrec.shape[1])
+    lt, tt, mt = _dec_outputs_T(lit, tok, mrec, lr, tr, mr)
+    return np.asarray(lt), np.asarray(tt), np.asarray(mt), cnt
+
 
 # ------------------------------------------------- self-contained encoder
 
@@ -2745,10 +2782,12 @@ def decode_groups(payloads, sizes, blk_bits: int, interpret: bool = False,
     wide = warm or blk_bits >= 15
     fused = os.environ.get("SQZ_DEC_FUSED", "1") == "1"
     seed_tab = _dec_seed_table(seed, G, lanes) if warm else None
+    sort_ids = [ids[b] for b in order]
     if plan["chunked"]:
         # one group already fills VMEM (64 KiB blocks at 512 lanes): a
         # multi-group grid cannot double-buffer, so dispatch grid-1 calls
         # per group chunk — async dispatch keeps the device saturated
+        # while each earlier chunk's trimmed download + assembly drains
         chunks = [_decode_pallas(jnp.asarray(buf[g:g + slots]),
                                  jnp.asarray(meta[g:g + slots]),
                                  t_max, lw, tw, mw, interpret,
@@ -2756,21 +2795,24 @@ def decode_groups(payloads, sizes, blk_bits: int, interpret: bool = False,
                                  jnp.asarray(seed_tab[g:g + slots])
                                  if warm else None, fused)
                   for g in range(0, G, slots)]
-        lit, tok, mrec, counts = (
-            np.concatenate([np.asarray(c[k]) for c in chunks])
-            for k in range(4))
+        per = lanes * slots
+        outs = []
+        for c, res in enumerate(chunks):
+            lt, tt, mt, cnt = fetch_decode_host(res)
+            outs.extend(postprocess_decode(
+                lt, tt, mt, cnt, payloads[c * per:(c + 1) * per],
+                sizes[c * per:(c + 1) * per], bs, seed=seed,
+                dictionary=dictionary, transposed=True,
+                block_ids=sort_ids[c * per:(c + 1) * per]))
     else:
-        lit, tok, mrec, counts = _decode_pallas(
+        res = _decode_pallas(
             jnp.asarray(buf), jnp.asarray(meta), t_max, lw, tw, mw,
             interpret, wide, slots,
             jnp.asarray(seed_tab) if warm else None, fused)
-        lit = np.asarray(lit)
-        tok = np.asarray(tok)
-        mrec = np.asarray(mrec)
-        counts = np.asarray(counts)
-    outs = postprocess_decode(lit, tok, mrec, counts, payloads, sizes, bs,
-                              seed=seed, dictionary=dictionary,
-                              block_ids=[ids[b] for b in order])
+        lt, tt, mt, cnt = fetch_decode_host(res)
+        outs = postprocess_decode(lt, tt, mt, cnt, payloads, sizes, bs,
+                                  seed=seed, dictionary=dictionary,
+                                  transposed=True, block_ids=sort_ids)
     unsorted = [None] * NB
     for pos, b in enumerate(order):
         unsorted[b] = outs[pos]
@@ -2810,25 +2852,33 @@ def pack_decode_chunk(payloads, sizes, lanes: int, groups: int, Pw: int,
 
 def postprocess_decode(lit, tok, mrec, counts, payloads, sizes, bs,
                        seed=None, dictionary: bytes = b"",
-                       block_ids=None):
+                       block_ids=None, transposed: bool = False):
     """Post-kernel host stage for one decode dispatch (or a concatenation):
-    [g, W, lanes] record arrays -> per-block output bytes (lane-major block
-    order). Validates error lanes, falls back to the host codec for
-    pathological overflow blocks, and assembles the rest. Shared by
-    decode_groups and the pipelined decoder (ops/pipeline.py).
-    ``block_ids``: the caller's original block index per position — error
-    messages report these, so a corrupt block is identifiable through the
-    straggler sort and chunking."""
+    record arrays -> per-block output bytes (lane-major block order).
+    Validates error lanes, falls back to the host codec for pathological
+    overflow blocks, and assembles the rest. Shared by decode_groups and
+    the pipelined decoder (ops/pipeline.py).
+    ``transposed``: lit/tok/mrec are [g, lanes, W] (fetch_decode_host —
+    the device did the transpose); default is the raw [g, W, lanes]
+    kernel layout. ``block_ids``: the caller's original block index per
+    position — error messages report these, so a corrupt block is
+    identifiable through the straggler sort and chunking."""
     from sqz_tpu import native
     nb = len(payloads)
-    g, lanes = lit.shape[0], lit.shape[2]
-    litb = np.ascontiguousarray(
-        lit.transpose(0, 2, 1).reshape(g * lanes, -1))[:nb]
+    if transposed:
+        g, lanes = lit.shape[0], lit.shape[1]
+        litb = lit.reshape(g * lanes, -1)[:nb]
+        tokb = tok.reshape(g * lanes, -1)[:nb]
+        mrecb = mrec.reshape(g * lanes, -1)[:nb]
+    else:
+        g, lanes = lit.shape[0], lit.shape[2]
+        litb = np.ascontiguousarray(
+            lit.transpose(0, 2, 1).reshape(g * lanes, -1))[:nb]
+        tokb = np.ascontiguousarray(
+            tok.transpose(0, 2, 1).reshape(g * lanes, -1))[:nb]
+        mrecb = np.ascontiguousarray(
+            mrec.transpose(0, 2, 1).reshape(g * lanes, -1))[:nb]
     litu8 = litb.astype(">u4").view(np.uint8).reshape(nb, -1)
-    tokb = np.ascontiguousarray(
-        tok.transpose(0, 2, 1).reshape(g * lanes, -1))[:nb]
-    mrecb = np.ascontiguousarray(
-        mrec.transpose(0, 2, 1).reshape(g * lanes, -1))[:nb]
     cnt = counts.transpose(0, 2, 1).reshape(g * lanes, 8)[:nb]
     optr, ntoks, err, ovf = cnt[:, 0], cnt[:, 2], cnt[:, 4], cnt[:, 6]
     szs_np = np.asarray(sizes, dtype=np.int64)

@@ -20,7 +20,16 @@ pytestmark = pytest.mark.skipif(not native.available(),
 NB, BS = 130, 32                               # 2 chunks at lanes=128
 
 
-def test_pipelined_decode_matches_decode_groups():
+@pytest.fixture(params=["serial", "thread"])
+def dec_pipe_mode(request, monkeypatch):
+    """Both decode_data_pipelined modes: the default decode_groups
+    delegation (measured faster on this host, PERF.md round 4) and the
+    threaded packer (SQZ_DEC_PIPE=thread, for many-core hosts)."""
+    monkeypatch.setenv("SQZ_DEC_PIPE", request.param)
+    return request.param
+
+
+def test_pipelined_decode_matches_decode_groups(dec_pipe_mode):
     data = bytes(load("laozi.txt"))[:NB * BS]
     payloads = native.blocks_compress(data, 1, 10, 5)
     sizes = [BS] * NB
@@ -32,7 +41,7 @@ def test_pipelined_decode_matches_decode_groups():
     assert b"".join(got) == data
 
 
-def test_pipelined_decode_seeded_chunks():
+def test_pipelined_decode_seeded_chunks(dec_pipe_mode):
     """Warm batches (one seed/dictionary for every block in the call) go
     through the same chunked path."""
     raw = bytes(load("confucius.txt"))[:(NB + 1) * BS]
@@ -52,7 +61,7 @@ def test_pipelined_decode_seeded_chunks():
     assert b"".join(got) == b"".join(blocks)
 
 
-def test_pipelined_decode_corrupt_block_raises():
+def test_pipelined_decode_corrupt_block_raises(dec_pipe_mode):
     data = bytes(load("laozi.txt"))[:NB * BS]
     payloads = native.blocks_compress(data, 1, 10, 5)
     bad = list(payloads)
@@ -64,7 +73,7 @@ def test_pipelined_decode_corrupt_block_raises():
                                        interpret=True, lanes=128, slots=1)
 
 
-def test_pipelined_decode_all_payloads_oversized():
+def test_pipelined_decode_all_payloads_oversized(dec_pipe_mode):
     """Every payload past the kernel's stream buffer (the pathological
     warm-expansion rule): the pipelined path must return the host-decoded
     blocks instead of dispatching an empty chunk. Oversize is forced by
