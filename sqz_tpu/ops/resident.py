@@ -348,17 +348,29 @@ def encode_resident_blocks(data, blk_bits: int, mode: str = "rle",
     """Resident-path encode of bytes or a (device) u8 array to per-block
     sqz4 payloads. ``mode``: 'lit' = literal-only (reference HEAD
     semantics, fully plan-free); 'rle' = the device periodic cell parse
-    on top of it. The only downloads are the payload bytes (and one i32
-    step bound in 'rle' mode)."""
+    on top of it; 'lz' = the bounded general-content device matcher
+    (ops/lzparse.py — sort-based exact-gram candidates + chained
+    extension). The only downloads are the payload bytes (and one i32
+    step bound in 'rle'/'lz' modes)."""
     if blk_bits > 16:
         raise ValueError("sqz4 TPU kernels support blk_bits <= 16")
-    if mode not in ("lit", "rle"):
+    if mode not in ("lit", "rle", "lz"):
         raise ValueError(f"unknown resident mode {mode!r}")
     if mode == "rle" and (1 << blk_bits) < CELL:
         mode = "lit"    # blocks smaller than a cell: no matches possible
+    from sqz_tpu.ops import lzparse
+    if mode == "lz" and (1 << blk_bits) < lzparse.SEG:
+        mode = "lit"    # blocks smaller than one parse segment
+    if mode == "lz" and blk_bits >= 16:
+        # the token slot array (bs/4 u32 per lane) + raw literal words +
+        # output buffer must fit the kernel's VMEM budget: 256 lanes at
+        # 64 KiB blocks (~51 MB); 512 lanes fit at blk_bits <= 15
+        lanes = min(lanes, 256)
     blocks, lengths, NB, _n = _prep_blocks(data, blk_bits, lanes)
     if mode == "rle":
         gargs = rle_group_args(blk_bits, cap, interpret)
+    elif mode == "lz":
+        gargs = lzparse.lz_group_args(blk_bits, cap, interpret)
     else:
         gargs = encode_group_args(blk_bits, cap, interpret)
     payloads: list = []
@@ -367,6 +379,9 @@ def encode_resident_blocks(data, blk_bits: int, mode: str = "rle",
         glen = lengths[g0:g0 + lanes]
         if mode == "rle":
             words, lens = encode_rle_group(grp, jnp.asarray(glen), **gargs)
+        elif mode == "lz":
+            words, lens = lzparse.encode_lz_group(grp, jnp.asarray(glen),
+                                                  **gargs)
         else:
             words, lens = encode_literal_group(grp, jnp.asarray(glen),
                                                **gargs)

@@ -1,0 +1,87 @@
+"""Bounded on-device LZ matcher (ops/lzparse.py): general content parses
+INTO spec-valid sqz4 token streams entirely on the device — candidates by
+value sort, extension by agreement chaining, segment-greedy parse, token
+compaction by sort. Contract (FORMAT.md §3): round-trip + ratio, NOT
+decision parity with the host matchers."""
+
+import numpy as np
+import pytest
+
+import sqz_tpu
+from sqz_tpu import native
+from sqz_tpu.ops import lzparse, resident
+from sqz_tpu.utils import corpus
+
+pytestmark = pytest.mark.skipif(not native.available(),
+                                reason="native runtime not built")
+
+
+def _mixed(n: int) -> bytes:
+    text = corpus.texty(n, seed=5)
+    rng = np.random.default_rng(5)
+    rnd = rng.integers(0, 256, n // 4, dtype=np.uint8).tobytes()
+    return (text[:n // 2] + b"\x00" * (n // 8) + b"abcd" * (n // 16)
+            + rnd)[:n]
+
+
+def test_lz_resident_roundtrip_all_decoders():
+    data = _mixed(6 * 512 + 123)            # tail block shorter than bs
+    blob = sqz_tpu.compress_resident(data, blk_bits=9, mode="lz",
+                                     interpret=True)
+    assert sqz_tpu.decompress(blob, engine="native") == data
+    assert sqz_tpu.decompress(blob, engine="oracle") == data
+
+
+def test_lz_beats_literal_only_on_repetitive_content():
+    data = (corpus.texty(2048, seed=1) * 3)[:4096]
+    lz = resident.encode_resident_blocks(data, 10, mode="lz",
+                                         interpret=True)
+    lit = resident.encode_resident_blocks(data, 10, mode="lit",
+                                          interpret=True)
+    parts = [data[o:o + 1024] for o in range(0, len(data), 1024)]
+    for b, p in enumerate(lz):
+        assert native.sqz4_decompress_payload(p, len(parts[b])) == parts[b]
+    assert sum(map(len, lz)) < 0.9 * sum(map(len, lit))
+
+
+def test_lz_token_budget_demotes_to_literal():
+    import jax.numpy as jnp
+    rng = np.random.default_rng(3)
+    # incompressible block: every position becomes a literal-run token
+    # boundary only at 255-splits, but a tiny Tt still can't hold a
+    # match-heavy worst case — force it with alternating 4-grams
+    blk = (b"abcdwxyz" * 64)[:512]
+    arr = np.zeros((8, 512), np.uint8)
+    arr[0] = np.frombuffer(blk, np.uint8)
+    arr[1] = rng.integers(0, 256, 512, dtype=np.uint8)
+    lens = np.full((8,), 512, np.int32)
+    toks, lits, pairs, demote = lzparse.lz_plan_device(
+        jnp.asarray(arr), jnp.asarray(lens), Tt=4)
+    dem = np.asarray(demote)
+    assert dem.any(), "tiny token budget must demote some lane"
+    lit_toks = resident._tokens_from_lengths(jnp.asarray(lens), 4)[0]
+    got = np.asarray(toks)[0].transpose(1, 0)
+    want = np.asarray(lit_toks).transpose(1, 0)
+    for i in np.nonzero(dem)[0]:
+        assert np.array_equal(got[i], want[i])
+
+
+def test_lz_blocks_smaller_than_segment_fall_back_to_literal():
+    data = corpus.texty(700, seed=2)
+    got = resident.encode_resident_blocks(data, 7, mode="lz",
+                                          interpret=True)
+    want = resident.encode_resident_blocks(data, 7, mode="lit",
+                                           interpret=True)
+    assert got == want
+
+
+def test_lz_matches_are_exact_on_adversarial_near_repeats():
+    # near-periodic content where a sloppy (fingerprint-trusting) parse
+    # would emit wrong matches: period-4 runs with single-byte edits
+    base = bytearray(b"abcd" * 256)
+    for i in range(13, 1024, 97):
+        base[i] ^= 0x55
+    data = bytes(base) * 2
+    blob = sqz_tpu.compress_resident(data, blk_bits=10, mode="lz",
+                                     interpret=True)
+    assert sqz_tpu.decompress(blob, engine="native") == data
