@@ -161,14 +161,22 @@ def _host_parse(parse: str, engine) -> str:
 
 def _compress_anchored(parts, fmt, engine, win_bits, lz, beam,
                        parse="auto"):
-    """sqzt v3 planner entry (FORMAT.md §3.2). The beam planner prices
-    real payload encodes, so it runs on a host engine; per-block payloads
-    are engine-bit-identical (the cross-engine invariant), hence a TPU
-    caller gets byte-identical containers from the native fast path (the
-    device-batched anchored encode is ROADMAP work). ``parse``: the TPU
-    engine defaults to the ~5x-cheaper bounded matcher for pricing AND
-    payloads (still engine-bit-identical — both run the same native
-    code); host engines default to exact."""
+    """sqzt v3 planner entry (FORMAT.md §3.2). The beam planner runs on
+    a host engine; per-block payloads are engine-bit-identical (the
+    cross-engine invariant), hence a TPU caller gets byte-identical
+    containers from the native fast path. ``parse``: the TPU engine
+    defaults to the ~5x-cheaper bounded matcher for pricing AND payloads
+    (still engine-bit-identical — both run the same native code); host
+    engines default to exact.
+
+    Beam costs are priced with a PREFIX-encode proxy (first
+    SQZ_ANCHOR_PRICE_PREFIX bytes, default 4 KiB; 0 = exact full-block
+    pricing): only each block's chosen variant is fully encoded, making
+    the planner ~encode-speed instead of 2-3 encodes per block
+    (VERDICT r3 #5; quality delta measured on the warm_anchor_lab
+    corpora, tools/warm_anchor_lab.py --proxy)."""
+    import os
+
     from sqz_tpu import native
     from sqz_tpu.formats.anchors import plan_anchored
     enc_engine = engine
@@ -178,11 +186,17 @@ def _compress_anchored(parts, fmt, engine, win_bits, lz, beam,
     if enc_engine is not Engine.NATIVE or (fmt is Format.SQZ4 and not lz):
         use_parse = "exact"   # the fast matcher is native-only
     encode_one = _encoder_for(fmt, enc_engine, win_bits, lz, parse=use_parse)
+    pfx = int(os.environ.get("SQZ_ANCHOR_PRICE_PREFIX", str(4096)))
+    price_one = None
+    if pfx > 0 and max(len(p) for p in parts) > pfx:
+        def price_one(p, seed, dictionary):
+            return len(encode_one(p[:pfx], seed, dictionary, False))
     from sqz_tpu.formats.constants import warm_gate_mask
     return plan_anchored(parts, encode_one,
                          lambda blk: _warm_dictionary(blk, win_bits),
                          beam=beam,
-                         gate_of=lambda d: warm_gate_mask(parts, d))
+                         gate_of=lambda d: warm_gate_mask(parts, d),
+                         price_one=price_one)
 
 
 def _compress_blocks(parts, fmt, engine, win_bits, lz, warm=False,

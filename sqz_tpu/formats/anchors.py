@@ -33,6 +33,7 @@ def plan_anchored(parts: List[bytes], encode_one: Callable,
                   dictionary_of: Callable[[bytes], bytes],
                   beam: int = 4,
                   gate_of: Optional[Callable[[bytes], List[bool]]] = None,
+                  price_one: Optional[Callable] = None,
                   ) -> Tuple[List[bytes], List[bool], List[bool]]:
     """Beam-DP over anchor evolutions.
 
@@ -51,6 +52,16 @@ def plan_anchored(parts: List[bytes], encode_one: Callable,
     VERDICT r2 #5): when given, warm encodes against an anchor are only
     priced for blocks whose content overlaps that anchor's dictionary —
     hopeless seeded passes are skipped, never changing the fresh bound.
+
+    ``price_one(part, seed, dictionary) -> number`` (VERDICT r3 #5):
+    cheap cost proxy for the beam (e.g. a prefix encode). When given,
+    the DP compares proxy prices and only the CHOSEN variant of each
+    block is really encoded — ~1 full encode per block instead of 2-3.
+    Anchor model states still come from real fresh encodes, but only
+    for anchors a surviving beam actually references. The plan quality
+    bound moves from exact to proxy-exact (measured <=0.1 pp on the
+    warm_anchor_lab corpora at a 4 KiB prefix, tools/warm_anchor_lab.py);
+    the recorded container stays self-describing either way.
     """
     if beam < 1:
         raise ValueError("anchor beam width must be >= 1")
@@ -87,27 +98,47 @@ def plan_anchored(parts: List[bytes], encode_one: Callable,
             wcache[(b, a)] = encode_one(parts[b], state[a], dicts[a], False)
         return wcache[(b, a)]
 
+    # candidate prices for the DP: real payload bytes, or the proxy when
+    # price_one is given (proxy-to-proxy comparisons only — never mix)
+    pcache = {}
+
+    def price_warm(b: int, a: int):
+        if price_one is None:
+            return len(warm_of(b, a))
+        if (b, a) not in pcache:
+            fresh_of(a)             # the anchor state is always real
+            pcache[(b, a)] = price_one(parts[b], state[a], dicts[a])
+        return pcache[(b, a)]
+
+    def price_fresh(b: int):
+        if price_one is None:
+            return len(fresh_of(b))
+        if (b, -1) not in pcache:
+            pcache[(b, -1)] = price_one(parts[b], None, b"")
+        return pcache[(b, -1)]
+
     # beams: anchor index -> (total cost, back-pointer chain)
     # back-pointer chain: tuple of (choice, anchor_bit) per block 1..b,
     # kept as an immutable linked list (prev, entry) to stay O(1) to extend
-    beams = {0: (len(cold[0]), None)}
+    beams = {0: (price_fresh(0), None)}
     for b in range(1, n):
         nxt = {}
         for a, (cost, path) in beams.items():
-            w0 = warm_of(b, 0) if gated(b, 0) else None
-            wa = (warm_of(b, a) if gated(b, a) else None) if a != 0 else w0
+            w0 = price_warm(b, 0) if gated(b, 0) else None
+            wa = (price_warm(b, a) if gated(b, a) else None) \
+                if a != 0 else w0
             # warm: strictly-better nearest wins the bit, else block 0
-            if wa is not None and (w0 is None or len(wa) < len(w0)):
-                wcost, wbit = cost + len(wa), True
+            if wa is not None and (w0 is None or wa < w0):
+                wcost, wbit = cost + wa, True
             elif w0 is not None:
-                wcost, wbit = cost + len(w0), False
+                wcost, wbit = cost + w0, False
             else:
                 wcost = None
             if wcost is not None:
                 prev = nxt.get(a)
                 if prev is None or wcost < prev[0]:
                     nxt[a] = (wcost, (path, ("warm", wbit)))
-            fcost = cost + len(fresh_of(b))
+            fcost = cost + price_fresh(b)
             prev = nxt.get(b)
             if prev is None or fcost < prev[0]:
                 nxt[b] = (fcost, (path, ("fresh", False)))

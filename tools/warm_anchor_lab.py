@@ -85,16 +85,23 @@ def price(blocks, window, scheme: str):
     return total, fresh
 
 
-def price_beam(blocks, window, beam):
-    """The SHIPPED planner (formats/anchors.py), priced like the schemes."""
+def price_beam(blocks, window, beam, prefix=0, parse="exact"):
+    """The SHIPPED planner (formats/anchors.py), priced like the schemes.
+    ``prefix`` > 0 switches the beam to the prefix-encode cost proxy
+    (VERDICT r3 #5): only chosen variants get full encodes."""
     from sqz_tpu.formats.anchors import plan_anchored
 
     def encode_one(p, seed, dic, want_state):
         return native.sqz4_compress_payload(p, window, lz=True, seed=seed,
                                             return_state=want_state,
-                                            dictionary=dic)
+                                            dictionary=dic, parse=parse)
+    price_one = None
+    if prefix:
+        def price_one(p, seed, dic):
+            return len(encode_one(p[:prefix], seed, dic, False))
     payloads, fresh_mask, _anch = plan_anchored(
-        blocks, encode_one, lambda b: dict_of(b, window), beam=beam)
+        blocks, encode_one, lambda b: dict_of(b, window), beam=beam,
+        price_one=price_one)
     return sum(map(len, payloads)), sum(fresh_mask)
 
 
@@ -109,6 +116,13 @@ def report(tag, data, blk_bits, beams=(2, 12)):
             for s in ("v2", "nearest", "best2", "chain")]
     rows += [(f"beam-{b}", lambda b=b: price_beam(blocks, window, b))
              for b in beams]
+    rows += [(f"beam-{b}-pfx4k",
+              lambda b=b: price_beam(blocks, window, b, prefix=4096))
+             for b in beams]
+    rows += [(f"beam-{b}-pfx4k-fast",
+              lambda b=b: price_beam(blocks, window, b, prefix=4096,
+                                     parse="fast"))
+             for b in beams[:1]]
     for scheme, fn in rows:
         t0 = time.time()
         total, fresh = fn()
