@@ -32,17 +32,32 @@ def encode_data_pipelined(data: bytes, blk_bits: int, window: int, lz: bool,
                           cap: int, parse: str = "auto",
                           depth: int = None, lanes: int = None,
                           interpret: bool = False,
-                          transport: str = "auto") -> List[bytes]:
+                          transport: str = "auto",
+                          stats: dict = None) -> List[bytes]:
     """Whole-buffer sqz4 encode with host/device overlap. Returns per-block
     payloads (same contract as sqz4_pallas.encode_data_full, cold path).
 
     ``transport``: how planned work reaches the chip — 'tok' (token-input
     kernel: ~1.1 B of transfer per input byte, the default for the fast
     parse) or 'ops' (expanded micro-op streams, ~4.5 B/B, required for
-    the exact parse). SQZ_TRANSPORT overrides."""
+    the exact parse). SQZ_TRANSPORT overrides.
+
+    ``stats``: optional dict; filled with per-stage active wall seconds
+    (VERDICT r3 #4): plan_s (planner thread: native parse + slab
+    assembly), wait_plan_s (main thread starved for plans), dispatch_s
+    (uploads + kernel dispatch, async), fence_s (blocked on device
+    results), fetch_s (payload download + unpack), wall_s. Stages
+    overlap — their sum exceeding wall_s measures the pipelining."""
+    import time
+
     import jax.numpy as jnp
     from sqz_tpu import native
     from sqz_tpu.ops import sqz4_pallas as sp
+
+    st = stats if stats is not None else {}
+    for k in ("plan_s", "wait_plan_s", "dispatch_s", "fence_s", "fetch_s"):
+        st[k] = 0.0
+    t_wall0 = time.perf_counter()
 
     if blk_bits > 16:
         raise ValueError("sqz4 TPU kernels support blk_bits <= 16")
@@ -81,6 +96,7 @@ def encode_data_pipelined(data: bytes, blk_bits: int, window: int, lz: bool,
             for g in range(G):
                 if stop.is_set():
                     break
+                t_g0 = time.perf_counter()
                 chunk = data[g * gbytes:(g + 1) * gbytes]
                 nb = max(1, -(-len(chunk) // bs))
                 if transport == "tok":
@@ -92,6 +108,7 @@ def encode_data_pipelined(data: bytes, blk_bits: int, window: int, lz: bool,
                     fit.sort(key=lambda b: int(counts[b, 2]))
                     over = [b for b in range(nb) if counts[b, 2] < 0]
                     if not fit:
+                        st["plan_s"] += time.perf_counter() - t_g0
                         q.put((g, nb, None, over))
                         continue
                     Tt = max(96, min(-(-int(counts[fit, 0].max()) // bq)
@@ -105,6 +122,7 @@ def encode_data_pipelined(data: bytes, blk_bits: int, window: int, lz: bool,
                     larr = np.zeros((1, lanes, Lw * 4), np.uint8)
                     tarr[0, :len(fit)] = toks[fit, :Tt]
                     larr[0, :len(fit)] = lits[fit, :Lw * 4]
+                    st["plan_s"] += time.perf_counter() - t_g0
                     q.put((g, nb, (fit, t_max, tarr, larr), over))
                 elif parse == "fast":
                     m8, s8, mx = native.sqz4_fast_plan(
@@ -115,12 +133,14 @@ def encode_data_pipelined(data: bytes, blk_bits: int, window: int, lz: bool,
                     s8p = np.zeros((lanes, rows * 4), np.uint8)
                     mp[:nb] = m8[:, :rows * 4]
                     s8p[:nb] = s8[:, :rows * 4]
+                    st["plan_s"] += time.perf_counter() - t_g0
                     q.put((g, nb, rows, mp, s8p))
                 else:
                     mw, sw, mx = native.sqz4_plan_pack(
                         chunk, window, blk_bits, lz, lanes, tp_cap,
                         paired=fused)
                     rows = -(-int(mx) // (4 * tc)) * tc
+                    st["plan_s"] += time.perf_counter() - t_g0
                     q.put((g, nb, rows,
                            np.ascontiguousarray(mw[:, :rows]),
                            np.ascontiguousarray(sw[:, :rows])))
@@ -137,11 +157,14 @@ def encode_data_pipelined(data: bytes, blk_bits: int, window: int, lz: bool,
     pending = []
     try:
         while True:
+            t_q0 = time.perf_counter()
             item = q.get()
+            st["wait_plan_s"] += time.perf_counter() - t_q0
             if item is None:
                 break
             if isinstance(item, BaseException):
                 raise item
+            t_d0 = time.perf_counter()
             if transport == "tok":
                 g, nb, slab, over = item
                 if slab is None:
@@ -169,6 +192,7 @@ def encode_data_pipelined(data: bytes, blk_bits: int, window: int, lz: bool,
                                                      interpret, wide,
                                                      fused)
                 pending.append((g, nb, words, lens))
+            st["dispatch_s"] += time.perf_counter() - t_d0
     except BaseException:
         # cancel + unblock the planner (bounded queue) so the thread exits
         # after at most its current group instead of planning the rest
@@ -186,11 +210,15 @@ def encode_data_pipelined(data: bytes, blk_bits: int, window: int, lz: bool,
             g, nb, fit, words, lens, over = item
             grp_out = [None] * nb
             if fit is not None:
-                lens_np = np.asarray(lens)
+                t_f0 = time.perf_counter()
+                lens_np = np.asarray(lens)   # fence: device results
+                st["fence_s"] += time.perf_counter() - t_f0
                 if int(lens_np[:, 0].max(initial=0)) > cap_words * 4:
                     raise ValueError(
                         "compressed block exceeded the output capacity")
+                t_f0 = time.perf_counter()
                 grp = _fetch_group(words, lens_np, len(fit), interpret)
+                st["fetch_s"] += time.perf_counter() - t_f0
                 for i, b in enumerate(fit):
                     grp_out[b] = grp[i]
             for b in over:                   # cap overflow: op-stream path
@@ -201,19 +229,25 @@ def encode_data_pipelined(data: bytes, blk_bits: int, window: int, lz: bool,
             payloads.extend(grp_out)
         else:
             g, nb, words, lens = item
-            lens_np = np.asarray(lens)
+            t_f0 = time.perf_counter()
+            lens_np = np.asarray(lens)       # fence: device results
+            st["fence_s"] += time.perf_counter() - t_f0
             if int(lens_np[:, 0].max(initial=0)) > cap_words * 4:
                 raise ValueError(
                     "compressed block exceeded the output capacity")
+            t_f0 = time.perf_counter()
             payloads.extend(_fetch_group(words, lens_np, nb, interpret))
+            st["fetch_s"] += time.perf_counter() - t_f0
     t.join()
+    st["wall_s"] = time.perf_counter() - t_wall0
     return payloads
 
 
 def decode_data_pipelined(payloads, sizes, blk_bits: int, seed=None,
                           dictionary: bytes = b"",
                           interpret: bool = False,
-                          lanes: int = 0, slots: int = 0) -> List[bytes]:
+                          lanes: int = 0, slots: int = 0,
+                          stats: dict = None) -> List[bytes]:
     """Whole-container device decode. DEFAULT: delegate to
     sqz4_pallas.decode_groups — measured FASTER than the threaded packer
     on this host (PERF.md round 4: 10.5 vs 8.4 MB/s at 128 MiB).
@@ -240,7 +274,8 @@ def decode_data_pipelined(payloads, sizes, blk_bits: int, seed=None,
     if not threaded or not native.available() or NB == 0:
         return sp.decode_groups(payloads, sizes, blk_bits, interpret,
                                 lanes=lanes, slots=slots,
-                                seed=seed, dictionary=dictionary)
+                                seed=seed, dictionary=dictionary,
+                                stats=stats)
     bs = 1 << blk_bits
     warm = seed is not None
     plan = sp.plan_decode_dispatch(NB, blk_bits, lanes, slots,

@@ -2722,17 +2722,31 @@ def plan_decode_dispatch(NB: int, blk_bits: int, lanes: int = 0,
 
 def decode_groups(payloads, sizes, blk_bits: int, interpret: bool = False,
                   slots: int = 0, lanes: int = 0,
-                  seed=None, dictionary: bytes = b"", block_ids=None):
+                  seed=None, dictionary: bytes = b"", block_ids=None,
+                  stats: dict = None):
     """payloads: list of NB payload byte strings; sizes: original lengths.
 
     ``seed``/``dictionary`` (sqzt v2 warm start, FORMAT.md §3.1): the model
     seed and shared preset history ALL blocks in this call were coded with
     (the warm container's block 0 is decoded on the host first and is not
     part of this call). ``block_ids``: the caller's original index per
-    block, used in error messages (defaults to positions)."""
+    block, used in error messages (defaults to positions).
+
+    ``stats``: optional dict; filled with per-stage active wall seconds
+    (VERDICT r3 #4): pack_s (host payload packing), dispatch_s (uploads +
+    kernel dispatches, async), fetch_s (blocked on the device + trimmed
+    record download), assemble_s (host record assembly), wall_s. The
+    chunked path overlaps fetch/assembly of chunk c with chunks c+1's
+    device compute, so stage sums can exceed wall_s."""
+    import time as _time
+
     from sqz_tpu import native
     if blk_bits > 16:
         raise ValueError("sqz4 TPU kernels support blk_bits <= 16")
+    st = stats if stats is not None else {}
+    for k in ("pack_s", "dispatch_s", "fetch_s", "assemble_s"):
+        st.setdefault(k, 0.0)
+    t_wall0 = _time.perf_counter()
     warm = seed is not None
     NB = len(payloads)
     if NB == 0:
@@ -2761,12 +2775,13 @@ def decode_groups(payloads, sizes, blk_bits: int, interpret: bool = False,
         sub = decode_groups([payloads[b] for b in keep],
                             [sizes[b] for b in keep], blk_bits, interpret,
                             slots, lanes, seed, dictionary,
-                            block_ids=[ids[b] for b in keep])
+                            block_ids=[ids[b] for b in keep], stats=st)
         outs = [None] * NB
         for i, b in enumerate(keep):
             outs[b] = sub[i]
         for b, v in host_out.items():
             outs[b] = v
+        st["wall_s"] = _time.perf_counter() - t_wall0
         return outs
     G = plan["G"]
     # group blocks by compressed size: the while_loop runs until the
@@ -2776,8 +2791,10 @@ def decode_groups(payloads, sizes, blk_bits: int, interpret: bool = False,
     order = sorted(range(NB), key=lambda b: len(payloads[b]))
     payloads = [payloads[b] for b in order]
     sizes = [sizes[b] for b in order]
+    t0 = _time.perf_counter()
     buf, meta = pack_decode_chunk(payloads, sizes, lanes, G, Pw,
                                   len(dictionary))
+    st["pack_s"] += _time.perf_counter() - t0
     lw, tw, mw, t_max = plan["lw"], plan["tw"], plan["mw"], plan["t_max"]
     wide = warm or blk_bits >= 15
     fused = os.environ.get("SQZ_DEC_FUSED", "1") == "1"
@@ -2788,6 +2805,7 @@ def decode_groups(payloads, sizes, blk_bits: int, interpret: bool = False,
         # multi-group grid cannot double-buffer, so dispatch grid-1 calls
         # per group chunk — async dispatch keeps the device saturated
         # while each earlier chunk's trimmed download + assembly drains
+        t0 = _time.perf_counter()
         chunks = [_decode_pallas(jnp.asarray(buf[g:g + slots]),
                                  jnp.asarray(meta[g:g + slots]),
                                  t_max, lw, tw, mw, interpret,
@@ -2795,27 +2813,39 @@ def decode_groups(payloads, sizes, blk_bits: int, interpret: bool = False,
                                  jnp.asarray(seed_tab[g:g + slots])
                                  if warm else None, fused)
                   for g in range(0, G, slots)]
+        st["dispatch_s"] += _time.perf_counter() - t0
         per = lanes * slots
         outs = []
         for c, res in enumerate(chunks):
+            t0 = _time.perf_counter()
             lt, tt, mt, cnt = fetch_decode_host(res)
+            st["fetch_s"] += _time.perf_counter() - t0
+            t0 = _time.perf_counter()
             outs.extend(postprocess_decode(
                 lt, tt, mt, cnt, payloads[c * per:(c + 1) * per],
                 sizes[c * per:(c + 1) * per], bs, seed=seed,
                 dictionary=dictionary, transposed=True,
                 block_ids=sort_ids[c * per:(c + 1) * per]))
+            st["assemble_s"] += _time.perf_counter() - t0
     else:
+        t0 = _time.perf_counter()
         res = _decode_pallas(
             jnp.asarray(buf), jnp.asarray(meta), t_max, lw, tw, mw,
             interpret, wide, slots,
             jnp.asarray(seed_tab) if warm else None, fused)
+        st["dispatch_s"] += _time.perf_counter() - t0
+        t0 = _time.perf_counter()
         lt, tt, mt, cnt = fetch_decode_host(res)
+        st["fetch_s"] += _time.perf_counter() - t0
+        t0 = _time.perf_counter()
         outs = postprocess_decode(lt, tt, mt, cnt, payloads, sizes, bs,
                                   seed=seed, dictionary=dictionary,
                                   transposed=True, block_ids=sort_ids)
+        st["assemble_s"] += _time.perf_counter() - t0
     unsorted = [None] * NB
     for pos, b in enumerate(order):
         unsorted[b] = outs[pos]
+    st["wall_s"] = _time.perf_counter() - t_wall0
     return unsorted
 
 
