@@ -16,8 +16,16 @@ baseline  = the single-threaded native C++ codec (byte-identical streams to
             the reference C library, which publishes no throughput numbers —
             performance was an explicit non-goal, README.md:23-25).
 
-Env knobs: SQZ_BENCH_BYTES (default 16 MiB, the tiled reference corpus), SQZ_BENCH_BLK_BITS (default 14),
-SQZ_BENCH_LZ (default 1).
+Secondary sections run NEWEST-FEATURE-FIRST so the wall-clock budget
+(SQZ_BENCH_DEADLINE, default 480 s) clips old rows, not the round's
+flagship (VERDICT r3 #2). The budget is best-effort start-gating plus
+in-section pass trimming: a section that starts near the deadline skips
+its repeat passes (keeping one measured pass) rather than running
+unboundedly past it.
+
+Env knobs: SQZ_BENCH_BYTES (default 32 MiB, the tiled reference corpus),
+SQZ_BENCH_BLK_BITS (default 16), SQZ_BENCH_LZ (default 1),
+SQZ_BENCH_E2E_BYTES, SQZ_BENCH_DEADLINE, SQZ_BENCH_K.
 """
 
 from __future__ import annotations
@@ -28,6 +36,13 @@ import sys
 import time
 
 import numpy as np
+
+# persistent XLA compilation cache: the driver's end-of-round run and any
+# repeat invocation reuse compiled kernels across processes, so the budget
+# buys measurements, not recompiles (first-ever run still compiles)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.expanduser("~/.cache/jax_sqz"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
 
 
 def _input_bytes(n: int) -> bytes:
@@ -95,19 +110,19 @@ def main() -> None:
     print(f"# input {len(data)} B, {NB} blocks of 2^{blk_bits}, lz={lz}, "
           f"devices={jax.devices()}", file=sys.stderr)
 
-    # ---- baseline: single-threaded native C++ (reference-equivalent);
-    # best-of-2 to damp shared-host timing noise
-    t_base_enc, t_base_dec = float("inf"), float("inf")
-    for _ in range(2):
-        t0 = time.perf_counter()
-        base_payloads = [native.sqz4_compress_payload(p, window, lz=lz)
-                         for p in parts]
-        t_base_enc = min(t_base_enc, time.perf_counter() - t0)
-        t0 = time.perf_counter()
-        base_out = [native.sqz4_decompress_payload(pl, s)
-                    for pl, s in zip(base_payloads, sizes)]
-        t_base_dec = min(t_base_dec, time.perf_counter() - t0)
-        assert b"".join(base_out) == data
+    # ---- baseline: single-threaded native C++ (reference-equivalent).
+    # One pass (the kernel side keeps best-of-2; the baseline enters only
+    # the vs_baseline ratio, where single-pass noise is acceptable against
+    # the budget a second 32 MiB exact-parse encode would cost)
+    t0 = time.perf_counter()
+    base_payloads = [native.sqz4_compress_payload(p, window, lz=lz)
+                     for p in parts]
+    t_base_enc = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    base_out = [native.sqz4_decompress_payload(pl, s)
+                for pl, s in zip(base_payloads, sizes)]
+    t_base_dec = time.perf_counter() - t0
+    assert b"".join(base_out) == data
     base_gbps = 2 * len(data) / (t_base_enc + t_base_dec) / 1e9
     print(f"# native 1-thread: enc {len(data)/t_base_enc/1e6:.1f} MB/s, "
           f"dec {len(data)/t_base_dec/1e6:.1f} MB/s", file=sys.stderr)
@@ -237,21 +252,39 @@ def main() -> None:
           f"MB/s, dec {len(data)/(t_dec+t_dec_dl)/1e6:.1f} MB/s",
           file=sys.stderr)
 
-    # Secondary sections below (pipelined e2e, warm, anchors, squeeze) are
-    # guarded: a verification failure there is reported loudly (stderr +
-    # "failed_sections" in the JSON) but must not prevent the primary
-    # metric from being emitted. The core round-trip asserts above remain
-    # fatal — a broken core metric is meaningless.
+    # ---- compression ratio: the block-parallel container's payload bytes
+    # vs the original, and vs ONE whole-input reference-format stream (the
+    # per-block model-reset penalty, attic/map_experiment/test.c:34-37 is
+    # the reference's ratio yardstick)
+    comp_bytes = sum(len(p) for p in payloads)
+    ratio = comp_bytes / len(data)
+    t0 = time.perf_counter()
+    ref_stream = native.sqz4_compress_payload(data, window, lz=lz)
+    t_ref = time.perf_counter() - t0
+    ref_ratio = len(ref_stream) / len(data)
+    print(f"# ratio: blocks {ratio*100:.2f}% vs whole-stream reference "
+          f"{ref_ratio*100:.2f}% (delta {100*(ratio-ref_ratio):+.2f} pp; "
+          f"single stream took {t_ref:.1f}s host)", file=sys.stderr)
+
+    # Secondary sections below are guarded: a verification failure there is
+    # reported loudly (stderr + "failed_sections" in the JSON) but must not
+    # prevent the primary metric from being emitted. The core round-trip
+    # asserts above remain fatal — a broken core metric is meaningless.
     fails: list = []
     skipped: list = []
     extra: dict = {}
     # global wall-clock budget: the driver runs this unattended at the end
     # of every round; secondary sections that would push past the budget
-    # are skipped (recorded in "skipped_sections") so the JSON always lands
+    # are skipped (recorded in "skipped_sections") so the JSON always lands.
+    # Sections also consult _past() between their internal repeat passes
+    # and drop repeats (not measurements) when the budget runs short.
     deadline = t_wall0 + float(os.environ.get("SQZ_BENCH_DEADLINE", "480"))
 
+    def _past(margin: float = 0.0) -> bool:
+        return time.perf_counter() > deadline - margin
+
     def _section(name, fn):
-        if time.perf_counter() > deadline:
+        if _past():
             skipped.append(name)
             print(f"# SECTION SKIPPED [{name}]: past "
                   f"SQZ_BENCH_DEADLINE", file=sys.stderr)
@@ -268,219 +301,66 @@ def main() -> None:
                   f"(total {time.perf_counter() - t_wall0:.1f}s)",
                   file=sys.stderr)
 
-    # ---- shipping encode path: fast parse + pipelined engine (bounded
-    # matcher, contiguous emission, device-side repack, planner-thread /
-    # device overlap — PERF.md round 3). Wall-clock includes EVERYTHING:
-    # planning, transfers through the sandbox tunnel, kernels, payload
-    # download/unpack. Round-trip verified through the native decoder.
-    from sqz_tpu.ops.pipeline import encode_data_pipelined
-    # a multiple of the kernel's 512-block group size so planner/device
-    # overlap actually engages (one group = nothing to pipeline)
-    e2e_bytes = int(os.environ.get("SQZ_BENCH_E2E_BYTES",
-                                   max(len(data), 4 * 512 * bs)))
-    e2e_data = _input_bytes(e2e_bytes)
-
-    def _sec_e2e_enc():
-        fast_payloads = encode_data_pipelined(e2e_data, blk_bits, window,
-                                              lz, cap=bs + 2048,
-                                              parse="fast")
-        t_e2e = float("inf")
-        for _ in range(2):
+    def _best_of(fn, fence, passes: int = 2, k: int = K) -> float:
+        """best-of-``passes`` of k async dispatches, fenced; drops the
+        repeat pass (never the first) when the deadline is near."""
+        t_best = float("inf")
+        for it in range(passes):
             t0 = time.perf_counter()
-            fast_payloads = encode_data_pipelined(e2e_data, blk_bits,
-                                                  window, lz,
-                                                  cap=bs + 2048,
-                                                  parse="fast")
-            t_e2e = min(t_e2e, time.perf_counter() - t0)
-        fast_ratio = sum(len(p) for p in fast_payloads) / len(e2e_data)
-        exact_ratio = sum(len(p) for p in payloads) / len(data)
-        e2e_nb = len(fast_payloads)
-        e2e_sizes = [min(bs, len(e2e_data) - b * bs) for b in range(e2e_nb)]
-        spot = list(range(0, e2e_nb, max(1, e2e_nb // 16)))  # spot checks
-        for b in spot:
+            for _ in range(k):
+                res = fn()
+            fence(res)
+            t_best = min(t_best, (time.perf_counter() - t0) / k)
+            if _past(30.0) and it == 0:
+                break
+        return t_best
+
+    # ---- device LZ parse (ops/lzparse.py, VERDICT r3 #1): raw HBM blocks
+    # -> sqz4 token streams entirely on-device (sort-based exact-gram
+    # candidates + agreement-chained extension + segment-greedy parse),
+    # coded by the lit_skip token kernel. Chip-resident rate; ratio
+    # yardstick = the host fast parse on the same blocks; every block
+    # round-trips through the native decoder.
+    def _sec_lz():
+        from sqz_tpu.ops import lzparse
+        lanes_lz = 256 if blk_bits >= 16 else 512
+        B = min(NB, lanes_lz)
+        arr = np.frombuffer(data[:B * bs], np.uint8).reshape(B, bs)
+        blocks_d = jnp.asarray(arr)
+        lens_d = jnp.asarray(np.full((B,), bs, np.int32))
+        np.asarray(blocks_d[0, 0])                   # fence upload
+        gargs = lzparse.lz_group_args(blk_bits)
+        words, lens = lzparse.encode_lz_group(blocks_d, lens_d, **gargs)
+        np.asarray(lens[0, 0, 0])                    # compile + fence
+        t_lz = _best_of(
+            lambda: lzparse.encode_lz_group(blocks_d, lens_d, **gargs),
+            lambda r: np.asarray(r[1][0, 0, 0]))
+        lens_np = np.asarray(lens)
+        lz_payloads = sp.unpack_group_payloads(
+            sp.fetch_words_trimmed(words, lens_np), lens_np, B)
+        for b in range(B):                           # every block
             assert native.sqz4_decompress_payload(
-                fast_payloads[b], e2e_sizes[b]) == \
-                e2e_data[b * bs:b * bs + e2e_sizes[b]], f"fast block {b}"
-        print(f"# end-to-end pipelined encode ({len(e2e_data) >> 20} MiB, "
-              f"fast parse, incl. host plan + tunnel transfers + unpack): "
-              f"{len(e2e_data)/t_e2e/1e6:.1f} MB/s, "
-              f"ratio {fast_ratio*100:.2f}% (exact-parse blocks "
-              f"{exact_ratio*100:.2f}%)", file=sys.stderr)
-        extra["e2e_pipelined_fast_enc_MBps"] = round(
-            len(e2e_data) / t_e2e / 1e6, 1)
-        extra["fast_parse_ratio"] = round(fast_ratio, 6)
-        extra["_fast_payloads"] = fast_payloads
-        extra["_e2e_sizes"] = e2e_sizes
+                lz_payloads[b], len(parts[b])) == parts[b], \
+                f"device-LZ block {b} round-trip"
+        lz_ratio = sum(len(p) for p in lz_payloads) / (B * bs)
+        fast_sizes = [len(native.sqz4_compress_payload(
+            p, window, lz=True, parse="fast")) for p in parts[:B]]
+        fast_ratio = sum(fast_sizes) / (B * bs)
+        dpp = (lz_ratio - fast_ratio) * 100
+        mb = B * bs / 1e6
+        print(f"# device LZ parse ({B} blocks, zero host planning): enc "
+              f"{mb/t_lz:.1f} MB/s chip-resident, ratio {lz_ratio*100:.2f}%"
+              f" (host fast parse {fast_ratio*100:.2f}%, delta {dpp:+.2f} "
+              f"pp); all blocks round-trip through the native decoder",
+              file=sys.stderr)
+        extra["device_lz_enc_MBps"] = round(mb / t_lz, 1)
+        extra["device_lz_ratio"] = round(lz_ratio, 6)
+        extra["device_lz_vs_fast_pp"] = round(dpp, 2)
 
-    _section("e2e_pipelined_encode", _sec_e2e_enc)
+    _section("device_lz", _sec_lz)
 
-    # ---- shipping decode path: pipelined chunked decode (packer thread /
-    # kernel / record-assembly overlap — ops/pipeline.py). Wall-clock
-    # includes payload packing, transfers, kernels, and host assembly.
-    from sqz_tpu.ops.pipeline import decode_data_pipelined
-
-    def _sec_e2e_dec():
-        fast_payloads = extra["_fast_payloads"]      # encode section's
-        e2e_sizes = extra["_e2e_sizes"]
-        decode_data_pipelined(fast_payloads, e2e_sizes, blk_bits)  # warm-up
-        t_e2e_dec = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            e2e_out = decode_data_pipelined(fast_payloads, e2e_sizes,
-                                            blk_bits)
-            t_e2e_dec = min(t_e2e_dec, time.perf_counter() - t0)
-        assert b"".join(e2e_out) == e2e_data, "pipelined decode round-trip"
-        print(f"# end-to-end pipelined decode ({len(e2e_data) >> 20} MiB, "
-              f"incl. pack + tunnel transfers + assembly): "
-              f"{len(e2e_data)/t_e2e_dec/1e6:.1f} MB/s", file=sys.stderr)
-        extra["e2e_pipelined_dec_MBps"] = round(
-            len(e2e_data) / t_e2e_dec / 1e6, 1)
-
-    if "_fast_payloads" in extra:
-        _section("e2e_pipelined_decode", _sec_e2e_dec)
-
-    # ---- compression ratio: the block-parallel container's payload bytes
-    # vs the original, and vs ONE whole-input reference-format stream (the
-    # per-block model-reset penalty, attic/map_experiment/test.c:34-37 is
-    # the reference's ratio yardstick)
-    comp_bytes = sum(len(p) for p in payloads)
-    ratio = comp_bytes / len(data)
-    t0 = time.perf_counter()
-    ref_stream = native.sqz4_compress_payload(data, window, lz=lz)
-    t_ref = time.perf_counter() - t0
-    ref_ratio = len(ref_stream) / len(data)
-    print(f"# ratio: blocks {ratio*100:.2f}% vs whole-stream reference "
-          f"{ref_ratio*100:.2f}% (delta {100*(ratio-ref_ratio):+.2f} pp; "
-          f"single stream took {t_ref:.1f}s host)", file=sys.stderr)
-
-    # ---- warm start (sqzt v2, FORMAT.md §3.1): model seed + shared
-    # dictionary from block 0, chosen PER BLOCK against the cold coding
-    # (fresh bitmap). The seeded device pass runs at bench scale and the
-    # per-block pick must agree with the threaded native warm executor.
-    def _sec_warm():
-        t0 = time.perf_counter()
-        warm_base, mask = native.blocks_compress(data, 1, 15, blk_bits,
-                                                 lz=lz, warm=True)
-        t_warm_host = time.perf_counter() - t0
-        warm_ratio = sum(len(p) for p in warm_base) / len(data)
-        warm_dev = sp.encode_data_full(data, blk_bits, window, lz,
-                                       cap=bs + 2048, warm=True,
-                                       parse="exact")
-        from sqz_tpu.formats.constants import warm_gate_mask
-        gate = warm_gate_mask(parts, parts[0][-window:])
-        dev_pick = [c if b == 0 or not gate[b] or len(c) <= len(w) else w
-                    for b, (c, w) in enumerate(zip(payloads, warm_dev))]
-        assert dev_pick == warm_base, "device warm pick != native"
-        blk0, seed_w = native.sqz4_decompress_payload(warm_base[0],
-                                                      min(bs, len(data)),
-                                                      return_state=True)
-        warm_idx = [b for b in range(1, NB) if not mask[b]]
-        if warm_idx:
-            outs_w = sp.decode_groups([warm_base[b] for b in warm_idx],
-                                      [sizes[b] for b in warm_idx],
-                                      blk_bits, seed=seed_w,
-                                      dictionary=blk0[-window:])
-            for b, o in zip(warm_idx, outs_w):
-                assert o == data[b * bs:(b + 1) * bs], "warm block mismatch"
-        print(f"# warm (sqzt v2, per-block pick, gate: {sum(gate)}/{NB} "
-              f"candidates): ratio {warm_ratio*100:.2f}% "
-              f"(cold {ratio*100:.2f}%, whole-stream {ref_ratio*100:.2f}%),"
-              f" {len(warm_idx)}/{NB} blocks warm; seeded device pass + "
-              f"warm-set decode verified bit-exact vs the threaded native "
-              f"warm executor ({len(data)/t_warm_host/1e6:.1f} MB/s host "
-              f"2-way; kernel rates match the cold headline — the seeded "
-              f"kernel does identical work)", file=sys.stderr)
-        extra["warm_ratio"] = round(warm_ratio, 6)
-
-    _section("warm_v2", _sec_warm)
-
-    # ---- anchored warm start (sqzt v3, FORMAT.md §3.2): beam-planned
-    # per-warm-block anchor choice, priced with the fast host parse
-    import sqz_tpu
-
-    def _sec_anchors():
-        t0 = time.perf_counter()
-        anch_blob = sqz_tpu.compress(data, fmt="sqz4", engine="native",
-                                     blocks=True, blk_bits=blk_bits,
-                                     warm="anchors", parse="fast",
-                                     checksum=False, anchor_beam=2)
-        t_anch = time.perf_counter() - t0
-        from sqz_tpu.formats import container as sqzt_c
-        *_, a_payloads, _ac, a_fresh, a_anch = sqzt_c.unpack(anch_blob)
-        anch_ratio = sum(len(p) for p in a_payloads) / len(data)
-        assert sqz_tpu.decompress(anch_blob, engine="native") == data
-        print(f"# anchored warm (sqzt v3, beam 2, fast parse): ratio "
-              f"{anch_ratio*100:.2f}% "
-              f"(v2 warm {extra.get('warm_ratio', float('nan'))*100:.2f}%),"
-              f" {sum(a_fresh)}/{NB} fresh, "
-              f"{sum(a_anch) if a_anch else 0} nearest-fresh anchors, "
-              f"planner {len(data)/t_anch/1e6:.1f} MB/s host; round-trip "
-              f"verified", file=sys.stderr)
-        extra["anchored_ratio"] = round(anch_ratio, 6)
-
-    _section("warm_anchors_v3", _sec_anchors)
-
-    # ---- squeeze format: host adaptive-Huffman planning (threaded native)
-    # + device bitstream assembly; decode on the threaded native engine
-    # (measured device decode rejected — PERF.md "design decisions")
-    def _sec_squeeze():
-        sq_win = min(blk_bits, 15)
-        t0 = time.perf_counter()
-        sq_base = [native.squeeze_compress_payload(p, sq_win)
-                   for p in parts]
-        t_sq_base = time.perf_counter() - t0
-        tw_cap = -(-(4 * bs + 64) // tc) * tc
-        t0 = time.perf_counter()
-        sq_words, sq_mx = native.squeeze_plan_pack(data, sq_win, blk_bits,
-                                                   sp.ENC_LANES, tw_cap)
-        sq_rows = max(-(-int(sq_mx) // tc) * tc, tc)
-        sq_host = time.perf_counter() - t0
-        # fast-parse plan (the sqzt-path default for the device engine):
-        # bounded matcher, ~4x the exact plan rate (PERF.md)
-        t0 = time.perf_counter()
-        native.squeeze_plan_pack(data, sq_win, blk_bits, sp.ENC_LANES,
-                                 tw_cap, parse="fast")
-        sq_host_f = time.perf_counter() - t0
-        extra["squeeze_fast_plan_MBps"] = round(
-            len(data) / sq_host_f / 1e6, 1)
-        sq_cap_words = (-(-(bs + 4096 + 3) // 4) + 31) // 32 * 32
-        sqd = jnp.asarray(np.ascontiguousarray(sq_words[:, :sq_rows]))
-        np.asarray(sqd[0, 0, 0])                     # fence upload
-        out, lens_sq = sp._bitpack_pallas(sqd, sq_cap_words, tc, False)
-        np.asarray(lens_sq)                          # warm-up fence
-        t_sq = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            for _ in range(K):
-                out, lens_sq = sp._bitpack_pallas(sqd, sq_cap_words, tc,
-                                                  False)
-            np.asarray(lens_sq)                      # fence
-            t_sq = min(t_sq, (time.perf_counter() - t0) / K)
-        sq_payloads = sp.unpack_group_payloads(np.asarray(out),
-                                               np.asarray(lens_sq), NB)
-        assert sq_payloads == sq_base, "squeeze device stream != native"
-        t0 = time.perf_counter()
-        sq_out = native.blocks_decompress(sq_payloads, len(data), 0,
-                                          blk_bits)
-        t_sq_dec = time.perf_counter() - t0
-        assert sq_out == data, "squeeze round-trip mismatch"
-        sq_ratio = sum(len(p) for p in sq_payloads) / len(data)
-        print(f"# squeeze: device bitpack {len(data)/t_sq/1e6:.1f} MB/s "
-              f"(host plan {len(data)/sq_host/1e6:.1f} MB/s exact / "
-              f"{len(data)/sq_host_f/1e6:.1f} MB/s fast, native "
-              f"1-thread enc {len(data)/t_sq_base/1e6:.1f} MB/s), threaded "
-              f"host decode {len(data)/t_sq_dec/1e6:.1f} MB/s, ratio "
-              f"{sq_ratio*100:.2f}%", file=sys.stderr)
-        extra["squeeze_bitpack_MBps"] = round(len(data) / t_sq / 1e6, 1)
-        extra["squeeze_host_decode_MBps"] = round(
-            len(data) / t_sq_dec / 1e6, 1)
-        extra["squeeze_ratio"] = round(sq_ratio, 6)
-
-    _section("squeeze", _sec_squeeze)
-
-    # ---- device-resident literal-only path (ops/resident.py): tokens +
-    # literal stream computed ON DEVICE from raw HBM-resident bytes
-    # (reference HEAD literal-only semantics, src/sqz.c:591), coded and
+    # ---- device-resident paths (ops/resident.py): tokens + literal
+    # stream computed ON DEVICE from raw HBM-resident bytes, coded and
     # decoded with zero host planning — the checkpoint-shard use case.
     # Rates are chip-resident: input upload and output download excluded
     # (the data lives on the device in this scenario); fences as above.
@@ -497,25 +377,17 @@ def main() -> None:
         words, lens = resident.encode_literal_group(blocks_d, lens_d,
                                                     **eargs)
         np.asarray(lens[0, 0, 0])                    # warm-up fence
-        t_renc = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            for _ in range(K):
-                wd, ld = resident.encode_literal_group(blocks_d, lens_d,
-                                                       **eargs)
-            np.asarray(ld[0, 0, 0])                  # fence
-            t_renc = min(t_renc, (time.perf_counter() - t0) / K)
+        t_renc = _best_of(
+            lambda: resident.encode_literal_group(blocks_d, lens_d,
+                                                  **eargs),
+            lambda r: np.asarray(r[1][0, 0, 0]))
         out, counts = resident.decode_literal_group(words, lens, lens_d,
                                                     **dargs)
         np.asarray(counts[0, 0, 0])                  # warm-up fence
-        t_rdec = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            for _ in range(K):
-                od, cd = resident.decode_literal_group(words, lens,
-                                                       lens_d, **dargs)
-            np.asarray(cd[0, 0, 0])                  # fence
-            t_rdec = min(t_rdec, (time.perf_counter() - t0) / K)
+        t_rdec = _best_of(
+            lambda: resident.decode_literal_group(words, lens, lens_d,
+                                                  **dargs),
+            lambda r: np.asarray(r[1][0, 0, 0]))
         cnt = np.asarray(counts)
         assert int(cnt[0, 4].max()) == 0, "resident decode error lane"
         assert np.array_equal(cnt[0, 0], np.full((B,), bs)), \
@@ -558,14 +430,10 @@ def main() -> None:
         words_r, lens_r = resident.encode_rle_group(spd, lens_d,
                                                     t_max=t_max_r, **gargs)
         np.asarray(lens_r[0, 0, 0])                  # warm-up fence
-        t_rle = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            for _ in range(K):
-                wr, lr = resident.encode_rle_group(spd, lens_d,
-                                                   t_max=t_max_r, **gargs)
-            np.asarray(lr[0, 0, 0])                  # fence
-            t_rle = min(t_rle, (time.perf_counter() - t0) / K)
+        t_rle = _best_of(
+            lambda: resident.encode_rle_group(spd, lens_d, t_max=t_max_r,
+                                              **gargs),
+            lambda r: np.asarray(r[1][0, 0, 0]))
         lensr_np = np.asarray(lens_r)
         rle_payloads = sp.unpack_group_payloads(
             sp.fetch_words_trimmed(words_r, lensr_np), lensr_np, B)
@@ -595,20 +463,326 @@ def main() -> None:
         for b in spots:
             assert np.array_equal(np.asarray(blocks_r[b]), sp_arr[b]), \
                 f"resident restore block {b}"
-        t_rdec2 = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            for _ in range(K):
-                br, cr, xr = resident.decode_rle_group(
-                    words_r, plens_r, lens_d, **dargs_r)
-            np.asarray(xr[0])                        # fence
-            t_rdec2 = min(t_rdec2, (time.perf_counter() - t0) / K)
+        t_rdec2 = _best_of(
+            lambda: resident.decode_rle_group(words_r, plens_r, lens_d,
+                                              **dargs_r),
+            lambda r: np.asarray(r[2][0]))
         print(f"# device-resident RLE restore (decode kernel + device "
               f"cell assembly): {nb_mb/t_rdec2:.1f} MB/s chip-resident; "
               f"verified vs input", file=sys.stderr)
         extra["resident_rle_dec_MBps"] = round(nb_mb / t_rdec2, 1)
 
+        # generic far-cell dedup on the sparse-f32 proxy (VERDICT r3 #6):
+        # smooth params + 70% zeroed values, byte-shuffled + delta'd
+        # on-device (the checkpoint layer's filters) — repeated exponent/
+        # zero cells dedup as far matches in the same RLE parse
+        from sqz_tpu.utils import checkpoint as ckpt
+        nel = B * bs // 4
+        tt = jnp.arange(nel, dtype=jnp.float32)
+        vals = jnp.sin(tt * 1e-3) * 0.01
+        zm = jnp.asarray(rng.random(nel) < 0.7)
+        f32 = jnp.where(zm, 0.0, vals)
+        flat, _ = ckpt._leaf_bytes_device(f32, True)
+        dd = ckpt._delta_device(flat).reshape(B, bs)
+        dd_np = np.asarray(dd)
+        _, _, d_pairs = resident.rle_plan_device(dd, lens_d, gargs["Tt"])
+        t_max_d = max(1024, -(-int(np.asarray(d_pairs).max()) // 1024)
+                      * 1024)
+        words_d, lens_d2 = resident.encode_rle_group(dd, lens_d,
+                                                     t_max=t_max_d, **gargs)
+        np.asarray(lens_d2[0, 0, 0])                 # warm-up fence
+        t_dd = _best_of(
+            lambda: resident.encode_rle_group(dd, lens_d, t_max=t_max_d,
+                                              **gargs),
+            lambda r: np.asarray(r[1][0, 0, 0]))
+        lensd_np = np.asarray(lens_d2)
+        dd_payloads = sp.unpack_group_payloads(
+            sp.fetch_words_trimmed(words_d, lensd_np), lensd_np, B)
+        for b in spots:
+            assert native.sqz4_decompress_payload(
+                dd_payloads[b], bs) == dd_np[b].tobytes(), \
+                f"dedup resident block {b} round-trip"
+        dd_ratio = sum(len(p) for p in dd_payloads) / (B * bs)
+        print(f"# device-resident dedup (sparse-f32 proxy, shuffled + "
+              f"delta'd on-device): enc {nb_mb/t_dd:.1f} MB/s "
+              f"chip-resident, ratio {dd_ratio*100:.2f}%; native "
+              f"round-trip spot-checked", file=sys.stderr)
+        extra["resident_dedup_enc_MBps"] = round(nb_mb / t_dd, 1)
+        extra["resident_dedup_ratio"] = round(dd_ratio, 6)
+
     _section("device_resident", _sec_resident)
+
+    # ---- checkpoint layer (utils/checkpoint.py, VERDICT r3 #6): a real
+    # save_pytree/load_pytree round trip — sparse-f32 optimizer slots +
+    # bf16 params through the resident RLE parse, byte-shuffle + delta
+    # filters on-device, one sqzt container on disk. Wall times include
+    # everything: device parse + coding, payload download, disk I/O,
+    # restore assembly, leaf bitcasts.
+    def _sec_checkpoint():
+        from sqz_tpu.utils import checkpoint as ckpt
+        rng = np.random.default_rng(11)
+        nel = (4 << 20) // 4                         # 4 MiB per f32 slot
+        t_ = np.arange(nel, dtype=np.float32)
+        m = np.sin(t_ * 1e-3).astype(np.float32) * 0.01
+        m[rng.random(nel) < 0.7] = 0.0
+        v = (np.cos(t_ * 2e-3).astype(np.float32) * 1e-4) ** 2
+        v[rng.random(nel) < 0.7] = 0.0
+        w = jnp.asarray(np.sin(t_ * 1e-2), dtype=jnp.bfloat16)
+        tree = {"w": w, "m": jnp.asarray(m), "v": jnp.asarray(v)}
+        raw = sum(int(np.asarray(x).nbytes) for x in
+                  jax.tree_util.tree_leaves(tree))
+        path = "/tmp/sqz_bench_ckpt.bin"
+        st = ckpt.save_pytree(tree, path, blk_bits=blk_bits)  # compile
+        t0 = time.perf_counter()
+        st = ckpt.save_pytree(tree, path, blk_bits=blk_bits)
+        t_save = time.perf_counter() - t0
+        got = ckpt.load_pytree(path)                 # compile
+        t0 = time.perf_counter()
+        got = ckpt.load_pytree(path)
+        t_load = time.perf_counter() - t0
+        for k in tree:
+            assert np.array_equal(np.asarray(got[k]), np.asarray(tree[k])), \
+                f"checkpoint leaf {k} mismatch"
+        os.remove(path)
+        print(f"# checkpoint pytree ({raw >> 20} MiB: bf16 params + "
+              f"sparse-f32 slots): save {raw/t_save/1e6:.1f} MB/s, load "
+              f"{raw/t_load/1e6:.1f} MB/s wall (incl. disk + transfers), "
+              f"ratio {st['ratio']*100:.2f}%; restored tree verified "
+              f"equal", file=sys.stderr)
+        extra["ckpt_save_MBps"] = round(raw / t_save / 1e6, 1)
+        extra["ckpt_load_MBps"] = round(raw / t_load / 1e6, 1)
+        extra["ckpt_ratio"] = round(st["ratio"], 6)
+
+    _section("checkpoint", _sec_checkpoint)
+
+    # ---- shipping encode path: fast parse + pipelined engine (bounded
+    # matcher, contiguous emission, device-side repack, planner-thread /
+    # device overlap — PERF.md round 3). Wall-clock includes EVERYTHING:
+    # planning, transfers through the sandbox tunnel, kernels, payload
+    # download/unpack. Round-trip verified through the native decoder.
+    from sqz_tpu.ops.pipeline import encode_data_pipelined
+    # a multiple of the kernel's 512-block group size so planner/device
+    # overlap actually engages (one group = nothing to pipeline)
+    e2e_bytes = int(os.environ.get("SQZ_BENCH_E2E_BYTES",
+                                   max(len(data), 3 * 512 * bs)))
+    e2e_data = _input_bytes(e2e_bytes)
+
+    def _sec_e2e_enc():
+        est = {}
+        fast_payloads = encode_data_pipelined(e2e_data, blk_bits, window,
+                                              lz, cap=bs + 2048,
+                                              parse="fast")   # warm-up
+        t_e2e = float("inf")
+        for it in range(2):
+            t0 = time.perf_counter()
+            fast_payloads = encode_data_pipelined(e2e_data, blk_bits,
+                                                  window, lz,
+                                                  cap=bs + 2048,
+                                                  parse="fast", stats=est)
+            t_e2e = min(t_e2e, time.perf_counter() - t0)
+            if _past(30.0) and it == 0:
+                break
+        fast_ratio = sum(len(p) for p in fast_payloads) / len(e2e_data)
+        exact_ratio = sum(len(p) for p in payloads) / len(data)
+        e2e_nb = len(fast_payloads)
+        e2e_sizes = [min(bs, len(e2e_data) - b * bs) for b in range(e2e_nb)]
+        spot = list(range(0, e2e_nb, max(1, e2e_nb // 16)))  # spot checks
+        for b in spot:
+            assert native.sqz4_decompress_payload(
+                fast_payloads[b], e2e_sizes[b]) == \
+                e2e_data[b * bs:b * bs + e2e_sizes[b]], f"fast block {b}"
+        stages = {k: round(v, 2) for k, v in est.items()}
+        print(f"# end-to-end pipelined encode ({len(e2e_data) >> 20} MiB, "
+              f"fast parse, incl. host plan + tunnel transfers + unpack): "
+              f"{len(e2e_data)/t_e2e/1e6:.1f} MB/s, "
+              f"ratio {fast_ratio*100:.2f}% (exact-parse blocks "
+              f"{exact_ratio*100:.2f}%); stages {stages}", file=sys.stderr)
+        extra["e2e_pipelined_fast_enc_MBps"] = round(
+            len(e2e_data) / t_e2e / 1e6, 1)
+        extra["fast_parse_ratio"] = round(fast_ratio, 6)
+        extra["e2e_enc_stages"] = stages
+        extra["_fast_payloads"] = fast_payloads
+        extra["_e2e_sizes"] = e2e_sizes
+
+    _section("e2e_pipelined_encode", _sec_e2e_enc)
+
+    # ---- shipping decode path (ops/pipeline.decode_data_pipelined —
+    # delegates to the serial chunked decode_groups, measured faster than
+    # the threaded packer on this host, PERF.md round 4). Wall-clock
+    # includes payload packing, transfers, kernels, and host assembly.
+    from sqz_tpu.ops.pipeline import decode_data_pipelined
+
+    def _sec_e2e_dec():
+        dst = {}
+        fast_payloads = extra["_fast_payloads"]      # encode section's
+        e2e_sizes = extra["_e2e_sizes"]
+        decode_data_pipelined(fast_payloads, e2e_sizes, blk_bits)  # warm-up
+        t_e2e_dec = float("inf")
+        for it in range(2):
+            t0 = time.perf_counter()
+            e2e_out = decode_data_pipelined(fast_payloads, e2e_sizes,
+                                            blk_bits, stats=dst)
+            t_e2e_dec = min(t_e2e_dec, time.perf_counter() - t0)
+            if _past(30.0) and it == 0:
+                break
+        assert b"".join(e2e_out) == e2e_data, "pipelined decode round-trip"
+        stages = {k: round(v, 2) for k, v in dst.items()}
+        print(f"# end-to-end pipelined decode ({len(e2e_data) >> 20} MiB, "
+              f"incl. pack + tunnel transfers + assembly): "
+              f"{len(e2e_data)/t_e2e_dec/1e6:.1f} MB/s; stages {stages}",
+              file=sys.stderr)
+        extra["e2e_pipelined_dec_MBps"] = round(
+            len(e2e_data) / t_e2e_dec / 1e6, 1)
+        extra["e2e_dec_stages"] = stages
+
+    if "_fast_payloads" in extra:
+        _section("e2e_pipelined_decode", _sec_e2e_dec)
+    elif "e2e_pipelined_encode" in skipped:
+        # dependent section: unreachable without the encode section's
+        # payloads — record it as skipped, not silently absent
+        skipped.append("e2e_pipelined_decode")
+        print("# SECTION SKIPPED [e2e_pipelined_decode]: depends on "
+              "e2e_pipelined_encode", file=sys.stderr)
+
+    # ---- anchored warm start (sqzt v3, FORMAT.md §3.2): beam-planned
+    # per-warm-block anchor choice; the beam prices candidates with the
+    # 4 KiB prefix-encode proxy (default, SQZ_ANCHOR_PRICE_PREFIX) and
+    # fully encodes only each block's chosen variant
+    import sqz_tpu
+
+    def _sec_anchors():
+        t0 = time.perf_counter()
+        anch_blob = sqz_tpu.compress(data, fmt="sqz4", engine="native",
+                                     blocks=True, blk_bits=blk_bits,
+                                     warm="anchors", parse="fast",
+                                     checksum=False, anchor_beam=2)
+        t_anch = time.perf_counter() - t0
+        from sqz_tpu.formats import container as sqzt_c
+        *_, a_payloads, _ac, a_fresh, a_anch = sqzt_c.unpack(anch_blob)
+        anch_ratio = sum(len(p) for p in a_payloads) / len(data)
+        assert sqz_tpu.decompress(anch_blob, engine="native") == data
+        print(f"# anchored warm (sqzt v3, beam 2, fast parse, proxy "
+              f"pricing): ratio {anch_ratio*100:.2f}% "
+              f"(cold blocks {ratio*100:.2f}%), "
+              f"{sum(a_fresh)}/{NB} fresh, "
+              f"{sum(a_anch) if a_anch else 0} nearest-fresh anchors, "
+              f"planner {len(data)/t_anch/1e6:.1f} MB/s host; round-trip "
+              f"verified", file=sys.stderr)
+        extra["anchored_ratio"] = round(anch_ratio, 6)
+        extra["anchor_planner_MBps"] = round(len(data) / t_anch / 1e6, 1)
+
+    _section("warm_anchors_v3", _sec_anchors)
+
+    # ---- warm start (sqzt v2, FORMAT.md §3.1): model seed + shared
+    # dictionary from block 0, chosen PER BLOCK against the cold coding
+    # (fresh bitmap). Verified on a SUBSET (VERDICT r3 #2: the full-size
+    # pass cost 673 s for a 0.04 pp ratio delta): the seeded device pass
+    # + per-block pick must agree with the threaded native warm executor,
+    # and the warm set must decode bit-exact.
+    def _sec_warm():
+        WB = min(NB, int(os.environ.get("SQZ_BENCH_WARM_BLOCKS", "128")))
+        sub = data[:WB * bs]
+        t0 = time.perf_counter()
+        warm_base, mask = native.blocks_compress(sub, 1, 15, blk_bits,
+                                                 lz=lz, warm=True)
+        t_warm_host = time.perf_counter() - t0
+        warm_ratio = sum(len(p) for p in warm_base) / len(sub)
+        cold_sub = sum(len(p) for p in payloads[:WB]) / len(sub)
+        warm_dev = sp.encode_data_full(sub, blk_bits, window, lz,
+                                       cap=bs + 2048, warm=True,
+                                       parse="exact")
+        from sqz_tpu.formats.constants import warm_gate_mask
+        gate = warm_gate_mask(parts[:WB], parts[0][-window:])
+        dev_pick = [c if b == 0 or not gate[b] or len(c) <= len(w) else w
+                    for b, (c, w) in enumerate(zip(payloads[:WB],
+                                                   warm_dev))]
+        assert dev_pick == warm_base, "device warm pick != native"
+        blk0, seed_w = native.sqz4_decompress_payload(warm_base[0],
+                                                      min(bs, len(sub)),
+                                                      return_state=True)
+        warm_idx = [b for b in range(1, WB) if not mask[b]]
+        if warm_idx:
+            outs_w = sp.decode_groups([warm_base[b] for b in warm_idx],
+                                      [sizes[b] for b in warm_idx],
+                                      blk_bits, seed=seed_w,
+                                      dictionary=blk0[-window:])
+            for b, o in zip(warm_idx, outs_w):
+                assert o == data[b * bs:(b + 1) * bs], "warm block mismatch"
+        print(f"# warm (sqzt v2, per-block pick, {WB}-block subset, gate: "
+              f"{sum(gate)}/{WB} candidates): ratio {warm_ratio*100:.2f}% "
+              f"(cold subset {cold_sub*100:.2f}%), {len(warm_idx)}/{WB} "
+              f"blocks warm; seeded device pass + warm-set decode verified "
+              f"bit-exact vs the threaded native warm executor "
+              f"({len(sub)/t_warm_host/1e6:.1f} MB/s host; kernel rates "
+              f"match the cold headline — the seeded kernel does identical "
+              f"work)", file=sys.stderr)
+        extra["warm_ratio"] = round(warm_ratio, 6)
+        extra["warm_subset_blocks"] = WB
+        extra["warm_cold_subset_ratio"] = round(cold_sub, 6)
+
+    _section("warm_v2", _sec_warm)
+
+    # ---- squeeze format: host adaptive-Huffman planning (threaded native)
+    # + device bitstream assembly; decode on the threaded native engine
+    # (measured device decode rejected — PERF.md "design decisions").
+    # Decode A/B at 1 and 2 threads records the block-parallel scaling
+    # behavior on THIS host (1 vCPU: equal wall = work-conserving threads;
+    # VERDICT r3 #7).
+    def _sec_squeeze():
+        sq_win = min(blk_bits, 15)
+        t0 = time.perf_counter()
+        sq_base = [native.squeeze_compress_payload(p, sq_win)
+                   for p in parts]
+        t_sq_base = time.perf_counter() - t0
+        tw_cap = -(-(4 * bs + 64) // tc) * tc
+        t0 = time.perf_counter()
+        sq_words, sq_mx = native.squeeze_plan_pack(data, sq_win, blk_bits,
+                                                   sp.ENC_LANES, tw_cap)
+        sq_rows = max(-(-int(sq_mx) // tc) * tc, tc)
+        sq_host = time.perf_counter() - t0
+        # fast-parse plan (the sqzt-path default for the device engine):
+        # bounded matcher, ~4x the exact plan rate (PERF.md)
+        t0 = time.perf_counter()
+        native.squeeze_plan_pack(data, sq_win, blk_bits, sp.ENC_LANES,
+                                 tw_cap, parse="fast")
+        sq_host_f = time.perf_counter() - t0
+        extra["squeeze_fast_plan_MBps"] = round(
+            len(data) / sq_host_f / 1e6, 1)
+        sq_cap_words = (-(-(bs + 4096 + 3) // 4) + 31) // 32 * 32
+        sqd = jnp.asarray(np.ascontiguousarray(sq_words[:, :sq_rows]))
+        np.asarray(sqd[0, 0, 0])                     # fence upload
+        out, lens_sq = sp._bitpack_pallas(sqd, sq_cap_words, tc, False)
+        np.asarray(lens_sq)                          # warm-up fence
+        t_sq = _best_of(
+            lambda: sp._bitpack_pallas(sqd, sq_cap_words, tc, False),
+            lambda r: np.asarray(r[1]))
+        sq_payloads = sp.unpack_group_payloads(np.asarray(out),
+                                               np.asarray(lens_sq), NB)
+        assert sq_payloads == sq_base, "squeeze device stream != native"
+        t_sq_dec = {}
+        for nt in (1, 2):
+            t0 = time.perf_counter()
+            sq_out = native.blocks_decompress(sq_payloads, len(data), 0,
+                                              blk_bits, nthreads=nt)
+            t_sq_dec[nt] = time.perf_counter() - t0
+            assert sq_out == data, "squeeze round-trip mismatch"
+        sq_ratio = sum(len(p) for p in sq_payloads) / len(data)
+        print(f"# squeeze: device bitpack {len(data)/t_sq/1e6:.1f} MB/s "
+              f"(host plan {len(data)/sq_host/1e6:.1f} MB/s exact / "
+              f"{len(data)/sq_host_f/1e6:.1f} MB/s fast, native "
+              f"1-thread enc {len(data)/t_sq_base/1e6:.1f} MB/s), threaded "
+              f"host decode {len(data)/t_sq_dec[1]/1e6:.1f} MB/s 1t / "
+              f"{len(data)/t_sq_dec[2]/1e6:.1f} MB/s 2t "
+              f"({os.cpu_count()} vCPU host), ratio {sq_ratio*100:.2f}%",
+              file=sys.stderr)
+        extra["squeeze_bitpack_MBps"] = round(len(data) / t_sq / 1e6, 1)
+        extra["squeeze_host_decode_MBps"] = round(
+            len(data) / t_sq_dec[1] / 1e6, 1)
+        extra["squeeze_host_decode_2t_MBps"] = round(
+            len(data) / t_sq_dec[2] / 1e6, 1)
+        extra["squeeze_ratio"] = round(sq_ratio, 6)
+
+    _section("squeeze", _sec_squeeze)
 
     result = {
         "metric": "sqz4_block_parallel_encode_plus_decode_GBps_per_chip",
