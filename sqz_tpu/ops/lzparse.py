@@ -93,7 +93,40 @@ def _gram_hash(words):
     return h.astype(I32)
 
 
-def _table_dists(blocks, lengths, k: int):
+def _sorted_neighbor_dists(hsh, pos, valid, words, verify: str):
+    """Shared core: sort rows by hash, compare each element with its left
+    sort-neighbor (exact word verify), return per-position distances in
+    position order. Rows are whatever segmentation the caller chose."""
+    if verify == "carry":
+        # words ride through the sort as extra operands
+        ops = (hsh, pos, valid.astype(I32)) + tuple(words)
+        s = jax.lax.sort(ops, dimension=1, num_keys=1, is_stable=True)
+        sp_, sv, sw = s[1], s[2], s[3:]
+    else:
+        # slim sort (3 operands); re-derive the neighbor words by an
+        # in-row gather at the sorted positions (rows are small enough
+        # for the gather to stay VMEM-local)
+        s = jax.lax.sort((hsh, pos, valid.astype(I32),
+                          jnp.broadcast_to(
+                              jnp.arange(hsh.shape[1], dtype=I32)[None],
+                              hsh.shape)),
+                         dimension=1, num_keys=1, is_stable=True)
+        sp_, sv, idx = s[1], s[2], s[3]
+        sw = [jnp.take_along_axis(w, idx, axis=1) for w in words]
+    same = jnp.ones(sp_.shape, bool)
+    for w in sw:
+        same = same & jnp.pad(w[:, 1:] == w[:, :-1], ((0, 0), (1, 0)))
+    prev_pos = jnp.pad(sp_[:, :-1], ((0, 0), (1, 0)), constant_values=-1)
+    prev_ok = jnp.pad(sv[:, :-1] > 0, ((0, 0), (1, 0)))
+    d = jnp.where(same & prev_ok & (sv > 0), sp_ - prev_pos, 0)
+    d = jnp.where((d > 0) & (d <= WIN_MASK), d, 0)
+    # unsort: one more sort keyed by position
+    _, dist = jax.lax.sort((sp_, d), dimension=1, num_keys=1)
+    return dist
+
+
+def _table_dists(blocks, lengths, k: int, seg: int = 0,
+                 verify: str = "carry"):
     """Nearest previous EXACT k-gram occurrence distance per position
     (0 = none), via two sorts. Invalid positions (p + k > len) neither
     source nor receive candidates.
@@ -102,26 +135,45 @@ def _table_dists(blocks, lengths, k: int):
     tuple: a num_keys=5 comparator made the XLA TPU sort take minutes to
     COMPILE (measured round 4), while the 1-key form compiles in seconds.
     lax.sort is stable, so equal-hash runs keep ascending position order
-    for free, and the carried word payloads value-verify each neighbor
-    pair exactly (assume-then-verify: a hash collision between sort
-    neighbors drops that candidate, never lies)."""
+    for free, and the word payloads value-verify each neighbor pair
+    exactly (assume-then-verify: a hash collision between sort neighbors
+    drops that candidate, never lies).
+
+    ``seg``: 0 sorts whole rows (candidates anywhere in the block);
+    seg > 0 sorts overlapped segments of that length instead — two
+    interleaved partitions offset by seg/2, nearest distance of the two —
+    so every candidate at distance <= seg/2 is always found and the sort
+    rows shrink from n to seg (the XLA TPU sort's cost driver). ``verify``:
+    'carry' rides the gram words through the sort; 'gather' sorts 3 slim
+    operands and re-derives neighbor words by in-row gathers."""
     B, n = blocks.shape
     words = _gram_words(blocks, k)
     pos = jnp.broadcast_to(jnp.arange(n, dtype=I32)[None], (B, n))
     valid = pos + k <= lengths[:, None].astype(I32)
-    ops = (_gram_hash(words), pos, valid.astype(I32)) + tuple(words)
-    s = jax.lax.sort(ops, dimension=1, num_keys=1, is_stable=True)
-    sp_, sv = s[1], s[2]
-    same = jnp.ones((B, n), bool)
-    for w in s[3:]:
-        same = same & jnp.pad(w[:, 1:] == w[:, :-1], ((0, 0), (1, 0)))
-    prev_pos = jnp.pad(sp_[:, :-1], ((0, 0), (1, 0)), constant_values=-1)
-    prev_ok = jnp.pad(sv[:, :-1] > 0, ((0, 0), (1, 0)))
-    d = jnp.where(same & prev_ok & (sv > 0), sp_ - prev_pos, 0)
-    d = jnp.where(d <= WIN_MASK, d, 0)
-    # unsort: one more sort keyed by position
-    _, dist = jax.lax.sort((sp_, d), dimension=1, num_keys=1)
-    return dist
+    hsh = _gram_hash(words)
+    if not seg or seg >= n:
+        return _sorted_neighbor_dists(hsh, pos, valid, words, verify)
+    if n % seg or seg % 2:
+        raise ValueError("sort segment must divide the block length")
+
+    def _one(off):
+        def cut(x, fill):
+            if off:
+                x = jnp.pad(x[:, :n - off], ((0, 0), (off, 0)),
+                            constant_values=fill)
+            return x.reshape(B * (n // seg), seg)
+        # pos pad = -1: pads must sort strictly before every real entry
+        # in the unsort (a real position-0 entry exists in the first
+        # offset segment) and stay in their own slots
+        d = _sorted_neighbor_dists(
+            cut(hsh, 0), cut(pos, -1), cut(valid, False),
+            [cut(w, 0) for w in words], verify).reshape(B, n)
+        if off:
+            d = jnp.pad(d[:, off:], ((0, 0), (0, off)))
+        return d
+
+    d0, d1 = _one(0), _one(seg // 2)
+    return jnp.where((d1 > 0) & ((d0 == 0) | (d1 < d0)), d1, d0)
 
 
 def _runlen(agree, cap: int):
@@ -136,13 +188,14 @@ def _runlen(agree, cap: int):
     return jnp.minimum(rl, cap)
 
 
-def _best_match(blocks, lengths):
+def _best_match(blocks, lengths, seg: int = 0, verify: str = "carry"):
     """(ml, dist) per position: best chained candidate across the gram
     tables and the cross-table min-distance chain."""
     B, n = blocks.shape
     pos = jnp.arange(n, dtype=I32)[None]
     rem = jnp.maximum(lengths[:, None].astype(I32) - pos, 0)
-    tabs = [(k, _table_dists(blocks, lengths, k)) for k in GRAM_SIZES]
+    tabs = [(k, _table_dists(blocks, lengths, k, seg, verify))
+            for k in GRAM_SIZES]
     m = jnp.zeros((B, n), I32)
     for _, dd in tabs:
         m = jnp.where((dd > 0) & ((m == 0) | (dd < m)), dd, m)
@@ -245,15 +298,18 @@ def _tokens_from_flags(mstart, ml, dist, lengths, S: int, Tt: int):
     return toks, ntok, pairs
 
 
-@partial(jax.jit, static_argnames=("Tt", "S", "lazy"))
+@partial(jax.jit, static_argnames=("Tt", "S", "lazy", "seg", "verify"))
 def lz_plan_device(blocks, lengths, Tt: int, S: int = SEG,
-                   lazy: bool = True):
+                   lazy: bool = True, seg: int = 0,
+                   verify: str = "carry"):
     """Device parse pass: raw [B, bs] u8 blocks (+ per-lane lengths) ->
     ([1, Tt, B] u32 token streams, [1, Lw, B] raw literal words, [B]
     fused-pair counts, [B] demoted-to-literal mask). The only host
-    involvement is reading max(pairs) for the kernel's step bound."""
+    involvement is reading max(pairs) for the kernel's step bound.
+    ``seg``/``verify``: sort segmentation + neighbor-verify strategy
+    (_table_dists)."""
     B, bs = blocks.shape
-    ml, dist = _best_match(blocks, lengths)
+    ml, dist = _best_match(blocks, lengths, seg, verify)
     mstart = _greedy_flags(ml, dist, S, lazy)
     toks, ntok, pairs = _tokens_from_flags(mstart, ml, dist, lengths,
                                            S, Tt)
@@ -269,7 +325,10 @@ def lz_plan_device(blocks, lengths, Tt: int, S: int = SEG,
 
 def lz_group_args(blk_bits: int, cap: int = None,
                   interpret: bool = False) -> dict:
-    """Static kwargs for the LZ-mode encode group."""
+    """Static kwargs for the LZ-mode encode group. SQZ_LZ_SORT_SEG /
+    SQZ_LZ_VERIFY pick the sort segmentation (0 = whole rows) and the
+    neighbor-verify strategy (carry|gather)."""
+    import os
     bs = 1 << blk_bits
     if cap is None:
         cap = bs + 2048
@@ -278,15 +337,19 @@ def lz_group_args(blk_bits: int, cap: int = None,
     Tt = max(96, min(_round_up(bs // 4 + 64, 32), 1 << 14))
     return dict(Tt=Tt,
                 cap_words=_round_up(-(-(cap + 3) // 4), 32),
-                interpret=interpret, wide=blk_bits >= 15)
+                interpret=interpret, wide=blk_bits >= 15,
+                seg=int(os.environ.get("SQZ_LZ_SORT_SEG", "0")),
+                verify=os.environ.get("SQZ_LZ_VERIFY", "carry"))
 
 
 def encode_lz_group(blocks, lengths, Tt: int, cap_words: int,
-                    interpret: bool, wide: bool, t_max: int = None):
+                    interpret: bool, wide: bool, t_max: int = None,
+                    seg: int = 0, verify: str = "carry"):
     """One lane group through the device-LZ path: sort-based parse +
     lit_skip token kernel over the RAW literal stream. Returns
     (words, lens) device arrays; payloads are ordinary sqz4 streams."""
-    toks, lits, pairs, _dem = lz_plan_device(blocks, lengths, Tt)
+    toks, lits, pairs, _dem = lz_plan_device(blocks, lengths, Tt,
+                                             seg=seg, verify=verify)
     if t_max is None:
         bq = 32 if interpret else 1024
         t_max = max(bq, _round_up(int(np.asarray(jnp.max(pairs))), bq))

@@ -75,6 +75,46 @@ def test_lz_blocks_smaller_than_segment_fall_back_to_literal():
     assert got == want
 
 
+@pytest.mark.parametrize("seg,verify", [(512, "carry"), (512, "gather"),
+                                        (256, "gather"), (0, "gather")])
+def test_lz_segmented_sort_and_gather_verify_roundtrip(seg, verify):
+    """Sort-shape knobs (SQZ_LZ_SORT_SEG / SQZ_LZ_VERIFY): overlapped
+    segmented sorts and the slim gather-verify sort must stay exact —
+    round-trip through the native decoder — and segmentation must not
+    lose near matches (distance <= seg/2 guaranteed visible)."""
+    import jax.numpy as jnp
+    data = _mixed(8 * 1024)
+    bs = 1 << 10
+    parts = [data[o:o + bs] for o in range(0, len(data), bs)]
+    arr = np.zeros((128, bs), np.uint8)         # kernel lane group
+    arr[:len(parts)] = np.frombuffer(data, np.uint8).reshape(-1, bs)
+    lanes = np.zeros((128,), np.int32)
+    lanes[:len(parts)] = bs
+    lens = jnp.asarray(lanes)
+    gargs = lzparse.lz_group_args(10, interpret=True)
+    gargs.update(seg=seg, verify=verify)
+    words, lens_out = lzparse.encode_lz_group(jnp.asarray(arr), lens,
+                                              **gargs)
+    from sqz_tpu.ops import sqz4_pallas as sp
+    lens_np = np.asarray(lens_out)
+    payloads = sp.unpack_group_payloads(
+        sp.fetch_words_trimmed(words, lens_np), lens_np, len(parts))
+    for b, p in enumerate(payloads):
+        assert native.sqz4_decompress_payload(p, bs) == parts[b]
+    if seg >= bs // 2:
+        # near matches survive segmentation (distance <= seg/2 always
+        # visible): ratio within 1.5 pp of the full-row sort on this
+        # corpus; shorter segments trade more ratio and are covered by
+        # the round-trip assertion above
+        g0 = dict(gargs, seg=0, verify="carry")
+        w0, l0 = lzparse.encode_lz_group(jnp.asarray(arr), lens, **g0)
+        l0np = np.asarray(l0)
+        full = sp.unpack_group_payloads(
+            sp.fetch_words_trimmed(w0, l0np), l0np, len(parts))
+        d = (sum(map(len, payloads)) - sum(map(len, full))) / len(data)
+        assert d <= 0.015, f"segmented sort lost {d*100:.2f} pp"
+
+
 def test_lz_matches_are_exact_on_adversarial_near_repeats():
     # near-periodic content where a sloppy (fingerprint-trusting) parse
     # would emit wrong matches: period-4 runs with single-byte edits
