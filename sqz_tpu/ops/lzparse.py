@@ -298,18 +298,42 @@ def _tokens_from_flags(mstart, ml, dist, lengths, S: int, Tt: int):
     return toks, ntok, pairs
 
 
-@partial(jax.jit, static_argnames=("Tt", "S", "lazy", "seg", "verify"))
-def lz_plan_device(blocks, lengths, Tt: int, S: int = SEG,
-                   lazy: bool = True, seg: int = 0,
-                   verify: str = "carry"):
-    """Device parse pass: raw [B, bs] u8 blocks (+ per-lane lengths) ->
-    ([1, Tt, B] u32 token streams, [1, Lw, B] raw literal words, [B]
-    fused-pair counts, [B] demoted-to-literal mask). The only host
-    involvement is reading max(pairs) for the kernel's step bound.
-    ``seg``/``verify``: sort segmentation + neighbor-verify strategy
-    (_table_dists)."""
-    B, bs = blocks.shape
-    ml, dist = _best_match(blocks, lengths, seg, verify)
+@partial(jax.jit, static_argnames=("k", "seg", "verify"))
+def _table_stage(blocks, lengths, k: int, seg: int, verify: str):
+    return _table_dists(blocks, lengths, k, seg, verify)
+
+
+@jax.jit
+def _select_stage(lengths, *dists):
+    """Combine the per-gram candidate tables into the best (ml, dist)
+    per position — _best_match's tail, with the tables precomputed."""
+    B, n = dists[0].shape
+    pos = jnp.arange(n, dtype=I32)[None]
+    rem = jnp.maximum(lengths[:, None].astype(I32) - pos, 0)
+    m = jnp.zeros((B, n), I32)
+    for dd in dists:
+        m = jnp.where((dd > 0) & ((m == 0) | (dd < m)), dd, m)
+    chains = list(zip(GRAM_SIZES, dists)) + [(GRAM_SIZES[0], m)]
+    ml = jnp.zeros((B, n), I32)
+    dist = jnp.zeros((B, n), I32)
+    for base, dd in chains:
+        v = dd > 0
+        agree = jnp.pad(v[:, :-1] & v[:, 1:] & (dd[:, 1:] == dd[:, :-1]),
+                        ((0, 0), (0, 1)))
+        rl = _runlen(agree, MAX_LEN - base)
+        mlt = jnp.minimum(jnp.where(v, base + rl, 0),
+                          jnp.minimum(rem, MAX_LEN))
+        take = v & ((mlt > ml) | ((mlt == ml) & (dd < dist)))
+        ml = jnp.where(take, mlt, ml)
+        dist = jnp.where(take, dd, dist)
+    return ml, dist
+
+
+@partial(jax.jit, static_argnames=("Tt", "S", "lazy", "Lw"))
+def _parse_stage(blocks, ml, dist, lengths, Tt: int, S: int, lazy: bool,
+                 Lw: int):
+    """Greedy cursor walk + token compaction + literal packing + the
+    slot-budget demotion — everything after candidate selection."""
     mstart = _greedy_flags(ml, dist, S, lazy)
     toks, ntok, pairs = _tokens_from_flags(mstart, ml, dist, lengths,
                                            S, Tt)
@@ -319,8 +343,31 @@ def lz_plan_device(blocks, lengths, Tt: int, S: int = SEG,
     demote = ntok > Tt
     toks = jnp.where(demote[:, None], lit_toks, toks)
     pairs = jnp.where(demote, lengths.astype(I32) + 5, pairs)
-    lits = _pack_literal_words(blocks, max(96, bs // 4))
+    lits = _pack_literal_words(blocks, Lw)
     return toks.transpose(1, 0)[None], lits, pairs, demote
+
+
+def lz_plan_device(blocks, lengths, Tt: int, S: int = SEG,
+                   lazy: bool = True, seg: int = 0,
+                   verify: str = "carry"):
+    """Device parse pass: raw [B, bs] u8 blocks (+ per-lane lengths) ->
+    ([1, Tt, B] u32 token streams, [1, Lw, B] raw literal words, [B]
+    fused-pair counts, [B] demoted-to-literal mask). The only host
+    involvement is reading max(pairs) for the kernel's step bound.
+    ``seg``/``verify``: sort segmentation + neighbor-verify strategy
+    (_table_dists).
+
+    Deliberately NOT one fused jit: each stage is its own program with
+    at most two lax.sort HLOs. The fused graph (7 sorts + the greedy
+    scan) took the XLA TPU backend >8 min of remote compile (round 4),
+    while the staged programs compile in ~13-23 s each; intermediates
+    stay on device, so steady-state cost is dispatch-only."""
+    _, bs = blocks.shape
+    dists = [_table_stage(blocks, lengths, k, seg, verify)
+             for k in GRAM_SIZES]
+    ml, dist = _select_stage(lengths, *dists)
+    return _parse_stage(blocks, ml, dist, lengths, Tt, S, lazy,
+                        max(96, bs // 4))
 
 
 def lz_group_args(blk_bits: int, cap: int = None,
