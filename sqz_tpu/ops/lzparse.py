@@ -349,7 +349,7 @@ def _parse_stage(blocks, ml, dist, lengths, Tt: int, S: int, lazy: bool,
 
 def lz_plan_device(blocks, lengths, Tt: int, S: int = SEG,
                    lazy: bool = True, seg: int = 0,
-                   verify: str = "carry"):
+                   verify: str = "carry", rows: int = None):
     """Device parse pass: raw [B, bs] u8 blocks (+ per-lane lengths) ->
     ([1, Tt, B] u32 token streams, [1, Lw, B] raw literal words, [B]
     fused-pair counts, [B] demoted-to-literal mask). The only host
@@ -361,13 +361,32 @@ def lz_plan_device(blocks, lengths, Tt: int, S: int = SEG,
     at most two lax.sort HLOs. The fused graph (7 sorts + the greedy
     scan) took the XLA TPU backend >8 min of remote compile (round 4),
     while the staged programs compile in ~13-23 s each; intermediates
-    stay on device, so steady-state cost is dispatch-only."""
-    _, bs = blocks.shape
-    dists = [_table_stage(blocks, lengths, k, seg, verify)
-             for k in GRAM_SIZES]
-    ml, dist = _select_stage(lengths, *dists)
-    return _parse_stage(blocks, ml, dist, lengths, Tt, S, lazy,
-                        max(96, bs // 4))
+    stay on device, so steady-state cost is dispatch-only.
+
+    ``rows`` (SQZ_LZ_SORT_ROWS, default 64): the batch is parsed in
+    slices of this many rows — sort batch sizes far from 64 make the
+    XLA TPU backend's remote compile pathological (measured round 4:
+    [64, 64Ki] sorts compile in 13-31 s, [16, .] and [256, .] take
+    5-15+ min). Slices reuse the same compiled programs; outputs
+    concatenate on device."""
+    import os
+    B, bs = blocks.shape
+    Lw = max(96, bs // 4)
+    if rows is None:
+        rows = int(os.environ.get("SQZ_LZ_SORT_ROWS", "64"))
+    outs = []
+    for i in range(0, B, rows):
+        blk, ln = blocks[i:i + rows], lengths[i:i + rows]
+        dists = [_table_stage(blk, ln, k, seg, verify)
+                 for k in GRAM_SIZES]
+        ml, dist = _select_stage(ln, *dists)
+        outs.append(_parse_stage(blk, ml, dist, ln, Tt, S, lazy, Lw))
+    if len(outs) == 1:
+        return outs[0]
+    return (jnp.concatenate([o[0] for o in outs], axis=2),
+            jnp.concatenate([o[1] for o in outs], axis=2),
+            jnp.concatenate([o[2] for o in outs], axis=0),
+            jnp.concatenate([o[3] for o in outs], axis=0))
 
 
 def lz_group_args(blk_bits: int, cap: int = None,
@@ -394,11 +413,24 @@ def encode_lz_group(blocks, lengths, Tt: int, cap_words: int,
                     seg: int = 0, verify: str = "carry"):
     """One lane group through the device-LZ path: sort-based parse +
     lit_skip token kernel over the RAW literal stream. Returns
-    (words, lens) device arrays; payloads are ordinary sqz4 streams."""
+    (words, lens) device arrays; payloads are ordinary sqz4 streams.
+
+    The kernel wants lane counts in vreg multiples (128 compiled, 32
+    interpreted); smaller/unaligned groups pad with empty (EOS-only)
+    lanes and slice the outputs back."""
     toks, lits, pairs, _dem = lz_plan_device(blocks, lengths, Tt,
                                              seg=seg, verify=verify)
     if t_max is None:
         bq = 32 if interpret else 1024
         t_max = max(bq, _round_up(int(np.asarray(jnp.max(pairs))), bq))
-    return sp._encode_tok_pallas(toks, lits, t_max, cap_words, interpret,
-                                 wide, lit_skip=True)
+    B = toks.shape[2]
+    Bp = _round_up(B, 32 if interpret else 128)
+    if Bp != B:
+        toks = jnp.pad(toks, ((0, 0), (0, 0), (0, Bp - B)))
+        toks = toks.at[0, 0, B:].set(jnp.asarray(EOS_TOKEN, U32))
+        lits = jnp.pad(lits, ((0, 0), (0, 0), (0, Bp - B)))
+    words, lens = sp._encode_tok_pallas(toks, lits, t_max, cap_words,
+                                        interpret, wide, lit_skip=True)
+    if Bp != B:
+        words, lens = words[..., :B], lens[..., :B]
+    return words, lens

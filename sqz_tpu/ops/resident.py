@@ -361,13 +361,14 @@ def encode_resident_blocks(data, blk_bits: int, mode: str = "rle",
     from sqz_tpu.ops import lzparse
     if mode == "lz" and (1 << blk_bits) < lzparse.SEG:
         mode = "lit"    # blocks smaller than one parse segment
-    if mode == "lz":
-        # batch sizes other than ~64 rows make the XLA TPU sort's remote
-        # compile pathological (measured round 4: [64, 64Ki] sorts
-        # compile in 13-31 s, [16, .] and [256, .] take 5-15+ min), and
-        # 64 lanes also keeps the token kernel well under the VMEM
-        # budget at every blk_bits
-        lanes = min(lanes, 64)
+    if mode == "lz" and blk_bits >= 16:
+        # the token slot array (bs/4 u32 per lane) + raw literal words +
+        # output buffer must fit the kernel's VMEM budget: 256 lanes at
+        # 64 KiB blocks (~52 MB); 512 lanes fit at blk_bits <= 15. The
+        # sort stages inside lz_plan_device slice to SQZ_LZ_SORT_ROWS
+        # (64) rows regardless — batch sizes far from 64 rows make the
+        # XLA TPU sort's remote compile pathological.
+        lanes = min(lanes, 256)
     blocks, lengths, NB, _n = _prep_blocks(data, blk_bits, lanes)
     if mode == "rle":
         gargs = rle_group_args(blk_bits, cap, interpret)

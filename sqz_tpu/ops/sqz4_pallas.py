@@ -1355,7 +1355,10 @@ def _encode_tok_pallas_call(toks, lits, t_max: int, cap_words: int,
                             lit_skip: bool = False):
     G, Tt, B = toks.shape
     Lw = lits.shape[1]
-    assert G == 1 and B % 128 == 0 and Tt % 32 == 0 and Lw % 32 == 0
+    # compiled lanes must fill vregs (128); the interpreter only needs
+    # the 32-wide tiling the kernel's loads assume
+    assert G == 1 and B % (32 if interpret else 128) == 0 \
+        and Tt % 32 == 0 and Lw % 32 == 0
     assert Tt >= 96 and Lw >= 96 and cap_words % 32 == 0
     z = np.int32(0)
     return pl.pallas_call(
