@@ -125,3 +125,27 @@ def test_lz_matches_are_exact_on_adversarial_near_repeats():
     blob = sqz_tpu.compress_resident(data, blk_bits=10, mode="lz",
                                      interpret=True)
     assert sqz_tpu.decompress(blob, engine="native") == data
+
+
+def test_lz_group_pads_unaligned_lane_counts():
+    # encode_lz_group pads lane groups to vreg multiples (32 under
+    # interpret) with EOS-only lanes and slices the outputs back —
+    # direct callers need not align B themselves
+    import jax.numpy as jnp
+
+    from sqz_tpu.ops import sqz4_pallas as sp
+    bs = 512
+    B = 40                                   # not a multiple of 32
+    data = _mixed(B * bs)
+    arr = np.frombuffer(data, np.uint8).reshape(B, bs)
+    lens = jnp.asarray(np.full((B,), bs, np.int32))
+    gargs = lzparse.lz_group_args(9, interpret=True)
+    words, lzlens = lzparse.encode_lz_group(jnp.asarray(arr), lens,
+                                            **gargs)
+    assert words.shape[-1] == B and lzlens.shape[-1] == B
+    lnp = np.asarray(lzlens)
+    payloads = sp.unpack_group_payloads(
+        sp.fetch_words_trimmed(words, lnp), lnp, B)
+    for b, p in enumerate(payloads):
+        assert native.sqz4_decompress_payload(
+            p, bs) == data[b * bs:(b + 1) * bs], f"lane {b}"
