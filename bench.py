@@ -37,12 +37,13 @@ import time
 
 import numpy as np
 
-# persistent XLA compilation cache: the driver's end-of-round run and any
-# repeat invocation reuse compiled kernels across processes, so the budget
-# buys measurements, not recompiles (first-ever run still compiles)
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                      os.path.expanduser("~/.cache/jax_sqz"))
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
+# persistent XLA compilation cache (ONE dir shared with the tools/
+# scripts, utils/devcache.py): the driver's end-of-round run and any
+# repeat invocation reuse compiled kernels across processes, so the
+# budget buys measurements, not recompiles (first-ever run still compiles)
+from sqz_tpu.utils import devcache
+
+devcache.enable()
 
 
 def _input_bytes(n: int) -> bytes:
@@ -110,22 +111,67 @@ def main() -> None:
     print(f"# input {len(data)} B, {NB} blocks of 2^{blk_bits}, lz={lz}, "
           f"devices={jax.devices()}", file=sys.stderr)
 
+    # global wall-clock budget (moved ahead of the core phase, VERDICT r4
+    # #1): the driver runs this unattended at the end of every round; the
+    # CORE phase now consults the deadline too and shrinks its host-side
+    # work (sampled baselines, sampled whole-stream reference) instead of
+    # eating the whole allotment on a degraded host. Secondary sections
+    # that would push past the budget are skipped (recorded in
+    # "skipped_sections") so the JSON always lands.
+    budget = float(os.environ.get("SQZ_BENCH_DEADLINE", "480"))
+    deadline = t_wall0 + budget
+    # the core phase should be done by this point so the flagship
+    # sections (device_lz first) get the rest of the budget
+    core_deadline = t_wall0 + float(
+        os.environ.get("SQZ_BENCH_CORE_FRAC", "0.45")) * budget
+
+    def _past(margin: float = 0.0) -> bool:
+        return time.perf_counter() > deadline - margin
+
+    def _core_past(margin: float = 0.0) -> bool:
+        return time.perf_counter() > core_deadline - margin
+
+    core_stages: dict = {}
+
+    def _stage(name: str, t0: float) -> None:
+        core_stages[name] = round(time.perf_counter() - t0, 2)
+
     # ---- baseline: single-threaded native C++ (reference-equivalent).
     # One pass (the kernel side keeps best-of-2; the baseline enters only
-    # the vs_baseline ratio, where single-pass noise is acceptable against
-    # the budget a second 32 MiB exact-parse encode would cost)
+    # the vs_baseline ratio, where single-pass noise is acceptable).
+    # Budgeted: a SAMPLE of blocks is timed first; the full set (needed
+    # for the full-container device-stream parity assert) is only encoded
+    # when the measured host rate fits the core budget — on a degraded
+    # host the parity check downgrades to the sample, loudly.
+    nsamp = max(8, min(NB, int(os.environ.get("SQZ_BENCH_BASE_BLOCKS",
+                                              str(NB // 8 or 8)))))
     t0 = time.perf_counter()
     base_payloads = [native.sqz4_compress_payload(p, window, lz=lz)
-                     for p in parts]
+                     for p in parts[:nsamp]]
     t_base_enc = time.perf_counter() - t0
+    samp_bytes = sum(sizes[:nsamp])
+    est_rest = t_base_enc * (NB / nsamp - 1)            # full-set estimate
+    full_parity = nsamp == NB or not _core_past(2.2 * est_rest + 10)
+    if full_parity and nsamp < NB:
+        t0 = time.perf_counter()
+        base_payloads += [native.sqz4_compress_payload(p, window, lz=lz)
+                          for p in parts[nsamp:]]
+        t_base_enc += time.perf_counter() - t0
+        samp_bytes = len(data)
+    npar = len(base_payloads)
     t0 = time.perf_counter()
     base_out = [native.sqz4_decompress_payload(pl, s)
                 for pl, s in zip(base_payloads, sizes)]
     t_base_dec = time.perf_counter() - t0
-    assert b"".join(base_out) == data
-    base_gbps = 2 * len(data) / (t_base_enc + t_base_dec) / 1e9
-    print(f"# native 1-thread: enc {len(data)/t_base_enc/1e6:.1f} MB/s, "
-          f"dec {len(data)/t_base_dec/1e6:.1f} MB/s", file=sys.stderr)
+    assert b"".join(base_out) == data[:samp_bytes]
+    base_gbps = 2 * samp_bytes / (t_base_enc + t_base_dec) / 1e9
+    print(f"# native 1-thread ({npar}/{NB} blocks): "
+          f"enc {samp_bytes/t_base_enc/1e6:.1f} MB/s, "
+          f"dec {samp_bytes/t_base_dec/1e6:.1f} MB/s", file=sys.stderr)
+    core_stages["native_base"] = round(t_base_enc + t_base_dec, 2)
+    if not full_parity:
+        print(f"# note: degraded host — device-stream parity will check "
+              f"the first {npar} blocks only", file=sys.stderr)
 
     # ---- encode: host tokenize + op-stream packing (pipelined host work,
     # untimed here; the stderr end-to-end includes it), self-contained
@@ -176,9 +222,13 @@ def main() -> None:
             np.asarray(ld)                           # fence
             t_enc = min(t_enc, (time.perf_counter() - t0) / K)
     t0 = time.perf_counter()
-    payloads = sp.unpack_group_payloads(np.asarray(words), lens, NB)
+    payloads = sp.unpack_group_payloads(sp.fetch_words_trimmed(words, lens),
+                                        lens, NB)
     t_enc_dl = time.perf_counter() - t0
-    assert payloads == base_payloads, "device stream != native stream"
+    assert payloads[:npar] == base_payloads, "device stream != native stream"
+    core_stages["enc_host_plan"] = round(t_host_enc, 2)
+    core_stages["enc_kernel"] = round(t_enc, 3)
+    core_stages["enc_download_unpack"] = round(t_enc_dl, 2)
 
     # ---- decode: payload upload untimed (device-resident input), Pallas
     # kernel + record-stream download + native assembly timed end-to-end;
@@ -228,21 +278,20 @@ def main() -> None:
         np.asarray(out4[3])                          # fence (counts, small)
         t_dec = min(t_dec, (time.perf_counter() - t0) / K)
     t0 = time.perf_counter()
-    lit, tok, mrec = map(np.asarray, (lit, tok, mrec))
-    litb = np.ascontiguousarray(lit.transpose(0, 2, 1).reshape(G * dec_lanes, -1))[:NB]
-    litu8 = litb.astype(">u4").view(np.uint8).reshape(NB, -1)
-    tokb = np.ascontiguousarray(tok.transpose(0, 2, 1).reshape(G * dec_lanes, -1))[:NB]
-    mrecb = np.ascontiguousarray(mrec.transpose(0, 2, 1).reshape(G * dec_lanes, -1))[:NB]
-    cnt = counts.transpose(0, 2, 1).reshape(G * dec_lanes, 8)[:NB]
-    assert not cnt[:, 4].any(), "device decode error"
-    assert not cnt[:, 6].any(), "match-record overflow"
-    out = native.assemble_blocks(tokb, litu8, mrecb,
-                                 cnt[:, 2].astype(np.int64),
-                                 np.asarray(dec_sizes, np.int64), bs)
+    # trimmed + device-transposed record download (fetch_decode_host) and
+    # the shared post-kernel assembly — the SAME code path the shipping
+    # decode uses; the old full lit/tok/mrec rectangle pull cost ~70 MiB
+    # of tunnel time per pass (VERDICT r4 weak #1)
+    lt, tt, mt, cnt = sp.fetch_decode_host(out4)
+    outs_dec = sp.postprocess_decode(lt, tt, mt, cnt, dec_payloads,
+                                     dec_sizes, bs, block_ids=order,
+                                     transposed=True)
     t_dec_dl = time.perf_counter() - t0
     inv = np.argsort(np.asarray(order))
-    got = b"".join(out[inv[b], :sizes[b]].tobytes() for b in range(NB))
+    got = b"".join(outs_dec[inv[b]] for b in range(NB))
     assert got == data, "device round-trip mismatch"
+    core_stages["dec_kernel"] = round(t_dec, 3)
+    core_stages["dec_download_assemble"] = round(t_dec_dl, 2)
 
     gbps = 2 * len(data) / (t_enc + t_dec) / 1e9
     print(f"# pallas kernels: enc {len(data)/t_enc/1e6:.1f} MB/s, "
@@ -255,16 +304,26 @@ def main() -> None:
     # ---- compression ratio: the block-parallel container's payload bytes
     # vs the original, and vs ONE whole-input reference-format stream (the
     # per-block model-reset penalty, attic/map_experiment/test.c:34-37 is
-    # the reference's ratio yardstick)
+    # the reference's ratio yardstick). Budgeted: the single-stream host
+    # encode (8-28 s at 32 MiB on this host) samples a prefix when the
+    # core budget is short — the delta-pp row stays, over the same bytes.
     comp_bytes = sum(len(p) for p in payloads)
     ratio = comp_bytes / len(data)
+    ref_n = len(data)
+    enc_rate = samp_bytes / max(t_base_enc, 1e-9)        # B/s, measured
+    if _core_past(1.2 * len(data) / enc_rate):
+        ref_n = max(bs, min(len(data),
+                            int(4 * 1024 * 1024 // bs) * bs))
     t0 = time.perf_counter()
-    ref_stream = native.sqz4_compress_payload(data, window, lz=lz)
+    ref_stream = native.sqz4_compress_payload(data[:ref_n], window, lz=lz)
     t_ref = time.perf_counter() - t0
-    ref_ratio = len(ref_stream) / len(data)
+    ref_ratio = len(ref_stream) / ref_n
+    blocks_ratio_same = sum(len(p) for p in payloads[:ref_n // bs]) / ref_n
     print(f"# ratio: blocks {ratio*100:.2f}% vs whole-stream reference "
-          f"{ref_ratio*100:.2f}% (delta {100*(ratio-ref_ratio):+.2f} pp; "
+          f"{ref_ratio*100:.2f}% over {ref_n >> 20} MiB (delta "
+          f"{100*(blocks_ratio_same-ref_ratio):+.2f} pp on the same bytes; "
           f"single stream took {t_ref:.1f}s host)", file=sys.stderr)
+    core_stages["ref_whole_stream"] = round(t_ref, 2)
 
     # Secondary sections below are guarded: a verification failure there is
     # reported loudly (stderr + "failed_sections" in the JSON) but must not
@@ -273,15 +332,11 @@ def main() -> None:
     fails: list = []
     skipped: list = []
     extra: dict = {}
-    # global wall-clock budget: the driver runs this unattended at the end
-    # of every round; secondary sections that would push past the budget
-    # are skipped (recorded in "skipped_sections") so the JSON always lands.
-    # Sections also consult _past() between their internal repeat passes
-    # and drop repeats (not measurements) when the budget runs short.
-    deadline = t_wall0 + float(os.environ.get("SQZ_BENCH_DEADLINE", "480"))
-
-    def _past(margin: float = 0.0) -> bool:
-        return time.perf_counter() > deadline - margin
+    # (deadline and _past are defined ahead of the core phase; sections
+    # consult _past() between their internal repeat passes and drop
+    # repeats — not measurements — when the budget runs short.)
+    print(f"# core phase done at {time.perf_counter() - t_wall0:.1f}s "
+          f"(budget {budget:.0f}s): {core_stages}", file=sys.stderr)
 
     def _section(name, fn):
         if _past():
@@ -794,6 +849,9 @@ def main() -> None:
         "dec_MBps": round(len(data) / t_dec / 1e6, 1),
         "ratio": round(ratio, 6),
         "ref_whole_stream_ratio": round(ref_ratio, 6),
+        "ref_whole_stream_MiB": ref_n >> 20,
+        "parity_blocks": npar,
+        "core_stages": core_stages,
     }
     result.update({k: v for k, v in extra.items() if not k.startswith("_")})
     if fails:

@@ -373,14 +373,33 @@ def lz_plan_device(blocks, lengths, Tt: int, S: int = SEG,
     B, bs = blocks.shape
     Lw = max(96, bs // 4)
     if rows is None:
-        rows = int(os.environ.get("SQZ_LZ_SORT_ROWS", "64"))
+        rows = os.environ.get("SQZ_LZ_SORT_ROWS", "64")
+        try:
+            rows = int(rows)
+        except ValueError:
+            raise ValueError(f"SQZ_LZ_SORT_ROWS={rows!r} is not an integer")
+        if rows < 1:
+            raise ValueError(f"SQZ_LZ_SORT_ROWS must be >= 1, got {rows}")
     outs = []
     for i in range(0, B, rows):
         blk, ln = blocks[i:i + rows], lengths[i:i + rows]
+        n = blk.shape[0]
+        if n != rows:
+            # pad the final slice to the full row count with zero-length
+            # lanes (EOS-only tokens, zero pairs) so every slice reuses
+            # the same compiled sort programs — an off-64 row count is
+            # exactly the pathological remote-compile case the slicing
+            # exists to avoid
+            blk = jnp.pad(blk, ((0, rows - n), (0, 0)))
+            ln = jnp.pad(ln, (0, rows - n))
         dists = [_table_stage(blk, ln, k, seg, verify)
                  for k in GRAM_SIZES]
         ml, dist = _select_stage(ln, *dists)
-        outs.append(_parse_stage(blk, ml, dist, ln, Tt, S, lazy, Lw))
+        out = _parse_stage(blk, ml, dist, ln, Tt, S, lazy, Lw)
+        if n != rows:
+            out = (out[0][:, :, :n], out[1][:, :, :n], out[2][:n],
+                   out[3][:n])
+        outs.append(out)
     if len(outs) == 1:
         return outs[0]
     return (jnp.concatenate([o[0] for o in outs], axis=2),

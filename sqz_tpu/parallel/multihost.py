@@ -95,6 +95,27 @@ def addressable_block_payloads(words, lens: np.ndarray,
     return out
 
 
+def addressable_lane_payloads(words, lens: np.ndarray,
+                              n_blocks: int) -> List[Tuple[int, bytes]]:
+    """Same extraction for the lane-sharded kernel layout: ``words`` is a
+    jax.Array [1, Pw, B] (u32 big-endian payload words) sharded over the
+    LAST (lane) axis — the device-LZ sharded path, where the plan stages
+    keep blocks on the lane axis end-to-end."""
+    lens = np.asarray(lens).reshape(-1)
+    out: List[Tuple[int, bytes]] = []
+    for shard in words.addressable_shards:
+        b0 = shard.index[2].start or 0
+        local = np.asarray(shard.data)             # [1, Pw, per]
+        for lane in range(local.shape[2]):
+            b = b0 + lane
+            if b >= n_blocks:
+                continue
+            n = int(lens[b])
+            out.append((b, local[0, :(n + 3) // 4, lane].astype(">u4")
+                        .tobytes()[:n]))
+    return out
+
+
 def addressable_scan_payloads(payload, lens: np.ndarray,
                               n_blocks: int) -> List[Tuple[int, bytes]]:
     """Same extraction for the XLA-scan encoder layout: ``payload`` is a

@@ -322,12 +322,19 @@ def encode_resident_sharded(data, blk_bits: int, mesh: Mesh,
     width (multiple of 128)."""
     from sqz_tpu.ops import resident
     from sqz_tpu.parallel import multihost
-    if mode not in ("lit", "rle"):
+    if mode not in ("lit", "rle", "lz"):
         raise ValueError(f"unknown resident mode {mode!r}")
     if blk_bits > 16:
         raise ValueError("sqz4 TPU kernels support blk_bits <= 16")
     if mode == "rle" and (1 << blk_bits) < resident.CELL:
         mode = "lit"    # blocks smaller than a cell: no matches possible
+    if mode == "lz":
+        from sqz_tpu.ops import lzparse
+        if (1 << blk_bits) < lzparse.SEG:
+            mode = "lit"     # blocks smaller than one parse segment
+        else:
+            return encode_lz_sharded(data, blk_bits, mesh, lanes,
+                                     interpret)
     bs = 1 << blk_bits
     n = mesh.devices.size
     blocks, lengths, NB, _sz = resident._prep_blocks(
@@ -345,6 +352,129 @@ def encode_resident_sharded(data, blk_bits: int, mesh: Mesh,
         raise ValueError("compressed block exceeded the output capacity")
     return multihost.gather_payloads_to_host0(
         multihost.addressable_block_payloads(words, lens_flat, NB),
+        lens_flat, NB)
+
+
+# ------------------------------------------- device-LZ parse over a mesh
+
+@lru_cache(maxsize=32)
+def sharded_lz_kernel_fn(mesh: Mesh, Tt: int, Lw: int, t_max: int,
+                         cap_words: int, interpret: bool, wide: bool,
+                         klanes: int):
+    """shard_map program coding LZ-parsed token streams on each device's
+    shard (the lane-sharded [1, Tt, B] layout the global-view plan stages
+    produce). Loops lane groups of ``klanes`` so one kernel call's VMEM
+    stays bounded; pads each group to the kernel's vreg lane multiple
+    with empty (EOS-only) lanes and slices the outputs back."""
+    from sqz_tpu.ops.resident import EOS_TOKEN
+    from sqz_tpu.ops.sqz4_pallas import _encode_tok_pallas_call
+
+    vreg = 32 if interpret else 128
+
+    def local(toks, lits):
+        per = toks.shape[2]
+        words_g, lens_g = [], []
+        for g0 in range(0, per, klanes):
+            t = toks[:, :, g0:g0 + klanes]
+            li = lits[:, :, g0:g0 + klanes]
+            nb = t.shape[2]
+            npad = -(-nb // vreg) * vreg
+            if npad != nb:
+                t = jnp.pad(t, ((0, 0), (0, 0), (0, npad - nb)))
+                t = t.at[0, 0, nb:].set(jnp.asarray(EOS_TOKEN, jnp.uint32))
+                li = jnp.pad(li, ((0, 0), (0, 0), (0, npad - nb)))
+            w, ln = _encode_tok_pallas_call(t, li, t_max, cap_words,
+                                            interpret, wide, lit_skip=True)
+            words_g.append(w[:, :, :nb])
+            lens_g.append(ln[:, :, :nb])
+        words = (jnp.concatenate(words_g, axis=2) if len(words_g) > 1
+                 else words_g[0])
+        lens = (jnp.concatenate(lens_g, axis=2) if len(lens_g) > 1
+                else lens_g[0])
+        all_lens = jax.lax.all_gather(lens, "blocks", axis=2, tiled=True)
+        return words, all_lens
+
+    return jax.jit(shard_map(
+        local, mesh=mesh,
+        in_specs=(P(None, None, "blocks"), P(None, None, "blocks")),
+        out_specs=(P(None, None, "blocks"), P(None, None, None)),
+        **{_VMA_KW: False},
+    ))
+
+
+def encode_lz_sharded(data, blk_bits: int, mesh: Mesh, lanes: int = 256,
+                      interpret: bool = False) -> List[bytes]:
+    """Device-LZ resident encode with blocks sharded over the mesh
+    (the multi-chip surface for ops/lzparse.py, VERDICT r4 #3).
+
+    The parse runs GLOBAL-VIEW: the SAME staged jit programs as
+    lzparse.lz_plan_device (table sorts / candidate select / greedy parse)
+    are fed block-sharded arrays, and the GSPMD partitioner keeps every
+    stage shard-local — all sorts and scans act along the in-block axis,
+    so no collectives are inserted and each device plans its own blocks
+    concurrently. The staging discipline carries over unchanged: each
+    stage is its own program with at most two lax.sort HLOs, and the
+    per-DEVICE sort batch stays at SQZ_LZ_SORT_ROWS (64) rows — the
+    partitioner rewrites to local shapes before backend codegen, so the
+    compile-friendly shape is preserved on every chip. One i32 (the
+    global max fused-pair count, replicated by construction) is read back
+    between the plan and the kernel — the same sync the single-device
+    path performs. Payloads are byte-identical to
+    resident.encode_resident_blocks(mode="lz")."""
+    import os as _os
+
+    from jax.sharding import NamedSharding
+
+    from sqz_tpu.ops import lzparse, resident
+    from sqz_tpu.parallel import multihost
+    n = mesh.devices.size
+    bs = 1 << blk_bits
+    rows = max(1, int(_os.environ.get("SQZ_LZ_SORT_ROWS", "64")))
+    blocks, lengths, NB, _sz = resident._prep_blocks(data, blk_bits,
+                                                     n * rows)
+    B = blocks.shape[0]
+    per = B // n                       # a multiple of rows by _prep_blocks
+    gargs = lzparse.lz_group_args(blk_bits, interpret=interpret)
+    Tt, Lw = gargs["Tt"], max(96, bs // 4)
+    blocks = jax.device_put(blocks, NamedSharding(mesh, P("blocks", None)))
+    lens_d = jax.device_put(jnp.asarray(lengths),
+                            NamedSharding(mesh, P("blocks")))
+    # slice rows-wide column groups of every device's shard concurrently:
+    # [B, bs] -> [n, per, bs] (axis 0 sharded) -> local column slice ->
+    # back to the [n*rows, bs] stage shape (still axis-0 sharded)
+    b3 = blocks.reshape(n, per, bs)
+    l2 = lens_d.reshape(n, per)
+    toks_j, lits_j, pairs_j = [], [], []
+    for j in range(0, per, rows):
+        blk = b3[:, j:j + rows].reshape(n * rows, bs)
+        ln = l2[:, j:j + rows].reshape(n * rows)
+        dists = [lzparse._table_stage(blk, ln, k, gargs["seg"],
+                                      gargs["verify"])
+                 for k in lzparse.GRAM_SIZES]
+        ml, dist = lzparse._select_stage(ln, *dists)
+        toks, lits, pairs, _dem = lzparse._parse_stage(
+            blk, ml, dist, ln, Tt, lzparse.SEG, True, Lw)
+        toks_j.append(toks.reshape(1, Tt, n, rows))
+        lits_j.append(lits.reshape(1, Lw, n, rows))
+        pairs_j.append(pairs.reshape(n, rows))
+    cat = (lambda xs, ax: xs[0] if len(xs) == 1
+           else jnp.concatenate(xs, axis=ax))
+    toks = cat(toks_j, 3).reshape(1, Tt, B)
+    lits = cat(lits_j, 3).reshape(1, Lw, B)
+    pairs = cat(pairs_j, 1).reshape(B)
+    # kernel step bound: global max pairs (replicated scalar), bucketed so
+    # the jitted kernel program is reused across calls
+    bq = 32 if interpret else 1024
+    t_max = max(bq, -(-int(np.asarray(jnp.max(pairs))) // bq) * bq)
+    klanes = min(lanes, 256 if blk_bits >= 16 else 512)
+    fn = sharded_lz_kernel_fn(mesh, Tt, Lw, t_max, gargs["cap_words"],
+                              interpret, gargs["wide"], klanes)
+    words, all_lens = fn(toks, lits)
+    lens_flat = np.asarray(all_lens)[0, 0, :]
+    if (lens_flat[:NB] > gargs["cap_words"] * 4).any():
+        raise ValueError("compressed block exceeded the output capacity")
+    return multihost.gather_payloads_to_host0(
+        multihost.addressable_lane_payloads(words, lens_flat, NB),
         lens_flat, NB)
 
 

@@ -7,6 +7,10 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from sqz_tpu.utils import devcache  # one persistent XLA cache with bench.py
+
+devcache.enable()
+
 n_bytes = int(os.environ.get("SQZ_BENCH_BYTES", 2 * 1024 * 1024))
 blk_bits = int(os.environ.get("SQZ_BENCH_BLK_BITS", 14))
 

@@ -12,6 +12,10 @@ import os
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from sqz_tpu.utils import devcache  # one persistent XLA cache with bench.py
+
+devcache.enable()
+
 from sqz_tpu import native
 from sqz_tpu.utils import corpus
 import sqz_tpu

@@ -20,6 +20,10 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from sqz_tpu.utils import devcache  # one persistent XLA cache with bench.py
+
+devcache.enable()
+
 
 def _t(fn, reps: int = 1):
     best = float("inf")

@@ -25,6 +25,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from sqz_tpu.utils import devcache  # one persistent XLA cache with bench.py
+
+devcache.enable()
+
 from sqz_tpu import native
 from sqz_tpu.utils import corpus
 

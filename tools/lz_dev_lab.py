@@ -34,6 +34,10 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from sqz_tpu.utils import devcache  # one persistent XLA cache with bench.py
+
+devcache.enable()
+
 WIN = 1 << 15
 MAXLEN = 254          # the format cap (sqz_max_len)
 

@@ -13,6 +13,10 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from sqz_tpu.utils import devcache  # one persistent XLA cache with bench.py
+
+devcache.enable()
+
 lanes = int(os.environ.get("LANES", 64))
 blk_bits = int(os.environ.get("BLK_BITS", 16))
 stage = os.environ.get("STAGE", "all")

@@ -12,6 +12,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from sqz_tpu.utils import devcache  # one persistent XLA cache with bench.py
+
+devcache.enable()
+
 from sqz_tpu import native                                   # noqa: E402
 from sqz_tpu.ops import sqz4_pallas as sp                    # noqa: E402
 from sqz_tpu.utils import corpus                             # noqa: E402

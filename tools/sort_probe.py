@@ -23,6 +23,10 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from sqz_tpu.utils import devcache  # one persistent XLA cache with bench.py
+
+devcache.enable()
+
 rows = [int(x) for x in os.environ.get("ROWS", "8,64,256").split(",")]
 cols = [int(x) for x in os.environ.get("COLS", "4096,16384,65536").split(",")]
 opss = [int(x) for x in os.environ.get("OPS", "2,4,7").split(",")]

@@ -24,6 +24,10 @@ import time
 
 sys.path.insert(0, ".")
 
+from sqz_tpu.utils import devcache  # one persistent XLA cache with bench.py
+
+devcache.enable()
+
 from sqz_tpu import native                                    # noqa: E402
 from sqz_tpu.utils import corpus                              # noqa: E402
 
