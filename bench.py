@@ -411,8 +411,50 @@ def main() -> None:
         extra["device_lz_enc_MBps"] = round(mb / t_lz, 1)
         extra["device_lz_ratio"] = round(lz_ratio, 6)
         extra["device_lz_vs_fast_pp"] = round(dpp, 2)
+        extra["_lz_payloads"] = lz_payloads
 
     _section("device_lz", _sec_lz)
+
+    # ---- chip-resident GENERAL restore (ops/lz_restore.py, VERDICT r4
+    # #4): the device-LZ streams just coded restore on-device — decode
+    # kernel + exact compaction-sort/pointer-doubling assembly, zero host
+    # byte assembly; every spot block verified against the input.
+    def _sec_lz_restore():
+        from sqz_tpu.ops import lz_restore
+        from sqz_tpu.ops import resident as res_mod
+        lz_payloads = extra["_lz_payloads"]
+        B = len(lz_payloads)
+        plan_g = sp.plan_decode_dispatch(B, blk_bits, lanes=B, slots=1)
+        dargs_g = dict(Pw=plan_g["Pw"], t_max=plan_g["t_max"],
+                       lw=plan_g["lw"], tw=plan_g["tw"], mw=plan_g["mw"],
+                       bs=bs, interpret=False, wide=blk_bits >= 15)
+        bufg, plg, szg, _ov = res_mod.pack_payload_group(
+            lz_payloads, [len(p) for p in parts[:B]], dargs_g["Pw"], B)
+        bufd = jnp.asarray(bufg)
+        pld, szd = jnp.asarray(plg), jnp.asarray(szg)
+        np.asarray(bufd[0, 0, 0])                    # fence upload
+        blocks_g, _cg, bad_g = lz_restore.decode_lz_group(
+            bufd, pld, szd, **dargs_g)               # compile + warm-up
+        assert not bool(np.asarray(bad_g)[:B].any()), \
+            "general restore bad lane"
+        for b in range(0, B, max(1, B // 8)):
+            assert np.asarray(blocks_g[b]).tobytes() == parts[b], \
+                f"general restore block {b}"
+        t_gr = _best_of(
+            lambda: lz_restore.decode_lz_group(bufd, pld, szd, **dargs_g),
+            lambda r: np.asarray(r[2][0]))
+        mb = B * bs / 1e6
+        print(f"# device general restore ({B} LZ-parsed blocks, zero "
+              f"host byte assembly): {mb/t_gr:.1f} MB/s chip-resident; "
+              f"verified vs input", file=sys.stderr)
+        extra["device_lz_restore_MBps"] = round(mb / t_gr, 1)
+
+    if "_lz_payloads" in extra:
+        _section("device_lz_restore", _sec_lz_restore)
+    else:
+        skipped.append("device_lz_restore")
+        print("# SECTION SKIPPED [device_lz_restore]: depends on "
+              "device_lz", file=sys.stderr)
 
     # ---- device-resident paths (ops/resident.py): tokens + literal
     # stream computed ON DEVICE from raw HBM-resident bytes, coded and

@@ -315,14 +315,17 @@ def compress_resident(data, blk_bits: int = 16, mode: str = "rle",
 
 
 def decompress_resident(blob: bytes, interpret: bool = False, mesh=None,
-                        lanes: int = None):
+                        lanes: int = None, assembly: str = "auto"):
     """Restore path for compress_resident: decode an sqzt sqz4 container
-    to a DEVICE-RESIDENT 1-D uint8 array — the standard decode kernel
-    plus a three-pass on-device cell assembly (ops/resident.py), so
-    checkpoint shards restore to HBM without the host assembling bytes.
-    Works on any cold sqz4 sqzt container: blocks whose streams are not
-    cell-parsed are detected exactly (token-count completeness check)
-    and decode via the host transparently.
+    to a DEVICE-RESIDENT 1-D uint8 array with zero host byte assembly —
+    the standard decode kernel plus an on-device assembly
+    (ops/resident.py): the three-pass cell assembly for cell-parsed
+    streams (mode="lit"/"rle" containers) and the exact general assembly
+    (ops/lz_restore.py — compaction sort + pointer doubling) for
+    everything else, incl. ``compress_resident(mode="lz")`` containers
+    and foreign spec-valid streams. ``assembly``: "auto" (cell first,
+    general for the rest), "cell", or "general"; only kernel-flagged
+    corrupt blocks ever reach the host decoder.
 
     The container checksum is NOT verified here (hashing would require
     downloading the decoded bytes); per-block decoder validations still
@@ -340,7 +343,8 @@ def decompress_resident(blob: bytes, interpret: bool = False, mesh=None,
         return decompress_resident_sharded(blob, mesh, lanes or 128,
                                            interpret)
     return resident.decompress_resident(blob, lanes=lanes or 512,
-                                        interpret=interpret)
+                                        interpret=interpret,
+                                        assembly=assembly)
 
 
 def decompress(blob: bytes, fmt: Optional[Format | str] = None,

@@ -303,17 +303,18 @@ def _table_stage(blocks, lengths, k: int, seg: int, verify: str):
     return _table_dists(blocks, lengths, k, seg, verify)
 
 
-@jax.jit
-def _select_stage(lengths, *dists):
+@partial(jax.jit, static_argnames=("grams",))
+def _select_stage(lengths, *dists, grams=GRAM_SIZES):
     """Combine the per-gram candidate tables into the best (ml, dist)
-    per position — _best_match's tail, with the tables precomputed."""
+    per position — _best_match's tail, with the tables precomputed.
+    ``grams`` names the table sizes (one per dists entry)."""
     B, n = dists[0].shape
     pos = jnp.arange(n, dtype=I32)[None]
     rem = jnp.maximum(lengths[:, None].astype(I32) - pos, 0)
     m = jnp.zeros((B, n), I32)
     for dd in dists:
         m = jnp.where((dd > 0) & ((m == 0) | (dd < m)), dd, m)
-    chains = list(zip(GRAM_SIZES, dists)) + [(GRAM_SIZES[0], m)]
+    chains = list(zip(grams, dists)) + [(grams[0], m)]
     ml = jnp.zeros((B, n), I32)
     dist = jnp.zeros((B, n), I32)
     for base, dd in chains:
@@ -347,9 +348,28 @@ def _parse_stage(blocks, ml, dist, lengths, Tt: int, S: int, lazy: bool,
     return toks.transpose(1, 0)[None], lits, pairs, demote
 
 
+def _grams_env() -> tuple:
+    """Gram-table sizes from SQZ_LZ_GRAMS (comma list, default 4,8,16) —
+    the fewer-tables throughput lever (ROADMAP #3): each table costs two
+    sorts per slice; the 8-gram-only config loses little ratio in the
+    lab (tools/lz_dev_lab.py) at a third of the sort cost."""
+    import os
+    raw = os.environ.get("SQZ_LZ_GRAMS", "")
+    if not raw:
+        return GRAM_SIZES
+    try:
+        grams = tuple(sorted({int(x) for x in raw.split(",") if x}))
+    except ValueError:
+        raise ValueError(f"SQZ_LZ_GRAMS={raw!r} is not a comma list of ints")
+    if not grams or any(g < 2 or g > 64 for g in grams):
+        raise ValueError(f"SQZ_LZ_GRAMS entries must be in 2..64: {raw!r}")
+    return grams
+
+
 def lz_plan_device(blocks, lengths, Tt: int, S: int = SEG,
                    lazy: bool = True, seg: int = 0,
-                   verify: str = "carry", rows: int = None):
+                   verify: str = "carry", rows: int = None,
+                   grams: tuple = None):
     """Device parse pass: raw [B, bs] u8 blocks (+ per-lane lengths) ->
     ([1, Tt, B] u32 token streams, [1, Lw, B] raw literal words, [B]
     fused-pair counts, [B] demoted-to-literal mask). The only host
@@ -372,6 +392,8 @@ def lz_plan_device(blocks, lengths, Tt: int, S: int = SEG,
     import os
     B, bs = blocks.shape
     Lw = max(96, bs // 4)
+    if grams is None:
+        grams = _grams_env()
     if rows is None:
         rows = os.environ.get("SQZ_LZ_SORT_ROWS", "64")
         try:
@@ -393,8 +415,8 @@ def lz_plan_device(blocks, lengths, Tt: int, S: int = SEG,
             blk = jnp.pad(blk, ((0, rows - n), (0, 0)))
             ln = jnp.pad(ln, (0, rows - n))
         dists = [_table_stage(blk, ln, k, seg, verify)
-                 for k in GRAM_SIZES]
-        ml, dist = _select_stage(ln, *dists)
+                 for k in grams]
+        ml, dist = _select_stage(ln, *dists, grams=grams)
         out = _parse_stage(blk, ml, dist, ln, Tt, S, lazy, Lw)
         if n != rows:
             out = (out[0][:, :, :n], out[1][:, :, :n], out[2][:n],

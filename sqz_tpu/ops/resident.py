@@ -627,12 +627,22 @@ def host_decode_blocks(payloads, sizes, idx, blocks_np):
 
 
 def decompress_resident(blob: bytes, lanes: int = 512,
-                        interpret: bool = False):
-    """Restore path: an sqzt sqz4 container (as produced by
-    compress_resident, but any cell-parsed stream qualifies) -> a
-    device-resident 1-D u8 array. Payload bytes upload once; assembly
-    runs on-device; blocks whose streams are not cell-parsed (or exceed
-    the decoder buffer) fall back to the host decoder transparently."""
+                        interpret: bool = False, assembly: str = "auto"):
+    """Restore path: an sqzt sqz4 container -> a device-resident 1-D u8
+    array. Payload bytes upload once; assembly runs on-device.
+
+    ``assembly`` picks the on-device assembly:
+      * "cell"    — the three-pass cell assembly (fastest; streams that
+                    are not cell-parsed fall back to the host decoder);
+      * "general" — the exact sort/scan/pointer-doubling assembly
+                    (ops/lz_restore.py) that restores ANY spec-valid
+                    stream — incl. compress_resident(mode="lz")
+                    containers — with zero host byte assembly;
+      * "auto"    — cell first, then the general assembly for lanes the
+                    cell model rejects, host only for kernel-flagged
+                    errors (i.e. genuinely corrupt blocks)."""
+    if assembly not in ("auto", "cell", "general"):
+        raise ValueError(f"unknown assembly {assembly!r}")
     blk_bits, osize, payloads, sizes = unpack_cold_container(blob)
     bs = 1 << blk_bits
     NB = len(payloads)
@@ -642,6 +652,7 @@ def decompress_resident(blob: bytes, lanes: int = 512,
         out = np.zeros((NB, bs), np.uint8)
         host_decode_blocks(payloads, sizes, range(NB), out)
         return jnp.asarray(out.reshape(-1)[:osize])
+    from sqz_tpu.ops import lz_restore
     plan = sp.plan_decode_dispatch(lanes, blk_bits, lanes=lanes, slots=1,
                                    interpret=interpret)
     dargs = dict(Pw=plan["Pw"], t_max=plan["t_max"], lw=plan["lw"],
@@ -654,12 +665,24 @@ def decompress_resident(blob: bytes, lanes: int = 512,
         n = len(grp)
         buf, plens, szs, over = pack_payload_group(grp, gsz, dargs["Pw"],
                                                    lanes)
-        blocks, _counts, bad = decode_rle_group(
-            jnp.asarray(buf), jnp.asarray(plens), jnp.asarray(szs),
-            **dargs)
+        bufd, plensd, szsd = (jnp.asarray(buf), jnp.asarray(plens),
+                              jnp.asarray(szs))
+        decode = (lz_restore.decode_lz_group if assembly == "general"
+                  else decode_rle_group)
+        blocks, _counts, bad = decode(bufd, plensd, szsd, **dargs)
         bad_np = np.asarray(bad)[:n] | over[:n]
+        if bad_np.any() and assembly == "auto":
+            # not cell-parsed: the general assembly restores it on device
+            # (one more kernel pass over the group; rare by construction)
+            gblocks, _gc, gbad = lz_restore.decode_lz_group(
+                bufd, plensd, szsd, **dargs)
+            sel = jnp.asarray(bad_np & ~np.asarray(gbad)[:n])
+            blocks = jnp.where(sel[:, None], gblocks[:n], blocks[:n])
+            bad_np = bad_np & np.asarray(gbad)[:n]
         if bad_np.any():
-            # not cell-parsed (or corrupt — the host decoder raises then)
+            # kernel-flagged (or oversized) blocks: genuinely corrupt —
+            # the host decoder raises the precise errno, or decodes the
+            # rare oversized-payload block
             fixed = np.array(blocks[:n])        # writable host copy
             host_decode_blocks(grp, gsz, np.nonzero(bad_np)[0], fixed)
             blocks = jnp.asarray(fixed)

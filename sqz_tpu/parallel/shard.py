@@ -448,10 +448,11 @@ def encode_lz_sharded(data, blk_bits: int, mesh: Mesh, lanes: int = 256,
     for j in range(0, per, rows):
         blk = b3[:, j:j + rows].reshape(n * rows, bs)
         ln = l2[:, j:j + rows].reshape(n * rows)
+        grams = lzparse._grams_env()
         dists = [lzparse._table_stage(blk, ln, k, gargs["seg"],
                                       gargs["verify"])
-                 for k in lzparse.GRAM_SIZES]
-        ml, dist = lzparse._select_stage(ln, *dists)
+                 for k in grams]
+        ml, dist = lzparse._select_stage(ln, *dists, grams=grams)
         toks, lits, pairs, _dem = lzparse._parse_stage(
             blk, ml, dist, ln, Tt, lzparse.SEG, True, Lw)
         toks_j.append(toks.reshape(1, Tt, n, rows))
@@ -490,6 +491,8 @@ def sharded_resident_decode_fn(mesh: Mesh, Pw: int, t_max: int, lw: int,
     Cached for the same reason as sharded_resident_fn."""
     from sqz_tpu.ops import resident
 
+    from sqz_tpu.ops import lz_restore
+
     def local(buf, plens, sizes):
         blocks_g, bad_g = [], []
         per = plens.shape[0]
@@ -498,6 +501,24 @@ def sharded_resident_decode_fn(mesh: Mesh, Pw: int, t_max: int, lw: int,
                 buf[:, :, g0:g0 + lanes], plens[g0:g0 + lanes],
                 sizes[g0:g0 + lanes], Pw=Pw, t_max=t_max, lw=lw, tw=tw,
                 mw=mw, bs=bs, interpret=interpret, wide=wide)
+            # lanes the cell model rejects re-assemble with the exact
+            # general assembly (ops/lz_restore.py) — the sharded mirror
+            # of decompress_resident(assembly="auto"); host fallback then
+            # only ever sees kernel-flagged corrupt blocks. lax.cond:
+            # pure cell containers skip the second pass at runtime.
+            def _fix(_, g0=g0, blocks=blocks, bad=bad):
+                gblocks, _gc, gbad = lz_restore.decode_lz_group(
+                    buf[:, :, g0:g0 + lanes], plens[g0:g0 + lanes],
+                    sizes[g0:g0 + lanes], Pw=Pw, t_max=t_max, lw=lw,
+                    tw=tw, mw=mw, bs=bs, interpret=interpret, wide=wide)
+                sel = bad & ~gbad
+                return (jnp.where(sel[:, None], gblocks, blocks),
+                        bad & gbad)
+
+            def _keep(_, blocks=blocks, bad=bad):
+                return blocks, bad
+
+            blocks, bad = jax.lax.cond(jnp.any(bad), _fix, _keep, None)
             blocks_g.append(blocks)
             bad_g.append(bad)
         blocks = jnp.concatenate(blocks_g, axis=0)

@@ -88,4 +88,36 @@ for _ in range(2):
 mb = B * bs / 1e6
 print(f"chip-resident: LZ enc {mb/t_enc:.1f} MB/s "
       f"({B} lanes of 2^{blk_bits})")
+
+# ---- chip-resident GENERAL restore (ops/lz_restore.py, VERDICT r4 #4):
+# the LZ streams just coded restore on-device with zero host byte
+# assembly (decode kernel + compaction-sort/pointer-doubling assembly)
+from sqz_tpu.ops import lz_restore, sqz4_pallas as sp
+
+lens_np2 = np.asarray(lens)
+lz_pl = sp.unpack_group_payloads(sp.fetch_words_trimmed(words, lens_np2),
+                                 lens_np2, B)
+plan_g = sp.plan_decode_dispatch(B, blk_bits, lanes=B, slots=1)
+dargs_g = dict(Pw=plan_g["Pw"], t_max=plan_g["t_max"], lw=plan_g["lw"],
+               tw=plan_g["tw"], mw=plan_g["mw"], bs=bs, interpret=False,
+               wide=blk_bits >= 15)
+bufg, plg, szg, _ov = resident.pack_payload_group(
+    lz_pl, [bs] * B, dargs_g["Pw"], B)
+bufd, pld, szd = map(jnp.asarray, (bufg, plg, szg))
+np.asarray(bufd[0, 0, 0])                        # fence upload
+blocks_g, _cg, bad_g = lz_restore.decode_lz_group(bufd, pld, szd,
+                                                  **dargs_g)
+assert not bool(np.asarray(bad_g)[:B].any()), "general restore bad lane"
+for b in range(0, B, max(1, B // 8)):
+    assert np.asarray(blocks_g[b]).tobytes() == arr[b].tobytes(), \
+        f"general restore block {b}"
+t_gr = float("inf")
+for _ in range(2):
+    t0 = time.perf_counter()
+    for _ in range(K):
+        r = lz_restore.decode_lz_group(bufd, pld, szd, **dargs_g)
+    np.asarray(r[2][0])
+    t_gr = min(t_gr, (time.perf_counter() - t0) / K)
+print(f"chip-resident: general restore {mb/t_gr:.1f} MB/s "
+      f"(zero host byte assembly; verified vs input)")
 print("OK: device LZ matcher verified on hardware")
