@@ -93,6 +93,35 @@ def _gram_hash(words):
     return h.astype(I32)
 
 
+def _sorted_neighbor_dists_slim(words, pos, lengths, k: int):
+    """Whole-row fast path (round 5, hardware-priced): the ``valid``
+    operand never rides the sort — validity is recomputable from the
+    sorted positions (pos + k <= len, lengths are per-row) — and for
+    k == 4 the exact gram word IS the sort key (collision-free, so the
+    sort carries just 2 operands instead of 4). Results are identical
+    to the carry path (a g4 hash collision could only LOSE a candidate;
+    the exact key cannot)."""
+    B, n = pos.shape
+    if len(words) == 1:
+        s = jax.lax.sort((words[0], pos), dimension=1, num_keys=1,
+                         is_stable=True)
+        sp_, sw = s[1], (s[0],)
+    else:
+        s = jax.lax.sort((_gram_hash(words), pos) + tuple(words),
+                         dimension=1, num_keys=1, is_stable=True)
+        sp_, sw = s[1], s[2:]
+    same = jnp.ones(sp_.shape, bool)
+    for w in sw:
+        same = same & jnp.pad(w[:, 1:] == w[:, :-1], ((0, 0), (1, 0)))
+    sv = sp_ + k <= lengths[:, None].astype(I32)
+    prev_pos = jnp.pad(sp_[:, :-1], ((0, 0), (1, 0)), constant_values=-1)
+    prev_ok = jnp.pad(sv[:, :-1], ((0, 0), (1, 0)))
+    d = jnp.where(same & prev_ok & sv, sp_ - prev_pos, 0)
+    d = jnp.where((d > 0) & (d <= WIN_MASK), d, 0)
+    _, dist = jax.lax.sort((sp_, d), dimension=1, num_keys=1)
+    return dist
+
+
 def _sorted_neighbor_dists(hsh, pos, valid, words, verify: str):
     """Shared core: sort rows by hash, compare each element with its left
     sort-neighbor (exact word verify), return per-position distances in
@@ -150,6 +179,8 @@ def _table_dists(blocks, lengths, k: int, seg: int = 0,
     words = _gram_words(blocks, k)
     pos = jnp.broadcast_to(jnp.arange(n, dtype=I32)[None], (B, n))
     valid = pos + k <= lengths[:, None].astype(I32)
+    if (not seg or seg >= n) and verify == "carry":
+        return _sorted_neighbor_dists_slim(words, pos, lengths, k)
     hsh = _gram_hash(words)
     if not seg or seg >= n:
         return _sorted_neighbor_dists(hsh, pos, valid, words, verify)

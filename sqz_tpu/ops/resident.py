@@ -362,15 +362,14 @@ def encode_resident_blocks(data, blk_bits: int, mode: str = "rle",
     if mode == "lz" and (1 << blk_bits) < lzparse.SEG:
         mode = "lit"    # blocks smaller than one parse segment
     if mode == "lz":
-        # the token slot array (bs/4 u32 per lane) + raw literal words +
-        # output buffer must fit the kernel's VMEM budget at EVERY block
-        # size: 256 lanes at 64 KiB blocks (~52 MB); 512 lanes cap the
-        # footprint at blk_bits <= 15 (~104 KB/lane) — a caller-supplied
-        # larger value would exceed vmem_limit_bytes at compile time. The
-        # sort stages inside lz_plan_device slice to SQZ_LZ_SORT_ROWS
-        # (64) rows regardless — batch sizes far from 64 rows make the
-        # XLA TPU sort's remote compile pathological.
-        lanes = min(lanes, 256 if blk_bits >= 16 else 512)
+        # cap lane groups at the kernel's full vector width (512, like
+        # ENC_LANES): measured on the v5e at blk_bits=16 (tools/check_lz
+        # round 5, 512x64KiB compiles and runs; a group that ever
+        # exceeded the VMEM budget fails loudly at compile, never
+        # silently). The sort stages inside lz_plan_device slice to
+        # SQZ_LZ_SORT_ROWS (64) rows regardless — batch sizes far from
+        # 64 rows make the XLA TPU sort's remote compile pathological.
+        lanes = min(lanes, 512)
     blocks, lengths, NB, _n = _prep_blocks(data, blk_bits, lanes)
     if mode == "rle":
         gargs = rle_group_args(blk_bits, cap, interpret)
