@@ -433,7 +433,8 @@ def main() -> None:
     # round-trips through the native decoder.
     def _sec_lz():
         from sqz_tpu.ops import lzparse
-        lanes_lz = 256 if blk_bits >= 16 else 512
+        lanes_lz = 512       # full kernel vector width (r5: verified at
+                             # blk16 on the v5e, +7% over 256 lanes)
         B = min(NB, lanes_lz)
         arr = np.frombuffer(data[:B * bs], np.uint8).reshape(B, bs)
         blocks_d = jnp.asarray(arr)
