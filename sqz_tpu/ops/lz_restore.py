@@ -142,7 +142,19 @@ def _assemble_stage(litw, tokw, mrecw, counts, sizes, T: int, MW: int,
 
     dstv, distv = jax.lax.associative_scan(_carry, (da, dd), axis=1)
     distv = jnp.maximum(distv, 1)
-    src = jnp.where(cov, dstv - distv + ((p_i - dstv) % distv), p_i)
+    # run collapse (round 5, hardware-profiled): out[p] == out[p - d] at
+    # EVERY position of a dist-d match, so a maximal covered stretch
+    # with constant dist telescopes straight past all of its chained
+    # matches: src = run_start - d + ((p - run_start) mod d). This is
+    # what turns 64 KiB RLE regions (need ~log2(256) doubling rounds as
+    # per-match hops) into depth-1 chains — the doubling loop below only
+    # pays for transitions BETWEEN runs of different dists.
+    prev_cov = jnp.pad(cov[:, :-1], ((0, 0), (1, 0)))
+    prev_d = jnp.pad(distv[:, :-1], ((0, 0), (1, 0)))
+    newrun = cov & (~prev_cov | (prev_d != distv))
+    rs = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(newrun, p_i, -1), axis=1)
+    src = jnp.where(cov, rs - distv + ((p_i - rs) % distv), p_i)
     src = jnp.clip(src, 0, bs - 1)
 
     # ---- pointer doubling until every chain lands on a literal
