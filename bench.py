@@ -17,7 +17,7 @@ baseline  = the single-threaded native C++ codec (byte-identical streams to
             performance was an explicit non-goal, README.md:23-25).
 
 Secondary sections run NEWEST-FEATURE-FIRST so the wall-clock budget
-(SQZ_BENCH_DEADLINE, default 1080 s) clips old rows, not the round's
+(SQZ_BENCH_DEADLINE, default 1260 s) clips old rows, not the round's
 flagship (VERDICT r3 #2). The budget is best-effort start-gating plus
 in-section pass trimming: a section that starts near the deadline skips
 its repeat passes (keeping one measured pass) rather than running
@@ -28,12 +28,13 @@ mid-run tunnel wedge loses at most the in-flight section, never the
 record. Dominant per-section cost on this sandbox is the ~40-60 s
 first-dispatch executable load per distinct program THROUGH THE TUNNEL
 (persistent-cache hits included) — a harness artifact, measured round 5,
-which the 1080 s default accommodates (~9 sections x 1-2 programs;
-a full warm-cache run measured 940 s end-to-end).
+which the 1260 s default accommodates (~10 sections x 1-2 programs;
+full warm-cache runs measured 903-1035 s end-to-end; progressive
+emission keeps the record intact under any earlier external kill).
 
 Env knobs: SQZ_BENCH_BYTES (default 32 MiB, the tiled reference corpus),
 SQZ_BENCH_BLK_BITS (default 16), SQZ_BENCH_LZ (default 1),
-SQZ_BENCH_E2E_BYTES, SQZ_BENCH_DEADLINE (default 1080 s),
+SQZ_BENCH_E2E_BYTES, SQZ_BENCH_DEADLINE (default 1260 s),
 SQZ_BENCH_K, SQZ_BENCH_SECTIONS (comma allowlist of section names).
 """
 
@@ -128,7 +129,7 @@ def main() -> None:
     # eating the whole allotment on a degraded host. Secondary sections
     # that would push past the budget are skipped (recorded in
     # "skipped_sections") so the JSON always lands.
-    budget = float(os.environ.get("SQZ_BENCH_DEADLINE", "1080"))
+    budget = float(os.environ.get("SQZ_BENCH_DEADLINE", "1260"))
     deadline = t_wall0 + budget
     # the core phase should be done by this point so the flagship
     # sections (device_lz first) get the rest of the budget
