@@ -114,3 +114,53 @@ def test_sharded_restore_general_fallback(monkeypatch):
     out = decompress_resident_sharded(blob, mesh, lanes=128,
                                       interpret=True)
     assert np.asarray(out).tobytes() == data
+
+
+def test_corrupt_mutants_flag_or_match():
+    """Adversarial guarantee: for ANY mutated payload the general
+    assembly either flags the lane bad (host decoder then raises) or
+    decodes it — and whenever the host decoder accepts the mutant, the
+    device bytes must MATCH the host's (no silent divergence)."""
+    import jax.numpy as jnp
+
+    from sqz_tpu.ops import lz_restore, sqz4_pallas as sp
+
+    data = corpus.texty(8 * 256, seed=21) + bytes(300) + b"pqr" * 150
+    bs = 256
+    payloads = resident.encode_resident_blocks(data, 8, "lz", lanes=32,
+                                               interpret=True)
+    nb = len(payloads)
+    sizes = [min(bs, len(data) - b * bs) for b in range(nb)]
+    rng = np.random.default_rng(5)
+    muts, host_out = [], []
+    for t in range(24):
+        b = int(rng.integers(nb))
+        p = bytearray(payloads[b])
+        p[int(rng.integers(len(p)))] ^= int(rng.integers(1, 256))
+        muts.append((bytes(p), sizes[b]))
+    lanes = 128
+    plan = sp.plan_decode_dispatch(lanes, 8, lanes=lanes, slots=1,
+                                   interpret=True)
+    dargs = dict(Pw=plan["Pw"], t_max=plan["t_max"], lw=plan["lw"],
+                 tw=plan["tw"], mw=plan["mw"], bs=bs, interpret=True,
+                 wide=False)
+    buf, plens, szs, over = resident.pack_payload_group(
+        [m[0] for m in muts], [m[1] for m in muts], dargs["Pw"], lanes)
+    blocks, _c, bad = lz_restore.decode_lz_group(
+        jnp.asarray(buf), jnp.asarray(plens), jnp.asarray(szs), **dargs)
+    bad_np = np.asarray(bad)
+    checked_match = 0
+    for i, (mp, sz) in enumerate(muts):
+        try:
+            want = native.sqz4_decompress_payload(mp, sz) \
+                if native.available() else None
+            if want is None:
+                from sqz_tpu.oracle.sqz4 import sqz4_decode_payload
+                want = sqz4_decode_payload(mp, sz)
+        except Exception:
+            continue                 # host rejects: bad flag optional
+        if not bad_np[i]:
+            assert np.asarray(blocks[i])[:sz].tobytes() == want, \
+                f"mutant {i}: silent divergence"
+            checked_match += 1
+    assert checked_match >= 1       # some mutants always stay decodable
