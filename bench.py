@@ -144,9 +144,6 @@ def main() -> None:
 
     core_stages: dict = {}
 
-    def _stage(name: str, t0: float) -> None:
-        core_stages[name] = round(time.perf_counter() - t0, 2)
-
     # ---- baseline: single-threaded native C++ (reference-equivalent).
     # One pass (the kernel side keeps best-of-2; the baseline enters only
     # the vs_baseline ratio, where single-pass noise is acceptable).
