@@ -463,10 +463,14 @@ def encode_lz_sharded(data, blk_bits: int, mesh: Mesh, lanes: int = 256,
     toks = cat(toks_j, 3).reshape(1, Tt, B)
     lits = cat(lits_j, 3).reshape(1, Lw, B)
     pairs = cat(pairs_j, 1).reshape(B)
-    # kernel step bound: global max pairs (replicated scalar), bucketed so
-    # the jitted kernel program is reused across calls
+    # kernel step bound: global max pairs, computed under jit with an
+    # explicitly REPLICATED output so every process can read its local
+    # copy (a plain np.asarray on a multi-process sharded array is not
+    # addressable); bucketed so the kernel program is reused across calls
+    pmax = jax.jit(jnp.max,
+                   out_shardings=NamedSharding(mesh, P()))(pairs)
     bq = 32 if interpret else 1024
-    t_max = max(bq, -(-int(np.asarray(jnp.max(pairs))) // bq) * bq)
+    t_max = max(bq, -(-int(jax.device_get(pmax)) // bq) * bq)
     klanes = min(lanes, 256 if blk_bits >= 16 else 512)
     fn = sharded_lz_kernel_fn(mesh, Tt, Lw, t_max, gargs["cap_words"],
                               interpret, gargs["wide"], klanes)
