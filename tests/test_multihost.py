@@ -122,3 +122,22 @@ def test_two_process_real_exchange(tmp_path):
     parts = [data[o:o + 1024] for o in range(0, len(data), 1024)]
     want = [sqz4_encode_payload(p, 1 << 10, lz=True) for p in parts]
     assert payloads == want
+    # device-LZ leg (round 5): the 2-process sharded LZ payloads must
+    # byte-equal the single-device resident-LZ path under the same
+    # sort-slice config
+    import os as _os
+
+    from sqz_tpu.ops.resident import encode_resident_blocks
+    lz_payloads = pickle.loads((tmp_path / "lz_payloads.pkl").read_bytes())
+    lzdata = data[:4096] + bytes(256) + b"ab" * 256
+    old = _os.environ.get("SQZ_LZ_SORT_ROWS")
+    _os.environ["SQZ_LZ_SORT_ROWS"] = "2"
+    try:
+        lz_want = encode_resident_blocks(lzdata, 8, "lz", lanes=128,
+                                         interpret=True)
+    finally:
+        if old is None:
+            _os.environ.pop("SQZ_LZ_SORT_ROWS", None)
+        else:
+            _os.environ["SQZ_LZ_SORT_ROWS"] = old
+    assert lz_payloads == lz_want

@@ -45,6 +45,20 @@ def main() -> int:
             pickle.dump(payloads, f)
     else:
         assert payloads is None                 # only host 0 assembles
+
+    # device-LZ leg (round 5): the global-view plan stages + shard_map
+    # token kernel run across BOTH processes; exercises the replicated
+    # pairs-max readback and the lane-sharded payload extraction
+    os.environ["SQZ_LZ_SORT_ROWS"] = "2"
+    from sqz_tpu.parallel.shard import encode_lz_sharded
+    lzdata = data[:4096] + bytes(256) + b"ab" * 256
+    lzp = encode_lz_sharded(lzdata, 8, mesh, lanes=128, interpret=True)
+    if jax.process_index() == 0:
+        assert lzp is not None
+        with open(os.path.join(outdir, "lz_payloads.pkl"), "wb") as f:
+            pickle.dump(lzp, f)
+    else:
+        assert lzp is None
     jax.distributed.shutdown()
     return 0
 
